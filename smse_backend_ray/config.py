@@ -1,0 +1,98 @@
+"""Frozen engine configuration.
+
+The reference pins analyzer/scorer configuration per index build via its
+``Model`` registry (reference: smse_backend/models/model.py:6-13, auto-created
+default in smse_backend/tasks.py:286-297). We mirror that with frozen dataclass
+specs; an index build writes the spec into its manifest so query-time analysis
+is guaranteed symmetric with ingest-time analysis.
+
+Everything here is a *single source of truth* shared by:
+  - the Ray Data engine (ingest / index build / scorer),
+  - the single-process Python oracle (oracle.py),
+  - the DuckDB SQL oracle generator (functions/sqlgen.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# Analyzer (code-aware tokenizer) — see functions/analyzer.py
+# ---------------------------------------------------------------------------
+
+ANALYZER_VERSION = "code-v1"
+
+MIN_TOKEN_LEN = 2
+MAX_TOKEN_LEN = 30
+
+# English stopwords (reference analog: text preprocessing in the embedding
+# pipeline, smse_backend/tasks.py:96-103) + programming-language keywords
+# (north_star: "stopword/keyword filtering"). Frozen: changing this changes
+# the index format version.
+ENGLISH_STOPWORDS = (
+    "the", "an", "and", "or", "of", "to", "in", "is", "are", "was", "were",
+    "be", "been", "it", "its", "this", "that", "these", "those", "for", "on",
+    "with", "as", "at", "by", "from", "not", "no", "but", "they", "them",
+    "their", "you", "your", "we", "our", "he", "she", "his", "her",
+)
+CODE_KEYWORDS = (
+    "def", "return", "if", "else", "elif", "while", "class", "import",
+    "function", "fn", "func", "var", "let", "const", "static", "void",
+    "true", "false", "null", "none", "nil", "new", "try", "catch", "except",
+    "finally", "switch", "case", "break", "continue", "struct", "enum",
+    "impl", "trait", "type", "interface", "package", "pub", "use", "mod",
+)
+STOPWORDS = frozenset(ENGLISH_STOPWORDS) | frozenset(CODE_KEYWORDS)
+
+
+# ---------------------------------------------------------------------------
+# BM25 scoring (functions/bm25.py; reference analog: cosine ranking in
+# smse_backend/services/search.py:97-110)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BM25Params:
+    k1: float = 1.2
+    b: float = 0.75
+
+
+# Scores compared against the DuckDB oracle are rounded to this many decimals;
+# ranking uses the *rounded* score (then doc_id ASC) so near-ties order
+# identically across summation orders. Engine-vs-Python-oracle tests still
+# assert exact float equality (same summation order on both sides).
+SCORE_DECIMALS = 4
+
+
+# ---------------------------------------------------------------------------
+# Engine / index-build configuration
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Configuration for one index build (pinned into the index manifest)."""
+
+    n_shards: int = 8                    # document-partitioned index shards
+    block_size: int = 128                # postings per block (skip/block-max unit)
+    bm25: BM25Params = field(default_factory=BM25Params)
+    # lang allowlist (reference analog: ALLOWED_EXTENSIONS env allowlist,
+    # smse_backend/utils/file_extensions.py:9-11). None = allow all.
+    allowed_langs: tuple[str, ...] | None = None
+    # exact dedup of identical (repo, path, commit) keys — reference analog:
+    # unique content_path constraint (smse_backend/models/content.py:11)
+    dedup: bool = True
+    # map_batches tuning
+    batch_size: int = 1024               # docs per analyzer batch
+    wave_size: int = 16                  # input partitions committed per wave (resume granularity)
+
+    def validate(self) -> None:
+        if self.n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        if self.block_size < 1:
+            raise ValueError("block_size must be >= 1")
+
+
+# Default per-query limits (reference: per-modality candidate k=30,
+# smse_backend/services/search.py:78; final top-k=10, :139)
+SHARD_CANDIDATE_K = 30
+DEFAULT_TOP_K = 10

@@ -1,0 +1,121 @@
+"""Corpus sources.
+
+The engine's input is a Parquet table with the shape fixed by BASELINE.json
+``input_hint``: (repo, path, commit, lang, content). Reference analog: one
+uploaded file per row (smse_backend/routes/content.py:18-57), with ``repo``
+playing the role of the tenant ``user_id`` scope (smse_backend/services/
+search.py:104) and ``lang`` the modality/extension role
+(smse_backend/utils/file_extensions.py:14-30).
+
+``corpus_from_documents`` is the Python twin of sqlgen.CORPUS_CTE — the same
+deterministic mapping from the driver's ``documents`` table, so Ray results
+and DuckDB oracle results are comparable end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def doc_id_from_key(repo: str, path: str, commit: str) -> int:
+    """Deterministic doc_id (Python twin of sqlgen.doc_id_expr).
+
+    First 15 decimal digits found in sha256("{repo}\\n{path}\\n{commit}") hex.
+    Independent of run order and parallelism (FIXTURES.md requirement: doc
+    identity derives from content/key, not run order).
+    """
+    h = hashlib.sha256(f"{repo}\n{path}\n{commit}".encode()).hexdigest()
+    digits = "".join(c for c in h if c.isdigit())[:15]
+    return int(digits)
+
+
+def _derive_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch["doc_id"].to_pylist()
+    paths = [f"docs/{d:08d}.txt" for d in doc_ids]
+    commits = [hashlib.md5(f"c{d}".encode()).hexdigest() for d in doc_ids]
+    return pa.table(
+        {
+            "repo": batch["source"],
+            "path": pa.array(paths, type=pa.string()),
+            "commit": pa.array(commits, type=pa.string()),
+            "lang": batch["lang"],
+            "content": batch["text"],
+        }
+    )
+
+
+def corpus_table_from_documents(sf_dir: str) -> pa.Table:
+    """Driver-side (no Ray) twin of corpus_from_documents, for oracles/tests."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return _derive_batch(t)
+
+
+def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
+    """documents.parquet -> corpus Dataset (deterministic; see CORPUS_CTE)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return ds.map_batches(_derive_batch, batch_format="pyarrow")
+
+
+def replicated_corpus_from_documents(sf_dir: str, repl: int) -> "ray.data.Dataset":
+    """Benchmark corpus: deterministic x``repl`` replication of the documents
+    corpus with distinct (path, content) per replica (scales the build without
+    external data; df scales uniformly)."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        out: dict[str, list] = {c: [] for c in CORPUS_COLUMNS}
+        for d, txt, lang, src in zip(doc_ids, texts, langs, srcs):
+            commit = hashlib.md5(f"c{d}".encode()).hexdigest()
+            for r in range(repl):
+                out["repo"].append(src)
+                out["path"].append(f"docs/{d:08d}_r{r}.txt")
+                out["commit"].append(commit)
+                out["lang"].append(lang)
+                out["content"].append(txt if r == 0 else f"{txt} rep{r}")
+        return pa.table({c: pa.array(out[c], type=pa.string()) for c in CORPUS_COLUMNS})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def validate_corpus_schema(schema: pa.Schema) -> None:
+    missing = [c for c in CORPUS_COLUMNS if c not in schema.names]
+    if missing:
+        raise ValueError(f"corpus is missing required columns: {missing}")
+
+
+def sha256_hex_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vector sha256 over a utf8 column (per-row C-speed hashlib)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.array(
+        [hashlib.sha256(v.encode()).hexdigest() for v in col.to_pylist()],
+        type=pa.string(),
+    )
+
+
+def n_bytes_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """utf8 byte length (twin of SQL octet_length(encode(content)))."""
+    return pc.cast(pc.binary_length(pc.cast(col, pa.binary())), pa.int64())

@@ -1,0 +1,109 @@
+"""Analyzer unit tests + exhaustive DuckDB parity (SURVEY.md §7.2: everything
+downstream depends on byte-identical analysis between Python and SQL)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from smse_backend_ray.config import STOPWORDS
+from smse_backend_ray.functions.analyzer import (
+    analyze_query,
+    split_subtokens,
+    term_counts,
+    tokenize,
+)
+from smse_backend_ray.functions.sqlgen import subtoken_expr, token_filter_sql
+
+TRICKY = [
+    "getHTTPResponse2Go_fooBar",
+    "parseHttpRequest parse_http_request PARSE HTTP",
+    "camelCase snake_case SCREAMING_SNAKE XMLHttpRequest",
+    "a ab abc the def return x1 1x 42 007",
+    "  leading trailing  ",
+    "",
+    "éclair naïve 北京 привет mixedÉcase",
+    "foo.bar(baz, qux); if (x>=2) { return None }",
+    "x" * 31 + " " + "y" * 30 + " zz",
+    "HTML5Parser v2Engine A1B2c3",
+    "don't can't it's",
+    "__init__ __main__ self.value",
+    "tab\tnewline\nmixed\r\nspace",
+]
+
+
+def test_basic_camel_snake():
+    assert tokenize("parseHttpRequest") == ["parse", "http", "request"]
+    assert tokenize("parse_http_request") == ["parse", "http", "request"]
+    assert tokenize("XMLHttpRequest") == ["xml", "http", "request"]
+
+
+def test_stopword_and_keyword_filtering():
+    assert tokenize("the def return table") == ["table"]
+    assert "def" in STOPWORDS and "the" in STOPWORDS
+
+
+def test_length_and_digit_filters():
+    assert tokenize("a ab 42 x1") == ["ab", "x1"]
+    assert tokenize("x" * 31) == []
+    assert tokenize("x" * 30) == ["x" * 30]
+
+
+def test_non_ascii_dropped():
+    assert tokenize("北京 привет") == []
+    # accented chars act as separators; ASCII runs survive
+    # ("case" would be dropped as a code keyword)
+    assert tokenize("mixedÉwords") == ["mixed", "words"]
+
+
+def test_term_counts_sorted():
+    tc = term_counts("beta alpha beta gamma alpha beta")
+    assert tc == [("alpha", 2), ("beta", 3), ("gamma", 1)]
+
+
+def test_analyze_query_symmetric_with_ingest():
+    text = "getHTTPResponse2Go hash hashJoin"
+    assert analyze_query(text) == dict(term_counts(text))
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+def _sql_tokens(con, text: str) -> list[str]:
+    rows = con.execute(
+        f"SELECT t.term FROM (SELECT ? AS s) src, "
+        f"unnest({subtoken_expr('src.s')}) AS t(term) "
+        f"WHERE {token_filter_sql('t.term')}",
+        [text],
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def _sql_subtokens(con, text: str) -> list[str]:
+    rows = con.execute(
+        f"SELECT t.term FROM (SELECT ? AS s) src, "
+        f"unnest({subtoken_expr('src.s')}) AS t(term) WHERE t.term <> ''",
+        [text],
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+@pytest.mark.parametrize("text", TRICKY)
+def test_duckdb_parity_tricky(con, text):
+    assert _sql_tokens(con, text) == tokenize(text)
+    assert _sql_subtokens(con, text) == split_subtokens(text)
+
+
+def test_duckdb_parity_documents_corpus(con):
+    """Every document in the sf0.001 driver table tokenizes identically."""
+    texts = [
+        r[0]
+        for r in con.sql(
+            "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+    ]
+    assert len(texts) > 0
+    for t in texts:
+        assert _sql_tokens(con, t) == tokenize(t)
