@@ -1,0 +1,298 @@
+"""Query engine: scatter/gather over shard-scorer actors + reference search
+semantics (SURVEY.md §3.2 re-expression of smse_backend/services/search.py
+and routes/search.py).
+
+Query path: analyze parts with the SAME analyzer as ingest (symmetry,
+tasks.py:219 vs :250) -> multiset-union fusion (A1) -> idf from the global df
+table (filter-pushdown read of only the query's terms) -> scatter to the
+shard actor pool (per-shard top-k, T1) -> gather -> threshold filter (M9,
+keeps score >= t) -> optional default-OFF normalization (M7/M8; reference
+disables at services/search.py:193) -> global (rounded score DESC, doc_id
+ASC) sort + limit (T2) -> result projection/enrichment (M10/M11/J1) ->
+query-log + search-record append (query history, T3).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+
+from smse_backend_ray.config import (
+    DEFAULT_TOP_K,
+    SCORE_DECIMALS,
+    SHARD_CANDIDATE_K,
+    BM25Params,
+)
+from smse_backend_ray.functions.bm25 import idf as idf_fn
+from smse_backend_ray.functions.fusion import fuse_parts
+from smse_backend_ray.functions.normalize import NORMALIZERS
+from smse_backend_ray.stages.scorer import ShardSearcher
+from smse_backend_ray.state.catalog import Catalog
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("rank", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("path", pa.string()),
+        ("repo", pa.string()),
+        ("lang", pa.string()),
+        ("score", pa.float64()),
+        ("exact_score", pa.float64()),
+    ]
+)
+
+
+class SearchEngine:
+    """Serving handle over a built index. Creates one actor per shard group;
+    state (decoded segments, doc meta) loads once per actor (ST1 analog)."""
+
+    def __init__(self, index_dir: str, num_actors: int | None = None, strategy: str = "exact"):
+        self.index_dir = index_dir
+        self.cat = Catalog(index_dir)
+        cfg = self.cat.get_config()
+        stats = self.cat.get_stats()
+        self.n_docs = stats["n_docs"]
+        self.avgdl = stats["avgdl"]
+        self.n_shards = cfg["n_shards"]
+        self.params = BM25Params(**cfg["bm25"])
+        self.strategy = strategy
+        n_actors = min(num_actors or self.n_shards, self.n_shards)
+        groups: list[list[int]] = [[] for _ in range(n_actors)]
+        for s in range(self.n_shards):
+            groups[s % n_actors].append(s)
+        self.actors = [
+            ShardSearcher.remote(
+                index_dir, g, self.avgdl, {"k1": self.params.k1, "b": self.params.b}
+            )
+            for g in groups
+        ]
+        ray.get([a.ping.remote() for a in self.actors])
+        self._df_ds = pads.dataset(os.path.join(index_dir, "df"))
+        self._next_query_id = self._load_next_query_id()
+
+    # ------------------------------------------------------------------
+    def close(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------------
+    def idf_weights(self, qtf: dict[str, int]) -> tuple[list[str], list[float]]:
+        """Sorted terms + qtf*idf weights; df via filter-pushdown read of the
+        term-sorted df table (only the query's terms leave storage)."""
+        terms = sorted(qtf)
+        tbl = self._df_ds.to_table(
+            columns=["term", "df"], filter=pads.field("term").isin(terms)
+        )
+        df_map = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+        out_t, out_w = [], []
+        for t in terms:
+            d = df_map.get(t)
+            if d:
+                out_t.append(t)
+                out_w.append(qtf[t] * idf_fn(self.n_docs, d))
+        return out_t, out_w
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        parts: list[str] | str,
+        scope: str = "",
+        limit: int = DEFAULT_TOP_K,
+        threshold: float | None = None,
+        normalize: str = "none",
+        query_id: int | None = None,
+        log: bool = False,
+    ) -> pa.Table:
+        if isinstance(parts, str):
+            parts = [parts]
+        qtf, _majority = fuse_parts(parts)  # raises on no valid parts (400 analog)
+        terms, weights = self.idf_weights(qtf)
+        qid = query_id if query_id is not None else self._next_query_id
+        if terms:
+            job = {
+                "query_id": qid,
+                "terms": terms,
+                "weights": weights,
+                "scope": scope,
+                "k": max(limit, SHARD_CANDIDATE_K),
+            }
+            cands = pa.concat_tables(
+                ray.get([a.search.remote([job], self.strategy) for a in self.actors])
+            )
+            result = self._merge(cands, qid, limit, threshold, normalize)
+        else:
+            result = RESULT_SCHEMA.empty_table()
+        if log:
+            self._log_query(qid, parts, scope, limit, result)
+            self._next_query_id = max(self._next_query_id, qid) + 1
+        return result
+
+    def search_batch(self, queries, strategy: str | None = None, log: bool = False) -> pa.Table:
+        """Batch path for a list of queryset.QuerySpec; one scatter/gather."""
+        strategy = strategy or self.strategy
+        jobs, metas = [], {}
+        for qs in queries:
+            qtf, _ = fuse_parts(list(qs.parts))
+            terms, weights = self.idf_weights(qtf)
+            metas[qs.query_id] = qs
+            if terms:
+                jobs.append(
+                    {
+                        "query_id": qs.query_id,
+                        "terms": terms,
+                        "weights": weights,
+                        "scope": qs.scope,
+                        "k": max(qs.limit, SHARD_CANDIDATE_K),
+                    }
+                )
+        results = [RESULT_SCHEMA.empty_table()]
+        if jobs:
+            cands = pa.concat_tables(
+                ray.get([a.search.remote(jobs, strategy) for a in self.actors])
+            )
+            for qid, qs in metas.items():
+                sub = cands.filter(pa.compute.equal(cands["query_id"], qid))
+                results.append(
+                    self._merge(sub, qid, qs.limit, qs.threshold, "none")
+                )
+        out = pa.concat_tables(results)
+        if log:
+            for qid, qs in metas.items():
+                sub = out.filter(pa.compute.equal(out["query_id"], qid))
+                self._log_query(qid, list(qs.parts), qs.scope, qs.limit, sub)
+        return out
+
+    # ------------------------------------------------------------------
+    def _merge(
+        self,
+        cands: pa.Table,
+        qid: int,
+        limit: int,
+        threshold: float | None,
+        normalize: str,
+    ) -> pa.Table:
+        """Global merge: threshold -> total order (rscore DESC, doc_id ASC)
+        -> limit -> rank; mirrors services/search.py:171-215 ordering of
+        operations."""
+        doc_id = cands["doc_id"].to_numpy()
+        score = cands["score"].to_numpy()
+        rscore = cands["rscore"].to_numpy()
+        if threshold is not None:
+            m = rscore >= threshold  # keeps >=, the reference's `not <` form
+            doc_id, score, rscore = doc_id[m], score[m], rscore[m]
+            cands = cands.filter(pa.array(m))
+        order = np.lexsort((doc_id, -rscore))[:limit]
+        n = len(order)
+        out_score = rscore[order]
+        norm = NORMALIZERS[normalize]
+        if norm is not None and n:
+            out_score = norm(out_score)
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * n, type=pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int32)),
+                "doc_id": pa.array(doc_id[order], type=pa.int64()),
+                "path": cands["path"].take(pa.array(order)),
+                "repo": cands["repo"].take(pa.array(order)),
+                "lang": cands["lang"].take(pa.array(order)),
+                "score": pa.array(out_score, type=pa.float64()),
+                "exact_score": pa.array(score[order], type=pa.float64()),
+            },
+            schema=RESULT_SCHEMA,
+        )
+
+    # ------------------------------------------------------------------
+    # query log / history (reference Query + SearchRecord tables,
+    # smse_backend/models/query.py, models/search_record.py; history API
+    # routes/search.py:242-316)
+    # ------------------------------------------------------------------
+
+    def _log_dir(self) -> str:
+        d = os.path.join(self.index_dir, "querylog")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _records_dir(self) -> str:
+        d = os.path.join(self.index_dir, "search_records")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _load_next_query_id(self) -> int:
+        d = os.path.join(self.index_dir, "querylog")
+        if not os.path.isdir(d) or not os.listdir(d):
+            return 1
+        t = pads.dataset(d).to_table(columns=["query_id"])
+        return (pa.compute.max(t["query_id"]).as_py() or 0) + 1
+
+    def _log_query(self, qid, parts, scope, limit, result: pa.Table) -> None:
+        ts = time.time()
+        pq.write_table(
+            pa.table(
+                {
+                    "query_id": pa.array([qid], type=pa.int64()),
+                    "text": pa.array([" | ".join(parts)], type=pa.string()),
+                    "n_parts": pa.array([len(parts)], type=pa.int32()),
+                    "scope": pa.array([scope], type=pa.string()),
+                    "limit": pa.array([limit], type=pa.int32()),
+                    "timestamp": pa.array([ts], type=pa.float64()),
+                    "n_results": pa.array([result.num_rows], type=pa.int32()),
+                }
+            ),
+            os.path.join(self._log_dir(), f"q_{qid:012d}.parquet"),
+        )
+        rec = result.select(["query_id", "rank", "doc_id", "score"]).append_column(
+            "retrieved_at", pa.array([ts] * result.num_rows, type=pa.float64())
+        )
+        pq.write_table(
+            rec, os.path.join(self._records_dir(), f"q_{qid:012d}.parquet")
+        )
+
+    def history(self, limit: int = 10, offset: int = 0) -> dict:
+        """Timestamp-descending query history with pagination echo
+        (routes/search.py:242-283 incl. total/has_more)."""
+        d = os.path.join(self.index_dir, "querylog")
+        if not os.path.isdir(d) or not os.listdir(d):
+            return {"queries": [], "total": 0, "limit": limit, "offset": offset, "has_more": False}
+        t = pads.dataset(d).to_table()
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[("timestamp", "descending"), ("query_id", "descending")]
+        )
+        total = t.num_rows
+        page = t.take(idx).slice(offset, limit)
+        return {
+            "queries": page.to_pylist(),
+            "total": total,
+            "limit": limit,
+            "offset": offset,
+            "has_more": offset + limit < total,
+        }
+
+    def get_results(self, query_id: int) -> pa.Table:
+        """Replay stored search records (routes/search.py:286-316)."""
+        f = os.path.join(self._records_dir(), f"q_{query_id:012d}.parquet")
+        if not os.path.exists(f):
+            raise KeyError(f"query {query_id} not found")
+        return pq.read_table(f)
+
+    def delete_query(self, query_id: int) -> None:
+        """Cascade delete of a stored query + its records
+        (routes/search.py:319-331; FK CASCADE analog)."""
+        for d, name in ((self._log_dir(), "query"), (self._records_dir(), "records")):
+            f = os.path.join(d, f"q_{query_id:012d}.parquet")
+            if os.path.exists(f):
+                os.remove(f)

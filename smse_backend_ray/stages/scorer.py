@@ -1,0 +1,285 @@
+"""Shard scorer: the stateful stage of the query path.
+
+Reference analog: the pgvector index queried per modality with DB-side top-k
+(smse_backend/services/search.py:97-110) and the worker-resident model state
+(module globals loaded once per worker, smse_backend/tasks.py:35-39). Here the
+per-worker state is a decoded index shard: a ``ShardSearcher`` Ray actor loads
+its shards' segment + docmeta parquet ONCE in ``__init__`` and then answers
+top-k for batches of queries with vectorized numpy scoring.
+
+Score determinism (SURVEY.md §4): contributions are accumulated in FIXED
+term-ascending order per doc — concatenate per-term arrays in sorted-term
+order, stable-sort by doc_id, ``np.add.reduceat`` — which performs the exact
+same float additions as the single-process oracle, so scores are bitwise
+equal.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from smse_backend_ray.config import SCORE_DECIMALS, BM25Params
+from smse_backend_ray.functions.bm25 import tfnorm_vec
+from smse_backend_ray.functions.codec import decode_block, decode_postings
+
+
+def _accumulate(
+    id_parts: list[np.ndarray], c_parts: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sum per-term contribution arrays per doc in STRICT term-ascending
+    order: one scalar add per (doc, term) into a zero-initialized dense
+    accumulator — the exact float addition sequence of the oracle's
+    ``scores[did] += contrib`` loop. (np.add.reduceat is NOT usable here:
+    its segment reduction is pairwise/SIMD-ordered and drifts by 1 ulp.)"""
+    uniq = np.unique(np.concatenate(id_parts))
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    for ids, contrib in zip(id_parts, c_parts):
+        pos = np.searchsorted(uniq, ids)
+        scores[pos] += contrib  # ids unique within a term -> plain fancy add
+    return uniq, scores
+
+
+class ShardIndex:
+    """In-memory decoded view of one shard (segments + doc metadata)."""
+
+    def __init__(self, index_dir: str, shard_id: int, avgdl: float, params: BM25Params):
+        self.shard_id = shard_id
+        self.avgdl = avgdl
+        self.params = params
+
+        seg_files = sorted(
+            glob.glob(os.path.join(index_dir, "segments", f"shard_id={shard_id}", "*.parquet"))
+        )
+        self.terms: dict[str, dict] = {}
+        for f in seg_files:
+            t = pq.read_table(
+                f, columns=["term", "postings", "block_offsets", "block_last", "block_max"]
+            )
+            for i in range(t.num_rows):
+                self.terms[t["term"][i].as_py()] = {
+                    "postings": t["postings"][i].as_py(),
+                    "block_offsets": t["block_offsets"][i].as_py(),
+                    "block_last": t["block_last"][i].as_py(),
+                    "block_max": t["block_max"][i].as_py(),
+                }
+
+        meta_files = sorted(
+            glob.glob(os.path.join(index_dir, "docmeta", f"shard_id={shard_id}", "*.parquet"))
+        )
+        if meta_files:
+            m = pa.concat_tables(
+                pq.read_table(f, columns=["doc_id", "repo", "path", "lang"])
+                for f in meta_files
+            )
+            order = pa.compute.sort_indices(m["doc_id"])
+            m = m.take(order)
+            self.meta_ids = m["doc_id"].to_numpy()
+            self.meta_repo = np.asarray(m["repo"].to_pylist(), dtype=object)
+            self.meta_path = np.asarray(m["path"].to_pylist(), dtype=object)
+            self.meta_lang = np.asarray(m["lang"].to_pylist(), dtype=object)
+        else:
+            self.meta_ids = np.empty(0, dtype=np.int64)
+            self.meta_repo = self.meta_path = self.meta_lang = np.empty(0, dtype=object)
+
+    # -- scoring -----------------------------------------------------------
+
+    def _decoded(self, term: str):
+        ent = self.terms.get(term)
+        if ent is None:
+            return None
+        if "dec" not in ent:
+            ent["dec"] = decode_postings(ent["postings"], ent["block_offsets"])
+        return ent["dec"]
+
+    def score_query(
+        self,
+        terms: list[str],
+        weights: list[float],
+        scope: str = "",
+        k: int = 30,
+        strategy: str = "exact",
+    ) -> dict:
+        """Top-k for one query on this shard.
+
+        ``terms`` MUST be sorted ascending with ``weights[i] = qtf_i * idf_i``
+        (computed by the driver from the global df table). Returns candidate
+        arrays (doc_id, score, rscore, repo, path, lang), ordered by
+        (rscore DESC, doc_id ASC), truncated to k.
+        """
+        if strategy == "wand":
+            return self._score_wand(terms, weights, scope, k)
+        id_parts: list[np.ndarray] = []
+        c_parts: list[np.ndarray] = []
+        for term, w in zip(terms, weights):
+            dec = self._decoded(term)
+            if dec is None:
+                continue
+            doc_ids, tfs, dls = dec
+            id_parts.append(doc_ids)
+            c_parts.append(w * tfnorm_vec(tfs, dls, self.avgdl, self.params))
+        if not id_parts:
+            return self._empty()
+        uniq, scores = _accumulate(id_parts, c_parts)
+        return self._finalize(uniq, scores, scope, k)
+
+    def _finalize(self, doc_ids: np.ndarray, scores: np.ndarray, scope: str, k: int) -> dict:
+        pos = np.searchsorted(self.meta_ids, doc_ids)
+        # all candidate doc_ids exist in meta by construction
+        repo = self.meta_repo[pos]
+        if scope:
+            m = repo == scope
+            doc_ids, scores, pos, repo = doc_ids[m], scores[m], pos[m], repo[m]
+        rscore = np.round(scores, SCORE_DECIMALS)
+        order = np.lexsort((doc_ids, -rscore))[:k]
+        doc_ids, scores, rscore, pos = (
+            doc_ids[order],
+            scores[order],
+            rscore[order],
+            pos[order],
+        )
+        return {
+            "doc_id": doc_ids,
+            "score": scores,
+            "rscore": rscore,
+            "repo": self.meta_repo[pos],
+            "path": self.meta_path[pos],
+            "lang": self.meta_lang[pos],
+        }
+
+    def _empty(self) -> dict:
+        return {
+            "doc_id": np.empty(0, dtype=np.int64),
+            "score": np.empty(0, dtype=np.float64),
+            "rscore": np.empty(0, dtype=np.float64),
+            "repo": np.empty(0, dtype=object),
+            "path": np.empty(0, dtype=object),
+            "lang": np.empty(0, dtype=object),
+        }
+
+    # -- block-max WAND (scale path; exact same results, fewer decodes) ----
+
+    def _score_wand(self, terms, weights, scope: str, k: int) -> dict:
+        """Block-max pruned scoring (north_star T1): skip whole posting
+        blocks that provably cannot reach the k-th best score, then re-score
+        the surviving candidates exactly (bitwise-identical to exhaustive).
+
+        Threshold seeding: the partial score from any single term is a lower
+        bound of the doc's total score, so the k-th best contribution of the
+        highest-impact term is a valid threshold theta. A block b of term t
+        can contain a doc with total >= theta only if
+        w_t*block_max(b) + sum of the other terms' global maxima >= theta;
+        the union of surviving blocks therefore contains every true top-k
+        doc. Theta is slackened by 2*10^-SCORE_DECIMALS so rounded-score
+        tie-breaking can never disagree with the exhaustive path.
+
+        Scope filtering routes to exhaustive (block bounds ignore scope).
+        """
+        if scope:
+            return self.score_query(terms, weights, scope, k, strategy="exact")
+        infos = []
+        for term, w in zip(terms, weights):
+            ent = self.terms.get(term)
+            if ent is None:
+                continue
+            bmax = np.asarray(ent["block_max"], dtype=np.float64)
+            infos.append((term, w, ent, float(w * bmax.max()) if bmax.size else 0.0))
+        if not infos:
+            return self._empty()
+        # seed theta from the highest-upper-bound term
+        seed_term, seed_w, seed_ent, _ = max(infos, key=lambda x: x[3])
+        _, s_tfs, s_dls = decode_postings(seed_ent["postings"], seed_ent["block_offsets"])
+        seed_contrib = seed_w * tfnorm_vec(s_tfs, s_dls, self.avgdl, self.params)
+        if seed_contrib.size > k:
+            theta = float(np.partition(seed_contrib, -k)[-k])
+        else:
+            theta = 0.0
+        theta -= 2 * 10.0 ** (-SCORE_DECIMALS)  # rounding-tie slack
+        total_ub = sum(ub for _, _, _, ub in infos)
+        cand_ids: list[np.ndarray] = []
+        for term, w, ent, ub in infos:
+            others_ub = total_ub - ub
+            bmax = np.asarray(ent["block_max"], dtype=np.float64)
+            keep = np.flatnonzero(w * bmax + others_ub >= theta)
+            for bi in keep:
+                ids, _, _ = decode_block(ent["postings"], ent["block_offsets"], int(bi))
+                cand_ids.append(ids)
+        if not cand_ids:
+            return self._empty()
+        cand = np.unique(np.concatenate(cand_ids))
+        # exact re-score of candidates in term-asc order (bitwise == oracle)
+        id_parts, c_parts = [], []
+        for term, w in zip(terms, weights):
+            dec = self._decoded(term)
+            if dec is None:
+                continue
+            doc_ids, tfs, dls = dec
+            m = np.isin(doc_ids, cand, assume_unique=True)
+            id_parts.append(doc_ids[m])
+            c_parts.append(w * tfnorm_vec(tfs[m], dls[m], self.avgdl, self.params))
+        uniq, scores = _accumulate(id_parts, c_parts)
+        return self._finalize(uniq, scores, scope, k)
+
+
+@ray.remote
+class ShardSearcher:
+    """Actor owning one or more shards (actor-pool stage ST1/ST4 analog:
+    state loaded once in __init__, smse_backend/tasks.py:35-103)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        shard_ids: list[int],
+        avgdl: float,
+        params_dict: dict,
+    ):
+        params = BM25Params(**params_dict)
+        self.shards = [ShardIndex(index_dir, s, avgdl, params) for s in shard_ids]
+
+    def ping(self) -> bool:
+        return True
+
+    def search(self, jobs: list[dict], strategy: str = "exact") -> pa.Table:
+        """jobs: [{query_id, terms, weights, scope, k}] -> candidate table."""
+        cols = {
+            "query_id": [],
+            "doc_id": [],
+            "score": [],
+            "rscore": [],
+            "repo": [],
+            "path": [],
+            "lang": [],
+        }
+        for job in jobs:
+            for sh in self.shards:
+                r = sh.score_query(
+                    job["terms"], job["weights"], job.get("scope", ""),
+                    job["k"], strategy=strategy,
+                )
+                n = len(r["doc_id"])
+                if not n:
+                    continue
+                cols["query_id"].extend([job["query_id"]] * n)
+                cols["doc_id"].extend(r["doc_id"].tolist())
+                cols["score"].extend(r["score"].tolist())
+                cols["rscore"].extend(r["rscore"].tolist())
+                cols["repo"].extend(r["repo"].tolist())
+                cols["path"].extend(r["path"].tolist())
+                cols["lang"].extend(r["lang"].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(cols["query_id"], type=pa.int64()),
+                "doc_id": pa.array(cols["doc_id"], type=pa.int64()),
+                "score": pa.array(cols["score"], type=pa.float64()),
+                "rscore": pa.array(cols["rscore"], type=pa.float64()),
+                "repo": pa.array(cols["repo"], type=pa.string()),
+                "path": pa.array(cols["path"], type=pa.string()),
+                "lang": pa.array(cols["lang"], type=pa.string()),
+            }
+        )

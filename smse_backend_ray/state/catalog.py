@@ -1,0 +1,134 @@
+"""Lineage manifest + resume (reference ``Task`` table analog,
+smse_backend/models/task.py:6-34; status reconciliation
+smse_backend/routes/task.py:30-52).
+
+The manifest is a JSON file under the index directory recording, per build
+stage and per input partition: input fingerprint, status, timestamps, metrics
+and output path. Commits are atomic (write temp + rename — the idempotent
+write protocol SURVEY.md §4 requires). Resume = anti-join of planned
+partitions against completed ones (the engine's only anti-join, SURVEY.md
+§2.4 J3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PartitionRecord:
+    partition_id: int
+    input_fingerprint: str
+    status: str = "pending"  # pending | done
+    started_at: float | None = None
+    completed_at: float | None = None
+    metrics: dict = field(default_factory=dict)
+    output_path: str = ""
+
+
+def fingerprint_files(files: list[str]) -> str:
+    """Deterministic partition fingerprint: path + size + mtime per file."""
+    h = hashlib.sha256()
+    for f in sorted(files):
+        st = os.stat(f)
+        h.update(f"{f}|{st.st_size}|{int(st.st_mtime)}\n".encode())
+    return h.hexdigest()[:16]
+
+
+class Catalog:
+    """Manifest manager for one index directory."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.path = os.path.join(index_dir, "manifest.json")
+        os.makedirs(index_dir, exist_ok=True)
+        self._state = self._load()
+
+    def _load(self) -> dict:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)
+        return {"stages": {}, "partitions": {}, "config": {}, "stats": {}}
+
+    def _commit(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._state, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)  # atomic on POSIX
+
+    # -- config / stats ----------------------------------------------------
+    def set_config(self, cfg_dict: dict) -> None:
+        self._state["config"] = cfg_dict
+        self._commit()
+
+    def get_config(self) -> dict:
+        return self._state["config"]
+
+    def set_stats(self, stats: dict) -> None:
+        self._state["stats"] = stats
+        self._commit()
+
+    def get_stats(self) -> dict:
+        return self._state["stats"]
+
+    # -- stage-level lineage ----------------------------------------------
+    def stage_done(self, stage: str) -> bool:
+        return self._state["stages"].get(stage, {}).get("status") == "done"
+
+    def mark_stage(self, stage: str, status: str, metrics: dict | None = None) -> None:
+        rec = self._state["stages"].setdefault(stage, {})
+        rec["status"] = status
+        rec.setdefault("started_at", time.time())
+        if status == "done":
+            rec["completed_at"] = time.time()
+        if metrics:
+            rec["metrics"] = metrics
+        self._commit()
+
+    def invalidate_from(self, stages: list[str]) -> None:
+        for s in stages:
+            self._state["stages"].pop(s, None)
+        self._commit()
+
+    # -- partition-level lineage ------------------------------------------
+    def plan_partitions(
+        self, partitions: dict[int, list[str]]
+    ) -> list[int]:
+        """Register partitions (id -> input files); return the PENDING ids —
+        a completed partition whose fingerprint still matches is skipped
+        (resume without recomputation). A fingerprint mismatch re-queues it.
+        """
+        pending = []
+        for pid, files in sorted(partitions.items()):
+            fp = fingerprint_files(files)
+            rec = self._state["partitions"].get(str(pid))
+            if rec and rec["status"] == "done" and rec["input_fingerprint"] == fp:
+                continue
+            self._state["partitions"][str(pid)] = asdict(
+                PartitionRecord(pid, fp, status="pending", started_at=time.time())
+            )
+            pending.append(pid)
+        self._commit()
+        return pending
+
+    def mark_partitions_done(
+        self, pids: list[int], metrics: dict[int, dict], output_path: str
+    ) -> None:
+        for pid in pids:
+            rec = self._state["partitions"][str(pid)]
+            rec["status"] = "done"
+            rec["completed_at"] = time.time()
+            rec["metrics"] = metrics.get(pid, {})
+            rec["output_path"] = output_path
+        self._commit()
+
+    def completed_partitions(self) -> list[int]:
+        return sorted(
+            int(pid)
+            for pid, rec in self._state["partitions"].items()
+            if rec["status"] == "done"
+        )

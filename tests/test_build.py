@@ -1,0 +1,142 @@
+"""Build-stage semantics on a planted corpus: exact dedup (winner rule),
+lang allowlist, empty content, and file-mode lineage/resume."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from smse_backend_ray.config import EngineConfig
+from smse_backend_ray.pipelines.build import build_index
+from smse_backend_ray.pipelines.search import SearchEngine
+from smse_backend_ray.sources.corpus import doc_id_from_key
+from smse_backend_ray.state.catalog import Catalog
+
+
+def planted_corpus() -> pa.Table:
+    rows = [
+        # (repo, path, commit, lang, content)
+        ("org/a", "src/main.py", "c1", "py", "def main(): hashMap lookup fastScan"),
+        ("org/a", "src/util.py", "c1", "py", "utility helpers for hashMap and sorting"),
+        # exact key duplicate with DIFFERENT content: winner = min sha
+        ("org/a", "src/dup.py", "c1", "py", "zzz content B"),
+        ("org/a", "src/dup.py", "c1", "py", "aaa content A"),
+        # identical full row duplicate
+        ("org/b", "src/same.py", "c2", "py", "identical twin row"),
+        ("org/b", "src/same.py", "c2", "py", "identical twin row"),
+        # disallowed lang
+        ("org/b", "src/readme.xyz", "c2", "xyz", "should be filtered out"),
+        # empty content (kept: dl = 0)
+        ("org/b", "src/empty.py", "c2", "py", ""),
+    ]
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "repo": pa.array(cols[0]),
+            "path": pa.array(cols[1]),
+            "commit": pa.array(cols[2]),
+            "lang": pa.array(cols[3]),
+            "content": pa.array(cols[4]),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def planted_index(ray_session):
+    idx_dir = "/tmp/smse_test_planted"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = EngineConfig(n_shards=2, allowed_langs=("py", "go"))
+    build_index(
+        corpus=ray.data.from_arrow(planted_corpus()), index_dir=idx_dir, cfg=cfg
+    )
+    return idx_dir
+
+
+def test_dedup_and_allowlist(planted_index):
+    docs = pads.dataset(os.path.join(planted_index, "docs")).to_table()
+    by_path = {(r["repo"], r["path"]): r for r in docs.to_pylist()}
+    # 8 planted - 1 lang-filtered - 2 dups removed = 5 docs
+    assert docs.num_rows == 5
+    assert ("org/b", "src/readme.xyz") not in by_path
+    # key-dup winner: min content_sha256 -> "aaa content A" hashes lower? The
+    # rule is lexicographic min of sha, so just assert determinism: rebuilding
+    # picks the same winner and only one row survives.
+    import hashlib
+
+    sha_a = hashlib.sha256(b"aaa content A").hexdigest()
+    sha_b = hashlib.sha256(b"zzz content B").hexdigest()
+    assert by_path[("org/a", "src/dup.py")]["content_sha256"] == min(sha_a, sha_b)
+    # empty content kept with dl=0
+    assert by_path[("org/b", "src/empty.py")]["dl"] == 0
+
+
+def test_dedup_metrics_recorded(planted_index):
+    cat = Catalog(planted_index)
+    assert cat._state["stages"]["dedup"]["metrics"]["duplicates"] == 2
+
+
+def test_search_planted(planted_index):
+    with SearchEngine(planted_index) as eng:
+        t = eng.search(["hashMap"], limit=10)
+        paths = t["path"].to_pylist()
+        assert set(paths) == {"src/main.py", "src/util.py"}
+
+
+# ---------------------------------------------------------------------------
+# file-mode build: per-partition lineage + resume without recomputation
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def corpus_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus_files")
+    t = planted_corpus()
+    files = []
+    for i in range(4):
+        f = str(d / f"part_{i}.parquet")
+        # vary path per file so rows are distinct docs
+        part = t.set_column(
+            1, "path", pa.array([f"f{i}/" + p for p in t["path"].to_pylist()])
+        )
+        pq.write_table(part, f)
+        files.append(f)
+    return files
+
+
+def test_file_build_resume_skips_done(ray_session, corpus_files):
+    idx_dir = "/tmp/smse_test_filebuild"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = EngineConfig(n_shards=2, wave_size=2)
+    build_index(input_files=corpus_files, index_dir=idx_dir, cfg=cfg)
+    cat = Catalog(idx_dir)
+    assert cat.completed_partitions() == [0, 1, 2, 3]
+    for pid, rec in cat._state["partitions"].items():
+        assert rec["metrics"]["rows"] > 0
+    wave_files = sorted(glob.glob(os.path.join(idx_dir, "docs", "wave_*", "*.parquet")))
+    mtimes = {f: os.path.getmtime(f) for f in wave_files}
+
+    # resume: nothing recomputed, wave outputs untouched
+    build_index(input_files=corpus_files, index_dir=idx_dir, cfg=cfg)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m, "completed wave was rewritten on resume"
+
+    # docs-stage partition planning is also resumable mid-build: simulate a
+    # crash after the docs stage by invalidating later stages only
+    cat2 = Catalog(idx_dir)
+    cat2.invalidate_from(["stats", "docmeta", "segments", "df"])
+    build_index(input_files=corpus_files, index_dir=idx_dir, cfg=cfg)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m
+
+
+def test_file_build_searchable(ray_session, corpus_files):
+    with SearchEngine("/tmp/smse_test_filebuild") as eng:
+        t = eng.search(["hashMap lookup"], limit=20)
+        assert t.num_rows == 8  # 2 hit docs x 4 file partitions
