@@ -1,44 +1,205 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry pairs a Ray Data pipeline from smse_backend_ray with
+its DuckDB twin in ``oracle_sql()`` (generated from the same frozen constants
+in smse_backend_ray.config / functions.sqlgen). The corpus for the BM25
+engine entries is derived deterministically from the driver's ``documents``
+table (sources/corpus.py == sqlgen.CORPUS_CTE), matching the BASELINE.json
+input_hint shape (repo, path, commit, lang, content).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for(sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the full index for the derived
+    corpus; returns the index directory."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    from smse_backend_ray.config import EngineConfig
+    from smse_backend_ray.pipelines.build import build_index
+    from smse_backend_ray.sources.corpus import corpus_from_documents
+
+    idx_dir = f"/tmp/smse_entry_index_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(
+        corpus=corpus_from_documents(sf_dir),
+        index_dir=idx_dir,
+        cfg=EngineConfig(n_shards=8),
+    )
+    _INDEX_CACHE[sf_dir] = idx_dir
+    return idx_dir
+
+
+def _search_result(sf_dir: str, queries) -> Any:
+    import pyarrow as pa
+
+    from smse_backend_ray.pipelines.search import SearchEngine
+
+    idx = _index_for(sf_dir)
+    with SearchEngine(idx) as eng:
+        t = eng.search_batch(queries)
+    # driver-comparable projection: rounded score, oracle column order
+    t = t.select(["query_id", "rank", "doc_id", "path", "repo", "lang", "score"])
+    order = pa.compute.sort_indices(
+        t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]
+    )
+    return t.take(order)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the inverted index from the derived
+    corpus and run the full frozen query set; returns the result table."""
+    from smse_backend_ray.queryset import ALL_QUERIES
+
+    return _search_result("/root/testdata/sf0.001", ALL_QUERIES).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_ingest_docs(sf_dir: str) -> Any:
+    import pyarrow.dataset as pads
+
+    idx = _index_for(sf_dir)
+    t = pads.dataset(os.path.join(idx, "docs")).to_table(
+        columns=["doc_id", "repo", "path", "commit", "lang", "content_sha256", "n_bytes", "dl"]
+    )
+    import pyarrow as pa
+
+    return t.take(pa.compute.sort_indices(t["doc_id"]))
+
+
+def _q_corpus_stats(sf_dir: str) -> Any:
+    import pyarrow as pa
+
+    from smse_backend_ray.state.catalog import Catalog
+
+    idx = _index_for(sf_dir)
+    s = Catalog(idx).get_stats()
+    return pa.table(
+        {
+            "n_docs": pa.array([s["n_docs"]], type=pa.int64()),
+            "sum_dl": pa.array([s["sum_dl"]], type=pa.int64()),
+            "avgdl": pa.array([s["avgdl"]], type=pa.float64()),
+        }
+    )
+
+
+def _q_term_df(sf_dir: str) -> Any:
+    import pyarrow.dataset as pads
+
+    idx = _index_for(sf_dir)
+    return pads.dataset(os.path.join(idx, "df")).to_table(columns=["term", "df"])
+
+
+def _q_postings(sf_dir: str) -> Any:
+    """Decode the compressed segments back to (term, doc_id, tf) triples —
+    proves the SPIMI shuffle + codec are lossless end-to-end."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.functions.codec import decode_postings
+
+    idx = _index_for(sf_dir)
+    terms, dids, tfs = [], [], []
+    for f in sorted(glob.glob(os.path.join(idx, "segments", "shard_id=*", "*.parquet"))):
+        t = pq.read_table(f, columns=["term", "postings", "block_offsets"])
+        for i in range(t.num_rows):
+            ids, tf, _ = decode_postings(
+                t["postings"][i].as_py(), t["block_offsets"][i].as_py()
+            )
+            terms.extend([t["term"][i].as_py()] * len(ids))
+            dids.extend(ids.tolist())
+            tfs.extend(tf.tolist())
+    out = pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        }
+    )
+    return out.take(
+        pa.compute.sort_indices(
+            out, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+        )
+    )
+
+
+def _q_lang_counts(sf_dir: str) -> Any:
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    idx = _index_for(sf_dir)
+    t = pads.dataset(os.path.join(idx, "docs")).to_table(columns=["lang"])
+    g = t.group_by("lang").aggregate([("lang", "count")])
+    out = pa.table(
+        {
+            "lang": g["lang"],
+            "n_docs": pa.compute.cast(g["lang_count"], pa.int64()),
+        }
+    )
+    return out.take(pa.compute.sort_indices(out["lang"]))
+
+
+def _q_bm25(queries) -> Callable[[str], Any]:
+    def run(sf_dir: str) -> Any:
+        return _search_result(sf_dir, queries)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from smse_backend_ray.queryset import (
+        BASE_QUERIES,
+        MULTIPART_QUERIES,
+        SCOPED_QUERIES,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ingest_docs": _q_ingest_docs,
+        "corpus_stats": _q_corpus_stats,
+        "term_df": _q_term_df,
+        "postings_decoded": _q_postings,
+        "lang_counts": _q_lang_counts,
+        "bm25_topk": _q_bm25(BASE_QUERIES),
+        "bm25_topk_scoped": _q_bm25(SCOPED_QUERIES),
+        "bm25_topk_multipart": _q_bm25(MULTIPART_QUERIES),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from smse_backend_ray.config import BM25Params
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.queryset import (
+        BASE_QUERIES,
+        MULTIPART_QUERIES,
+        SCOPED_QUERIES,
+    )
+
+    p = BM25Params()
+    return {
+        "ingest_docs": sqlgen.ingest_docs_sql(),
+        "corpus_stats": sqlgen.corpus_stats_sql(),
+        "term_df": sqlgen.term_df_sql(),
+        "postings_decoded": sqlgen.postings_sql(),
+        "lang_counts": sqlgen.lang_counts_sql(),
+        "bm25_topk": sqlgen.bm25_topk_sql(BASE_QUERIES, p),
+        "bm25_topk_scoped": sqlgen.bm25_topk_sql(SCOPED_QUERIES, p),
+        "bm25_topk_multipart": sqlgen.bm25_topk_sql(MULTIPART_QUERIES, p),
+    }

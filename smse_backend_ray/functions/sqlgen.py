@@ -113,6 +113,71 @@ def with_corpus_docs(body: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# ingest / stats / df oracles (SURVEY.md S6, A5, A6 correctness gates)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = (
+    "SELECT src.doc_id AS doc_id, t.term AS term FROM docs AS src, "
+    "unnest({expr}) AS t(term) WHERE {filt}"
+)
+
+
+def _toks() -> str:
+    return _TOKS_CTE.format(expr=subtoken_expr("src.content"), filt=token_filter_sql("t.term"))
+
+
+def _dl_cte() -> str:
+    return (
+        "SELECT d.doc_id, COALESCE(x.dl, 0) AS dl FROM docs d LEFT JOIN "
+        "(SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id) x USING (doc_id)"
+    )
+
+
+def ingest_docs_sql() -> str:
+    """Deduped docs table with analysis length (ingest stage oracle)."""
+    return with_corpus_docs(
+        f", toks AS ({_toks()}), dl AS ({_dl_cte()}) "
+        "SELECT d.doc_id, d.repo, d.path, d.commit, d.lang, d.content_sha256, "
+        "d.n_bytes, dl.dl AS dl "
+        "FROM docs d JOIN dl USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
+def corpus_stats_sql() -> str:
+    return with_corpus_docs(
+        f", toks AS ({_toks()}), dl AS ({_dl_cte()}) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(dl) AS BIGINT) AS sum_dl, "
+        "CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl"
+    )
+
+
+def term_df_sql() -> str:
+    return with_corpus_docs(
+        f", toks AS ({_toks()}) "
+        "SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM toks GROUP BY term ORDER BY term"
+    )
+
+
+def postings_sql() -> str:
+    """Uncompressed posting triples — decode-the-index oracle (A6)."""
+    return with_corpus_docs(
+        f", toks AS ({_toks()}) "
+        "SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf "
+        "FROM toks GROUP BY term, doc_id ORDER BY term, doc_id"
+    )
+
+
+def lang_counts_sql() -> str:
+    """Count-by-lang (majority-modality analog A2)."""
+    return with_corpus_docs(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM docs "
+        "GROUP BY lang ORDER BY lang"
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 oracle
 # ---------------------------------------------------------------------------
 
@@ -199,7 +264,8 @@ topk AS (
          row_number() OVER (PARTITION BY query_id ORDER BY rscore DESC, doc_id ASC) AS rnk
   FROM ranked
 )
-SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, path, repo, lang, rscore AS score
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank,
+       doc_id, path, repo, lang, rscore AS score
 FROM topk WHERE rnk <= lim
 ORDER BY query_id, rank
 """
