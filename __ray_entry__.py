@@ -115,16 +115,16 @@ def _q_postings(sf_dir: str) -> Any:
     import pyarrow.parquet as pq
 
     from smse_backend_ray.functions.codec import decode_postings
+    from smse_backend_ray.state.catalog import Catalog
 
     idx = _index_for(sf_dir)
+    block_size = Catalog(idx).get_config()["block_size"]
     terms, dids, tfs = [], [], []
     for f in sorted(glob.glob(os.path.join(idx, "segments", "shard_id=*", "*.parquet"))):
-        t = pq.read_table(f, columns=["term", "postings", "block_offsets"])
-        for i in range(t.num_rows):
-            ids, tf, _ = decode_postings(
-                t["postings"][i].as_py(), t["block_offsets"][i].as_py()
-            )
-            terms.extend([t["term"][i].as_py()] * len(ids))
+        t = pq.read_table(f)
+        for row in t.to_pylist():
+            ids, tf, _ = decode_postings(row, block_size)
+            terms.extend([row["term"]] * len(ids))
             dids.extend(ids.tolist())
             tfs.extend(tf.tolist())
     out = pa.table(

@@ -1,0 +1,161 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline pipeline: full inverted-index build (ingest -> analyze -> dedup ->
+stats -> docmeta -> segments -> df) over the corpus derived from
+$GRAFT_SF_DIR's documents table, deterministically replicated x$GRAFT_REPL
+(default 20) to a realistic size — then a batch of BM25 searches on the built
+index through the shard-actor pool.
+
+  python bench.py              # one run; env RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # fresh processes at 8 and 32 CPUs ->
+                               # throughput at both + scaling efficiency
+
+Output: {"metric": ..., "value": <headline seconds>, "unit": "sec",
+         "queries": {...per-phase seconds...}, "sf": ..., "num_cpus": N,
+         "files_per_sec": ..., "search_qps": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _ray_session(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def run_bench() -> dict:
+    """Two fresh Ray sessions: build job, then serve job — the engine's
+    deployment model (SURVEY.md §4: query serving is a separate job/actor
+    pool, never co-scheduled with bulk builds; actor cold-start inside a
+    session that just ran big Data jobs is also pathological in Ray 2.49)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repl = int(os.environ.get("GRAFT_REPL", "20"))
+
+    from smse_backend_ray.config import EngineConfig
+    from smse_backend_ray.queryset import ALL_QUERIES
+    from smse_backend_ray.sources.corpus import replicated_corpus_from_documents
+    from smse_backend_ray.state.catalog import Catalog
+
+    idx_dir = f"/tmp/smse_bench_index_{num_cpus}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # ---- build job ----
+    ray = _ray_session(num_cpus)
+    from smse_backend_ray.pipelines.build import build_index
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    n_files = replicated_corpus_from_documents(sf_dir, repl).count()
+
+    cfg = EngineConfig(n_shards=8, batch_size=2048)
+    t0 = time.time()
+    build_index(
+        corpus=replicated_corpus_from_documents(sf_dir, repl),
+        index_dir=idx_dir,
+        cfg=cfg,
+    )
+    build_sec = time.time() - t0
+    stats = Catalog(idx_dir).get_stats()
+    ray.shutdown()
+
+    # ---- serve job ----
+    ray = _ray_session(num_cpus)
+    from smse_backend_ray.pipelines.search import SearchEngine
+
+    t1 = time.time()
+    eng = SearchEngine(idx_dir)
+    load_sec = time.time() - t1
+
+    t2 = time.time()
+    eng.search_batch(ALL_QUERIES)  # cold batch: decodes postings into caches
+    cold_sec = time.time() - t2
+
+    t3 = time.time()
+    n_queries = 0
+    for _ in range(25):
+        eng.search_batch(ALL_QUERIES)
+        n_queries += len(ALL_QUERIES)
+    search_sec = time.time() - t3
+    eng.close()
+    ray.shutdown()
+
+    headline = build_sec + search_sec
+    return {
+        "metric": "bm25_index_build_plus_search_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {
+            "index_build": round(build_sec, 3),
+            "engine_load": round(load_sec, 3),
+            "search_cold_batch": round(cold_sec, 3),
+            "search_batch_x25": round(search_sec, 3),
+        },
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_files": n_files,
+        "n_docs": stats["n_docs"],
+        "files_per_sec": round(n_files / build_sec, 1),
+        "search_qps": round(n_queries / search_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    thr_lo = r_lo["files_per_sec"]
+    thr_hi = r_hi["files_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"build_sec_{lo}cpu": r_lo["queries"]["index_build"],
+            f"build_sec_{hi}cpu": r_hi["queries"]["index_build"],
+            f"files_per_sec_{lo}cpu": thr_lo,
+            f"files_per_sec_{hi}cpu": thr_hi,
+            f"search_qps_{lo}cpu": r_lo["search_qps"],
+            f"search_qps_{hi}cpu": r_hi["search_qps"],
+        },
+        "sf": r_hi["sf"],
+        "num_cpus": hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -84,6 +84,10 @@ class EngineConfig:
     # map_batches tuning
     batch_size: int = 1024               # docs per analyzer batch
     wave_size: int = 16                  # input partitions committed per wave (resume granularity)
+    # metadata reductions (dup detection, stats, df rollup) run driver-side
+    # with pyarrow when the projected columns are under this size on disk;
+    # above it they run as distributed Ray aggregations (scale path)
+    driver_agg_max_bytes: int = 256 * 1024 * 1024
 
     def validate(self) -> None:
         if self.n_shards < 1:

@@ -5,20 +5,20 @@ Reference analog: the index payload the reference keeps in pgvector rows
 (smse_backend/models/embedding.py:7-26) — here the payload is a compressed
 posting list per (shard, term).
 
-Layout per term (stored as parquet columns in the segment table):
+Layout per term (stored as parquet columns in the segment table): three
+varint streams (doc-id deltas, tfs, dls) plus per-block metadata:
 
-  postings       binary   concatenated blocks; each block is
-                          varint(len_docs) varint(len_tfs)
-                          <docs bytes> <tfs bytes> <dls bytes>
-                          where docs are delta-encoded (first value absolute
-                          PER BLOCK, so blocks decode independently = skip)
-  block_offsets  list<i64>  byte offset of each block in `postings`
-  block_last     list<i64>  last doc_id of each block (skip pointer)
-  block_max      list<f64>  max BM25 tf-norm in the block (idf-independent
-                            upper bound; multiplied by idf*qtf at query time
-                            for block-max WAND pruning)
+  docs_bytes / tfs_bytes / dls_bytes   binary: whole-list varint streams;
+      doc ids are delta-encoded with the delta RESET to the absolute id at
+      each block start, so any block decodes independently (skip support)
+  block_doc_off / block_tf_off / block_dl_off   list<i64>: byte offset of
+      each block within the corresponding stream (skip pointers)
+  block_last   list<i64>: last doc_id per block (skip pointer)
+  block_max    list<f64>: max BM25 tf-norm per block (idf-independent upper
+      bound; multiplied by qtf*idf at query time for block-max WAND pruning)
 
-Encode and decode are numpy-vectorized (no per-posting Python loop).
+Everything encodes/decodes in whole-stream vectorized numpy passes — no
+per-posting or per-block Python loops.
 """
 
 from __future__ import annotations
@@ -33,16 +33,22 @@ from smse_backend_ray.functions.bm25 import tfnorm_vec
 # vectorized varint (LEB128)
 # ---------------------------------------------------------------------------
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Encode a uint array as LEB128 varints (vectorized)."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
+def _varint_lens(v: np.ndarray) -> np.ndarray:
     nbytes = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
         nbytes += tmp > 0
         tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
+def varint_encode_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint array as LEB128 varints; also return per-value byte
+    lengths (for analytic block offsets)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbytes = _varint_lens(v)
     offsets = np.zeros(v.size, dtype=np.int64)
     np.cumsum(nbytes[:-1], out=offsets[1:])
     out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
@@ -51,7 +57,11 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = ((nbytes[mask] > j + 1).astype(np.uint8)) << 7
         out[offsets[mask] + j] = byte | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_lens(values)[0]
 
 
 def varint_decode(buf: bytes | memoryview) -> np.ndarray:
@@ -72,7 +82,7 @@ def varint_decode(buf: bytes | memoryview) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# posting blocks
+# posting streams with per-block skip/bound metadata
 # ---------------------------------------------------------------------------
 
 def encode_postings(
@@ -84,94 +94,87 @@ def encode_postings(
     block_size: int,
 ) -> dict:
     """doc_ids must be sorted ascending and unique. Returns the segment-row
-    payload: postings bytes + block metadata arrays + df."""
+    payload (see module docstring)."""
     n = len(doc_ids)
+    empty64 = np.empty(0, dtype=np.int64)
     if n == 0:
         return {
             "df": 0,
-            "postings": b"",
-            "block_offsets": [],
+            "docs_bytes": b"",
+            "tfs_bytes": b"",
+            "dls_bytes": b"",
+            "block_doc_off": [],
+            "block_tf_off": [],
+            "block_dl_off": [],
             "block_last": [],
             "block_max": [],
         }
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
-    tfn = tfnorm_vec(tfs, dls, avgdl, params)
+    starts = np.arange(0, n, block_size, dtype=np.int64)
 
-    chunks: list[bytes] = []
-    block_offsets: list[int] = []
-    block_last: list[int] = []
-    block_max: list[float] = []
-    off = 0
-    for s in range(0, n, block_size):
-        e = min(s + block_size, n)
-        deltas = np.empty(e - s, dtype=np.uint64)
-        deltas[0] = doc_ids[s]  # absolute per block -> independent decode
-        deltas[1:] = np.diff(doc_ids[s:e]).astype(np.uint64)
-        docs_b = varint_encode(deltas)
-        tfs_b = varint_encode(tfs[s:e].astype(np.uint64))
-        dls_b = varint_encode(dls[s:e].astype(np.uint64))
-        head = varint_encode(np.array([len(docs_b), len(tfs_b)], dtype=np.uint64))
-        blk = head + docs_b + tfs_b + dls_b
-        block_offsets.append(off)
-        block_last.append(int(doc_ids[e - 1]))
-        block_max.append(float(tfn[s:e].max()))
-        chunks.append(blk)
-        off += len(blk)
+    deltas = doc_ids.astype(np.uint64).copy()
+    deltas[1:] -= doc_ids[:-1].astype(np.uint64)
+    deltas[starts] = doc_ids[starts]  # absolute at block starts
+
+    docs_b, doc_lens = varint_encode_with_lens(deltas)
+    tfs_b, tf_lens = varint_encode_with_lens(tfs.astype(np.uint64))
+    dls_b, dl_lens = varint_encode_with_lens(dls.astype(np.uint64))
+
+    def offs(lens: np.ndarray) -> list[int]:
+        c = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=c[1:])
+        return c[starts].tolist()
+
+    tfn = tfnorm_vec(tfs, dls, avgdl, params)
+    ends = np.minimum(starts + block_size, n)
+    block_max = np.maximum.reduceat(tfn, starts)
     return {
         "df": n,
-        "postings": b"".join(chunks),
-        "block_offsets": block_offsets,
-        "block_last": block_last,
-        "block_max": block_max,
+        "docs_bytes": docs_b,
+        "tfs_bytes": tfs_b,
+        "dls_bytes": dls_b,
+        "block_doc_off": offs(doc_lens),
+        "block_tf_off": offs(tf_lens),
+        "block_dl_off": offs(dl_lens),
+        "block_last": doc_ids[ends - 1].tolist(),
+        "block_max": block_max.tolist(),
     }
 
 
-def _read_head(buf: memoryview, off: int) -> tuple[int, int, int]:
-    """Parse the two varint length headers starting at `off`.
-    Returns (len_docs, len_tfs, header_end_offset)."""
-    vals = []
-    pos = off
-    for _ in range(2):
-        shift = 0
-        v = 0
-        while True:
-            byte = buf[pos]
-            v |= (byte & 0x7F) << shift
-            pos += 1
-            if not byte & 0x80:
-                break
-            shift += 7
-        vals.append(v)
-    return vals[0], vals[1], pos
+def _resolve_doc_ids(deltas: np.ndarray, n: int, block_size: int) -> np.ndarray:
+    """Delta stream (absolute at block starts) -> absolute doc ids."""
+    raw = np.cumsum(deltas.astype(np.int64))
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    # within block b: doc[i] = raw[i] - (raw[s] - delta[s])
+    corr = raw[starts] - deltas[starts].astype(np.int64)
+    reps = np.diff(np.append(starts, n))
+    return raw - np.repeat(corr, reps)
 
 
-def decode_block(
-    postings: bytes, block_offsets: list[int], i: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode block i independently -> (doc_ids, tfs, dls)."""
-    buf = memoryview(postings)
-    off = block_offsets[i]
-    end = block_offsets[i + 1] if i + 1 < len(block_offsets) else len(postings)
-    len_docs, len_tfs, pos = _read_head(buf, off)
-    docs = varint_decode(buf[pos : pos + len_docs])
-    tfs = varint_decode(buf[pos + len_docs : pos + len_docs + len_tfs])
-    dls = varint_decode(buf[pos + len_docs + len_tfs : end])
-    doc_ids = np.cumsum(docs.astype(np.int64))
-    return doc_ids, tfs.astype(np.int64), dls.astype(np.int64)
-
-
-def decode_postings(
-    postings: bytes, block_offsets: list[int]
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode the full posting list -> (doc_ids, tfs, dls), vectorized."""
-    nb = len(block_offsets)
-    if nb == 0:
+def decode_postings(row: dict, block_size: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode the full posting list of one segment row -> (doc_ids, tfs, dls)."""
+    tfs = varint_decode(row["tfs_bytes"]).astype(np.int64)
+    n = tfs.size
+    if n == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    parts = [decode_block(postings, block_offsets, i) for i in range(nb)]
-    doc_ids = np.concatenate([p[0] for p in parts])
-    tfs = np.concatenate([p[1] for p in parts])
-    dls = np.concatenate([p[2] for p in parts])
+    deltas = varint_decode(row["docs_bytes"])
+    dls = varint_decode(row["dls_bytes"]).astype(np.int64)
+    return _resolve_doc_ids(deltas, n, block_size), tfs, dls
+
+
+def decode_block(row: dict, i: int, block_size: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode block i independently -> (doc_ids, tfs, dls)."""
+    nb = len(row["block_doc_off"])
+
+    def sl(buf: bytes, off_list, j: int) -> memoryview:
+        end = off_list[j + 1] if j + 1 < nb else len(buf)
+        return memoryview(buf)[off_list[j] : end]
+
+    deltas = varint_decode(sl(row["docs_bytes"], row["block_doc_off"], i))
+    tfs = varint_decode(sl(row["tfs_bytes"], row["block_tf_off"], i)).astype(np.int64)
+    dls = varint_decode(sl(row["dls_bytes"], row["block_dl_off"], i)).astype(np.int64)
+    doc_ids = np.cumsum(deltas.astype(np.int64))  # first value is absolute
     return doc_ids, tfs, dls

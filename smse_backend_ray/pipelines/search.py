@@ -70,12 +70,17 @@ class SearchEngine:
             groups[s % n_actors].append(s)
         self.actors = [
             ShardSearcher.remote(
-                index_dir, g, self.avgdl, {"k1": self.params.k1, "b": self.params.b}
+                index_dir,
+                g,
+                self.avgdl,
+                {"k1": self.params.k1, "b": self.params.b},
+                cfg.get("block_size", 128),
             )
             for g in groups
         ]
         ray.get([a.ping.remote() for a in self.actors])
         self._df_ds = pads.dataset(os.path.join(index_dir, "df"))
+        self._df_cache: dict[str, int] = {}  # term -> df (0 = known absent)
         self._next_query_id = self._load_next_query_id()
 
     # ------------------------------------------------------------------
@@ -95,13 +100,17 @@ class SearchEngine:
         """Sorted terms + qtf*idf weights; df via filter-pushdown read of the
         term-sorted df table (only the query's terms leave storage)."""
         terms = sorted(qtf)
-        tbl = self._df_ds.to_table(
-            columns=["term", "df"], filter=pads.field("term").isin(terms)
-        )
-        df_map = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            tbl = self._df_ds.to_table(
+                columns=["term", "df"], filter=pads.field("term").isin(missing)
+            )
+            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            for t in missing:
+                self._df_cache[t] = int(found.get(t, 0))
         out_t, out_w = [], []
         for t in terms:
-            d = df_map.get(t)
+            d = self._df_cache[t]
             if d:
                 out_t.append(t)
                 out_w.append(qtf[t] * idf_fn(self.n_docs, d))

@@ -63,13 +63,29 @@ def corpus_table_from_documents(sf_dir: str) -> pa.Table:
     return _derive_batch(t)
 
 
+def _parallel_blocks() -> int:
+    """Block target so downstream map stages parallelize: a single-file
+    parquet read yields ONE block, and Ray fuses the whole map chain into one
+    task unless we split first (2-4x cores, ray_guide 'partitions ≈ 2-4x
+    total cores')."""
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, cpus * 3)
+
+
 def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
     """documents.parquet -> corpus Dataset (deterministic; see CORPUS_CTE)."""
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source"],
     )
-    return ds.map_batches(_derive_batch, batch_format="pyarrow")
+    return ds.repartition(_parallel_blocks()).map_batches(
+        _derive_batch, batch_format="pyarrow"
+    )
 
 
 def replicated_corpus_from_documents(sf_dir: str, repl: int) -> "ray.data.Dataset":
@@ -97,7 +113,12 @@ def replicated_corpus_from_documents(sf_dir: str, repl: int) -> "ray.data.Datase
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source"],
     )
-    return ds.map_batches(expand, batch_format="pyarrow")
+    # batch_size counts EXPAND INPUT rows, and downstream maps fuse into the
+    # same task — scale it down by the expansion factor or the whole corpus
+    # funnels through a handful of tasks
+    return ds.repartition(_parallel_blocks()).map_batches(
+        expand, batch_format="pyarrow", batch_size=max(1, 4096 // repl)
+    )
 
 
 def validate_corpus_schema(schema: pa.Schema) -> None:

@@ -34,6 +34,9 @@ def ingest_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     Output schema: doc_id, repo, path, commit, lang, content_sha256, n_bytes,
     dl, terms (list<string> sorted asc), tfs (list<int32>), shard_id.
     """
+    from smse_backend_ray.sources.corpus import validate_corpus_schema
+
+    validate_corpus_schema(batch.schema)
     repos = batch["repo"].to_pylist()
     paths = batch["path"].to_pylist()
     commits = batch["commit"].to_pylist()
@@ -154,41 +157,39 @@ class BucketEncoder:
 
         cfg = self.cfg
         terms = group["term"].to_pylist()
-        doc_ids_runs = group["doc_ids"].to_pylist()
-        tfs_runs = group["tfs"].to_pylist()
-        dls_runs = group["dls"].to_pylist()
+        # zero-copy views of the flattened run arrays (never to_pylist a
+        # large list column — Python materialization dominates otherwise)
+        doc_col = group["doc_ids"].combine_chunks()
+        flat_docs = np.asarray(doc_col.values, dtype=np.int64)
+        doc_offs = np.asarray(doc_col.offsets)
+        tf_col = group["tfs"].combine_chunks()
+        flat_tfs = np.asarray(tf_col.values, dtype=np.int64)
+        tf_offs = np.asarray(tf_col.offsets)
+        dl_col = group["dls"].combine_chunks()
+        flat_dls = np.asarray(dl_col.values, dtype=np.int64)
+        dl_offs = np.asarray(dl_col.offsets)
 
-        # gather runs per term
         per_term: dict[str, list[int]] = {}
         for i, t in enumerate(terms):
             per_term.setdefault(t, []).append(i)
 
-        out = {
-            "shard_id": [],
-            "term": [],
-            "bucket": [],
-            "df": [],
-            "df_shard": [],
-            "postings": [],
-            "block_offsets": [],
-            "block_last": [],
-            "block_max": [],
+        out: dict[str, list] = {
+            "shard_id": [], "term": [], "bucket": [], "df": [], "df_shard": [],
+            "docs_bytes": [], "tfs_bytes": [], "dls_bytes": [],
+            "block_doc_off": [], "block_tf_off": [], "block_dl_off": [],
+            "block_last": [], "block_max": [],
         }
+        nb = cfg_buckets(cfg)
         for term in sorted(per_term):
             runs = per_term[term]
-            doc_ids = np.concatenate(
-                [np.asarray(doc_ids_runs[i], dtype=np.int64) for i in runs]
-            )
-            tfs = np.concatenate(
-                [np.asarray(tfs_runs[i], dtype=np.int64) for i in runs]
-            )
-            dls = np.concatenate(
-                [np.asarray(dls_runs[i], dtype=np.int64) for i in runs]
-            )
+            doc_ids = np.concatenate([flat_docs[doc_offs[i]:doc_offs[i+1]] for i in runs])
+            tfs = np.concatenate([flat_tfs[tf_offs[i]:tf_offs[i+1]] for i in runs])
+            dls = np.concatenate([flat_dls[dl_offs[i]:dl_offs[i+1]] for i in runs])
             order = np.argsort(doc_ids, kind="stable")
             doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
             df_global = len(doc_ids)
             shards = (doc_ids % cfg.n_shards).astype(np.int64)
+            bkt = term_bucket(term, nb)
             for s in np.unique(shards):
                 m = shards == s
                 enc = encode_postings(
@@ -196,13 +197,13 @@ class BucketEncoder:
                 )
                 out["shard_id"].append(int(s))
                 out["term"].append(term)
-                out["bucket"].append(term_bucket(term, cfg_buckets(cfg)))
+                out["bucket"].append(bkt)
                 out["df"].append(df_global)
                 out["df_shard"].append(enc["df"])
-                out["postings"].append(enc["postings"])
-                out["block_offsets"].append(enc["block_offsets"])
-                out["block_last"].append(enc["block_last"])
-                out["block_max"].append(enc["block_max"])
+                for k in ("docs_bytes", "tfs_bytes", "dls_bytes",
+                          "block_doc_off", "block_tf_off", "block_dl_off",
+                          "block_last", "block_max"):
+                    out[k].append(enc[k])
         return pa.table(
             {
                 "shard_id": pa.array(out["shard_id"], type=pa.int32()),
@@ -210,8 +211,12 @@ class BucketEncoder:
                 "bucket": pa.array(out["bucket"], type=pa.int32()),
                 "df": pa.array(out["df"], type=pa.int64()),
                 "df_shard": pa.array(out["df_shard"], type=pa.int64()),
-                "postings": pa.array(out["postings"], type=pa.binary()),
-                "block_offsets": pa.array(out["block_offsets"], type=pa.list_(pa.int64())),
+                "docs_bytes": pa.array(out["docs_bytes"], type=pa.binary()),
+                "tfs_bytes": pa.array(out["tfs_bytes"], type=pa.binary()),
+                "dls_bytes": pa.array(out["dls_bytes"], type=pa.binary()),
+                "block_doc_off": pa.array(out["block_doc_off"], type=pa.list_(pa.int64())),
+                "block_tf_off": pa.array(out["block_tf_off"], type=pa.list_(pa.int64())),
+                "block_dl_off": pa.array(out["block_dl_off"], type=pa.list_(pa.int64())),
                 "block_last": pa.array(out["block_last"], type=pa.list_(pa.int64())),
                 "block_max": pa.array(out["block_max"], type=pa.list_(pa.float64())),
             }

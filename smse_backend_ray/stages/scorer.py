@@ -46,32 +46,44 @@ def _accumulate(
     return uniq, scores
 
 
+SEGMENT_COLS = [
+    "term", "docs_bytes", "tfs_bytes", "dls_bytes",
+    "block_doc_off", "block_tf_off", "block_dl_off", "block_last", "block_max",
+]
+
+
 class ShardIndex:
     """In-memory decoded view of one shard (segments + doc metadata)."""
 
-    def __init__(self, index_dir: str, shard_id: int, avgdl: float, params: BM25Params):
+    def __init__(
+        self,
+        index_dir: str,
+        shard_id: int,
+        avgdl: float,
+        params: BM25Params,
+        block_size: int = 128,
+    ):
         self.shard_id = shard_id
         self.avgdl = avgdl
         self.params = params
+        self.block_size = block_size
 
         seg_files = sorted(
             glob.glob(os.path.join(index_dir, "segments", f"shard_id={shard_id}", "*.parquet"))
         )
         self.terms: dict[str, dict] = {}
         for f in seg_files:
-            t = pq.read_table(
-                f, columns=["term", "postings", "block_offsets", "block_last", "block_max"]
-            )
-            for i in range(t.num_rows):
-                self.terms[t["term"][i].as_py()] = {
-                    "postings": t["postings"][i].as_py(),
-                    "block_offsets": t["block_offsets"][i].as_py(),
-                    "block_last": t["block_last"][i].as_py(),
-                    "block_max": t["block_max"][i].as_py(),
-                }
+            t = pq.read_table(f, columns=SEGMENT_COLS)
+            for row in t.to_pylist():
+                self.terms[row.pop("term")] = row
 
+        # docs are hive-partitioned by shard_id (optionally nested under
+        # wave_* dirs in file-mode builds); read only this shard's meta cols
         meta_files = sorted(
-            glob.glob(os.path.join(index_dir, "docmeta", f"shard_id={shard_id}", "*.parquet"))
+            glob.glob(
+                os.path.join(index_dir, "docs", "**", f"shard_id={shard_id}", "*.parquet"),
+                recursive=True,
+            )
         )
         if meta_files:
             m = pa.concat_tables(
@@ -95,7 +107,7 @@ class ShardIndex:
         if ent is None:
             return None
         if "dec" not in ent:
-            ent["dec"] = decode_postings(ent["postings"], ent["block_offsets"])
+            ent["dec"] = decode_postings(ent, self.block_size)
         return ent["dec"]
 
     def score_query(
@@ -194,7 +206,7 @@ class ShardIndex:
             return self._empty()
         # seed theta from the highest-upper-bound term
         seed_term, seed_w, seed_ent, _ = max(infos, key=lambda x: x[3])
-        _, s_tfs, s_dls = decode_postings(seed_ent["postings"], seed_ent["block_offsets"])
+        _, s_tfs, s_dls = decode_postings(seed_ent, self.block_size)
         seed_contrib = seed_w * tfnorm_vec(s_tfs, s_dls, self.avgdl, self.params)
         if seed_contrib.size > k:
             theta = float(np.partition(seed_contrib, -k)[-k])
@@ -208,7 +220,7 @@ class ShardIndex:
             bmax = np.asarray(ent["block_max"], dtype=np.float64)
             keep = np.flatnonzero(w * bmax + others_ub >= theta)
             for bi in keep:
-                ids, _, _ = decode_block(ent["postings"], ent["block_offsets"], int(bi))
+                ids, _, _ = decode_block(ent, int(bi), self.block_size)
                 cand_ids.append(ids)
         if not cand_ids:
             return self._empty()
@@ -238,9 +250,12 @@ class ShardSearcher:
         shard_ids: list[int],
         avgdl: float,
         params_dict: dict,
+        block_size: int = 128,
     ):
         params = BM25Params(**params_dict)
-        self.shards = [ShardIndex(index_dir, s, avgdl, params) for s in shard_ids]
+        self.shards = [
+            ShardIndex(index_dir, s, avgdl, params, block_size) for s in shard_ids
+        ]
 
     def ping(self) -> bool:
         return True

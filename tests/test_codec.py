@@ -47,30 +47,42 @@ def test_postings_roundtrip(n, block_size):
     p = BM25Params()
     enc = encode_postings(doc_ids, tfs, dls, avgdl=321.5, params=p, block_size=block_size)
     assert enc["df"] == n
-    d, t, l = decode_postings(enc["postings"], enc["block_offsets"])
+    d, t, l = decode_postings(enc, block_size)
     assert (d == doc_ids).all() and (t == tfs).all() and (l == dls).all()
     # skip pointers
     nblocks = (n + block_size - 1) // block_size
-    assert len(enc["block_offsets"]) == nblocks
+    assert len(enc["block_doc_off"]) == nblocks
     assert enc["block_last"][-1] == doc_ids[-1]
     # block-max is a true upper bound of tfnorm within each block
     tfn = tfnorm_vec(tfs, dls, 321.5, p)
     for i in range(nblocks):
         s, e = i * block_size, min((i + 1) * block_size, n)
         assert enc["block_max"][i] == pytest.approx(tfn[s:e].max())
+        assert enc["block_last"][i] == doc_ids[e - 1]
 
 
 def test_block_independent_decode():
     doc_ids, tfs, dls = _random_postings(300, seed=11)
     enc = encode_postings(doc_ids, tfs, dls, 100.0, BM25Params(), block_size=100)
-    d1, t1, l1 = decode_block(enc["postings"], enc["block_offsets"], 1)
-    assert (d1 == doc_ids[100:200]).all()
-    assert (t1 == tfs[100:200]).all()
-    assert (l1 == dls[100:200]).all()
+    for b, (s, e) in enumerate([(0, 100), (100, 200), (200, 300)]):
+        d1, t1, l1 = decode_block(enc, b, 100)
+        assert (d1 == doc_ids[s:e]).all()
+        assert (t1 == tfs[s:e]).all()
+        assert (l1 == dls[s:e]).all()
 
 
 def test_empty_postings():
     enc = encode_postings(np.empty(0), np.empty(0), np.empty(0), 1.0, BM25Params(), 128)
     assert enc["df"] == 0
-    d, t, l = decode_postings(enc["postings"], enc["block_offsets"])
+    d, t, l = decode_postings(enc, 128)
     assert d.size == 0
+
+
+def test_compression_is_effective():
+    # dense ascending ids with small gaps: delta+varint must beat 8B/posting
+    doc_ids = np.cumsum(np.random.default_rng(3).integers(1, 20, size=10000)).astype(np.int64)
+    tfs = np.ones(10000, dtype=np.int64)
+    dls = np.full(10000, 100, dtype=np.int64)
+    enc = encode_postings(doc_ids, tfs, dls, 100.0, BM25Params(), 128)
+    assert len(enc["docs_bytes"]) < 2 * 10000  # ~1 byte/delta + block resets
+    assert len(enc["tfs_bytes"]) == 10000

@@ -141,15 +141,13 @@ def test_decoded_postings_match_oracle(built_index, oidx):
 
     from smse_backend_ray.functions.codec import decode_postings
 
+    block_size = built_index.get_config()["block_size"]
     seen: dict[str, dict[int, int]] = {}
     for f in glob.glob(f"{IDX_DIR}/segments/shard_id=*/*.parquet"):
         t = pq.read_table(f)
-        for i in range(t.num_rows):
-            term = t["term"][i].as_py()
-            ids, tfs, dls = decode_postings(
-                t["postings"][i].as_py(), t["block_offsets"][i].as_py()
-            )
-            d = seen.setdefault(term, {})
+        for row in t.to_pylist():
+            ids, tfs, dls = decode_postings(row, block_size)
+            d = seen.setdefault(row["term"], {})
             for did, tf, dl in zip(ids.tolist(), tfs.tolist(), dls.tolist()):
                 assert did not in d
                 d[did] = tf
