@@ -165,6 +165,7 @@ def _q_bm25(queries) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from smse_backend_ray.pipelines import dedup, events, simsearch, textstats
     from smse_backend_ray.queryset import (
         BASE_QUERIES,
         MULTIPART_QUERIES,
@@ -180,12 +181,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25(BASE_QUERIES),
         "bm25_topk_scoped": _q_bm25(SCOPED_QUERIES),
         "bm25_topk_multipart": _q_bm25(MULTIPART_QUERIES),
+        "doc_token_stats": textstats.token_stats,
+        "doc_quality": textstats.quality,
+        "doc_lang_id": textstats.lang_id,
+        "doc_fingerprint": textstats.fingerprint,
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_jaccard": dedup.jaccard_pairs,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,   # rows-only (LSH recall)
+        "dedup_simhash": dedup.simhash_pairs,           # rows-only (hash fn)
+        "dedup_embedding": dedup.embedding_dup_pairs,
+        "knn_bruteforce": simsearch.knn_bruteforce,
+        "knn_ivf_full_probe": lambda sf: simsearch.knn_ivf(sf, nprobe=16),
+        "events_hourly_agg": events.hourly_window_agg,
+        "events_sessions": events.user_sessions,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from smse_backend_ray.config import BM25Params
     from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import dedup as dedup_mod
+    from smse_backend_ray.pipelines import events as events_mod
+    from smse_backend_ray.pipelines import simsearch as simsearch_mod
     from smse_backend_ray.queryset import (
         BASE_QUERIES,
         MULTIPART_QUERIES,
@@ -202,4 +219,19 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": sqlgen.bm25_topk_sql(BASE_QUERIES, p),
         "bm25_topk_scoped": sqlgen.bm25_topk_sql(SCOPED_QUERIES, p),
         "bm25_topk_multipart": sqlgen.bm25_topk_sql(MULTIPART_QUERIES, p),
+        "doc_token_stats": sqlgen.token_stats_sql(),
+        "doc_quality": sqlgen.quality_sql(),
+        "doc_lang_id": sqlgen.lang_id_sql(),
+        "doc_fingerprint": sqlgen.fingerprint_sql(),
+        "dedup_exact": sqlgen.exact_dedup_sql(),
+        "dedup_jaccard": sqlgen.jaccard_pairs_sql(
+            dedup_mod.JACCARD_THRESHOLD, dedup_mod.SHINGLE_K
+        ),
+        # dedup_minhash_lsh / dedup_simhash: no SQL oracle (hash functions);
+        # rows-only check + pytest containment vs exact jaccard
+        "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
+        "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
+        "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
+        "events_hourly_agg": events_mod.hourly_window_agg_sql(),
+        "events_sessions": events_mod.user_sessions_sql(),
     }

@@ -117,7 +117,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Same input at 8 and 32 CPUs in fresh processes (sandbox stand-in for
+    N vs 4N nodes). The host is shared, so each level runs GRAFT_TRIALS
+    times (default 3) and the best build time per level is compared —
+    external load only ever slows a run down."""
     import subprocess
+
+    trials = int(os.environ.get("GRAFT_TRIALS", "3"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -131,8 +137,10 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = one(lo)
-    r_hi = one(hi)
+    runs_lo = [one(lo) for _ in range(trials)]
+    runs_hi = [one(hi) for _ in range(trials)]
+    r_lo = min(runs_lo, key=lambda r: r["queries"]["index_build"])
+    r_hi = min(runs_hi, key=lambda r: r["queries"]["index_build"])
     thr_lo = r_lo["files_per_sec"]
     thr_hi = r_hi["files_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -147,9 +155,13 @@ def run_scaling() -> dict:
             f"files_per_sec_{hi}cpu": thr_hi,
             f"search_qps_{lo}cpu": r_lo["search_qps"],
             f"search_qps_{hi}cpu": r_hi["search_qps"],
+            f"all_build_sec_{lo}cpu": [r["queries"]["index_build"] for r in runs_lo],
+            f"all_build_sec_{hi}cpu": [r["queries"]["index_build"] for r in runs_hi],
         },
         "sf": r_hi["sf"],
         "num_cpus": hi,
+        "n_files": r_hi["n_files"],
+        "trials": trials,
         "scaling_efficiency": round(eff, 3),
     }
 

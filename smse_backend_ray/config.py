@@ -46,6 +46,17 @@ CODE_KEYWORDS = (
 STOPWORDS = frozenset(ENGLISH_STOPWORDS) | frozenset(CODE_KEYWORDS)
 
 
+# Language-ID marker words (textstats pipeline; frozen — the SQL oracle
+# inlines the same lists). Prediction: no ASCII tokens -> "zh"; zero marker
+# hits -> "unknown"; else argmax hits with ties broken by lang ascending.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "von"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "on", "with"),
+    "es": ("el", "la", "los", "las", "de", "que", "es", "en", "un", "una", "por"),
+    "fr": ("le", "les", "des", "est", "et", "en", "une", "que", "dans", "pour", "du"),
+}
+
+
 # ---------------------------------------------------------------------------
 # BM25 scoring (functions/bm25.py; reference analog: cosine ranking in
 # smse_backend/services/search.py:97-110)

@@ -178,6 +178,202 @@ def lang_counts_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# textstats oracles (pipelines/textstats.py twins; operate on `documents`)
+# ---------------------------------------------------------------------------
+
+_DOC_RAW = (
+    "SELECT src.doc_id AS doc_id, t.term AS term FROM documents src, "
+    "unnest({expr}) AS t(term) WHERE t.term <> ''"
+)
+
+
+def _doc_raw_tokens() -> str:
+    return _DOC_RAW.format(expr=subtoken_expr("src.text"))
+
+
+def _doc_kept_tokens() -> str:
+    return (
+        f"SELECT src.doc_id AS doc_id, t.term AS term FROM documents src, "
+        f"unnest({subtoken_expr('src.text')}) AS t(term) "
+        f"WHERE {token_filter_sql('t.term')}"
+    )
+
+
+def token_stats_sql() -> str:
+    return f"""
+WITH raw AS ({_doc_raw_tokens()}),
+kept AS ({_doc_kept_tokens()}),
+r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(length(term)) AS DOUBLE) / count(*) AS mean_len
+      FROM raw GROUP BY doc_id),
+k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT term) AS BIGINT) AS nd FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(r.n, 0) AS n_subtokens,
+  COALESCE(k.n, 0) AS n_tokens,
+  COALESCE(k.nd, 0) AS n_distinct_terms,
+  COALESCE(r.mean_len, 0.0) AS mean_subtoken_len
+FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+LEFT JOIN k ON k.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def quality_sql() -> str:
+    return f"""
+WITH raw AS ({_doc_raw_tokens()}),
+r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN term IN ({stoplist_sql()}) THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS sr
+      FROM raw GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(r.n, 0) AS n_subtokens,
+  round(COALESCE(r.sr, 0.0), 4) AS stop_ratio,
+  round(CAST(0.3 AS DOUBLE) * COALESCE(r.sr, 0.0)
+        + CAST(0.7 AS DOUBLE) * least(COALESCE(r.n, 0), 100) / 100, 4) AS quality
+FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def lang_id_sql() -> str:
+    from smse_backend_ray.config import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ", ".join(
+        "SUM(CASE WHEN term IN ("
+        + ", ".join("'" + w + "'" for w in LANG_MARKERS[lg])
+        + f") THEN 1 ELSE 0 END) AS h_{lg}"
+        for lg in langs
+    )
+    g = "greatest(" + ", ".join(f"h.h_{lg}" for lg in langs) + ")"
+    argmax = " ".join(
+        f"WHEN h.h_{lg} = {g} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH raw AS ({_doc_raw_tokens()}),
+h AS (SELECT doc_id, {hit_cols} FROM raw GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN h.doc_id IS NULL THEN 'zh'
+       WHEN {g} = 0 THEN 'unknown'
+       {argmax}
+  END AS pred_lang
+FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def fingerprint_sql() -> str:
+    return "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id"
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity oracles (pipelines/dedup.py, pipelines/simsearch.py)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_sql() -> str:
+    return (
+        "SELECT doc_id, md5(text) AS fingerprint FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 "
+        "ORDER BY doc_id"
+    )
+
+
+def _shingles_cte(k: int) -> str:
+    """Distinct word k-gram shingles per doc over the raw subtoken stream."""
+    grams = " || ' ' || ".join(
+        "term" if i == 0 else f"lead(term, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        for i in range(k)
+    )
+    return f"""
+raw0 AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, {subtoken_expr('text')} AS l FROM documents)
+),
+raw AS (SELECT doc_id, term, pos FROM raw0 WHERE term <> ''),
+grams AS (
+  SELECT doc_id, {grams} AS shingle,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM raw
+),
+shingles AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE rn <= n - {k - 1})"""
+
+
+def jaccard_pairs_sql(threshold: float, k: int) -> str:
+    return f"""
+WITH {_shingles_cte(k).lstrip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT inter.a, inter.b,
+       round(CAST(inter.i AS DOUBLE) / (za.n + zb.n - inter.i), 4) AS jaccard
+FROM inter JOIN sizes za ON za.doc_id = inter.a JOIN sizes zb ON zb.doc_id = inter.b
+WHERE CAST(inter.i AS DOUBLE) / (za.n + zb.n - inter.i) >= {threshold}
+ORDER BY inter.a, inter.b
+"""
+
+
+# cosine computed manually in DOUBLE — DuckDB's list_cosine_similarity runs
+# in float32, which cannot be oracled against at 4-decimal precision
+_EMB_UNNEST = (
+    "unn AS (SELECT vec_id, unnest(embedding) AS x, "
+    "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+    "dotn AS (SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nrm "
+    "FROM unn GROUP BY vec_id)"
+)
+
+
+def embedding_dup_pairs_sql(threshold: float) -> str:
+    return f"""
+WITH {_EMB_UNNEST},
+dots AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+  FROM unn a JOIN unn b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT d.a, d.b, round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
+FROM dots d JOIN dotn na ON na.vec_id = d.a JOIN dotn nb ON nb.vec_id = d.b
+WHERE d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= {threshold}
+ORDER BY d.a, d.b
+"""
+
+
+def knn_sql(n_queries: int, k: int) -> str:
+    """Brute-force cosine top-k: query vecs = vec_id < n_queries; rank by
+    (round(cos,4) DESC, vec_id ASC) — identical rule to the engine."""
+    return f"""
+WITH {_EMB_UNNEST},
+dots AS (
+  SELECT q.vec_id AS query_vec_id, v.vec_id AS vec_id,
+         SUM(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS dot
+  FROM unn q JOIN unn v ON q.i = v.i
+  WHERE q.vec_id < {n_queries}
+  GROUP BY q.vec_id, v.vec_id
+),
+sims AS (
+  SELECT d.query_vec_id, d.vec_id,
+         round(d.dot / (sqrt(nq.nrm) * sqrt(nv.nrm)), 4) AS cosine
+  FROM dots d JOIN dotn nq ON nq.vec_id = d.query_vec_id
+  JOIN dotn nv ON nv.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM sims
+)
+SELECT query_vec_id, CAST(rnk AS INT) AS rank, vec_id, cosine
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_vec_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # BM25 oracle
 # ---------------------------------------------------------------------------
 

@@ -25,6 +25,7 @@ from smse_backend_ray.functions import bm25
 from smse_backend_ray.functions.analyzer import term_counts
 from smse_backend_ray.functions.fusion import fuse_parts
 from smse_backend_ray.functions.normalize import NORMALIZERS
+from smse_backend_ray.functions.rounding import round_half_away
 from smse_backend_ray.sources.corpus import doc_id_from_key
 
 
@@ -125,7 +126,7 @@ def oracle_search(
         d = idx.docs[did]
         if scope and d.repo != scope:
             continue
-        rsc = round(sc, SCORE_DECIMALS)
+        rsc = round_half_away(sc, SCORE_DECIMALS)
         if threshold is not None and not rsc >= threshold:
             continue
         rows.append(

@@ -27,6 +27,7 @@ import ray
 
 from smse_backend_ray.config import SCORE_DECIMALS, BM25Params
 from smse_backend_ray.functions.bm25 import tfnorm_vec
+from smse_backend_ray.functions.rounding import round_half_away
 from smse_backend_ray.functions.codec import decode_block, decode_postings
 
 
@@ -148,7 +149,7 @@ class ShardIndex:
         if scope:
             m = repo == scope
             doc_ids, scores, pos, repo = doc_ids[m], scores[m], pos[m], repo[m]
-        rscore = np.round(scores, SCORE_DECIMALS)
+        rscore = round_half_away(scores, SCORE_DECIMALS)
         order = np.lexsort((doc_ids, -rscore))[:k]
         doc_ids, scores, rscore, pos = (
             doc_ids[order],

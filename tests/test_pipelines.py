@@ -1,0 +1,109 @@
+"""Tests for the training-data pipelines — focused on the rows-only
+operators the driver's SQL gate cannot verify (MinHash-LSH recall, SimHash,
+IVF recall) plus spot checks of the oracled ones."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from smse_backend_ray.pipelines import dedup, events, simsearch, textstats
+
+
+def _pairs(t):
+    return set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+
+
+def test_minhash_lsh_matches_exact_jaccard(ray_session, sf_dir):
+    """On the deterministic driver corpus, 16x4 LSH banding at tau=0.5 finds
+    exactly the true Jaccard pairs (verification makes precision exact; this
+    asserts recall on this dataset)."""
+    exact = dedup.jaccard_pairs(sf_dir)
+    lsh = dedup.minhash_lsh_pairs(sf_dir)
+    assert _pairs(lsh) == _pairs(exact)
+    # verified jaccard values agree too
+    je = dict(zip(_pairs(exact), exact["jaccard"].to_pylist()))
+    jl = dict(zip(_pairs(lsh), lsh["jaccard"].to_pylist()))
+    assert je == jl
+
+
+def test_simhash_properties():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")
+    c = "completely different content about database indexes and queries"
+    ha, hb, hc = dedup.simhash64(a), dedup.simhash64(b), dedup.simhash64(c)
+    assert ha == dedup.simhash64(a)  # deterministic
+    d_ab = bin(ha ^ hb).count("1")
+    d_ac = bin(ha ^ hc).count("1")
+    assert d_ab < d_ac
+    assert dedup.simhash64("") == 0
+
+
+def test_simhash_pairs_are_near_dups(ray_session, sf_dir):
+    t = dedup.simhash_pairs(sf_dir)
+    assert (np.asarray(t["hamming"]) <= 3).all()
+    assert t.num_rows > 0  # word-soup corpus has near-dup docs
+
+
+def test_ivf_full_probe_equals_bruteforce(ray_session, sf_dir):
+    bf = simsearch.knn_bruteforce(sf_dir)
+    ivf = simsearch.knn_ivf(sf_dir, nprobe=simsearch.IVF_CLUSTERS)
+    assert bf.to_pylist() == ivf.to_pylist()
+
+
+def test_ivf_partial_probe_recall(ray_session, sf_dir):
+    bf = simsearch.knn_bruteforce(sf_dir)
+    ivf = simsearch.knn_ivf(sf_dir, nprobe=4)
+    recalls = []
+    for q in set(bf["query_vec_id"].to_pylist()):
+        truth = {
+            v for qq, v in zip(bf["query_vec_id"].to_pylist(), bf["vec_id"].to_pylist())
+            if qq == q
+        }
+        got = {
+            v for qq, v in zip(ivf["query_vec_id"].to_pylist(), ivf["vec_id"].to_pylist())
+            if qq == q
+        }
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.5  # 4/16 clusters probed
+
+
+def test_exact_dedup_first_wins(ray_session, sf_dir):
+    t = dedup.exact_dedup(sf_dir)
+    fps = t["fingerprint"].to_pylist()
+    assert len(fps) == len(set(fps))  # one winner per fingerprint
+
+
+def test_quality_bounds(ray_session, sf_dir):
+    t = textstats.quality(sf_dir)
+    q = np.asarray(t["quality"])
+    assert ((q >= 0) & (q <= 1)).all()
+
+
+def test_lang_id_paths():
+    """All four prediction paths on handcrafted inputs (the driver corpus's
+    lang column is a synthetic label unrelated to its word-soup text)."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "你好 世界 再见",                      # no ASCII runs -> zh
+                    "the cat and the dog is in that house",  # en markers
+                    "el perro es un animal que vive en la casa",  # es markers
+                    "zxqv wvut plonk",                      # no marker hits
+                ]
+            ),
+        }
+    )
+    out = textstats.lang_id_batch(t)
+    assert out["pred_lang"].to_pylist() == ["zh", "en", "es", "unknown"]
+
+
+def test_sessions_vs_events_totals(ray_session, sf_dir, duck):
+    t = events.user_sessions(sf_dir)
+    total_events = duck.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert sum(t["n_events"].to_pylist()) == total_events
+    assert (np.asarray(t["n_sessions"]) >= 1).all()
