@@ -120,7 +120,7 @@ def _run_docs_from_dataset(corpus: "ray.data.Dataset", index_dir: str, cfg: Engi
     # batch_size=None: per-block batches. An explicit batch_size here makes
     # the fused map+write chain bundle MANY upstream blocks into one task
     # (bundling counts the chain's INPUT rows) and collapses parallelism.
-    docs = corpus.map_batches(ingest, batch_format="pyarrow", batch_size=None)
+    docs = corpus.map_batches(ingest, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     # coalesce before the hive-partitioned write: every write task emits one
     # file PER SHARD, so W tasks x S shards files — uncoalesced that is a
     # small-file storm that dominates every downstream read
@@ -150,7 +150,7 @@ def _run_docs_from_files(
             )
             parts.append(ds)
         ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-        docs = ds.map_batches(ingest, batch_format="pyarrow", batch_size=None)
+        docs = ds.map_batches(ingest, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         wave_dir = os.path.join(docs_root, f"wave_{wave[0]:06d}")
         _atomic_write(docs, wave_dir, partition_cols=["shard_id"])
         # per-partition metrics from the written wave (columnar, cheap)
@@ -180,9 +180,28 @@ def _tag_partition(batch: pa.Table, pid: int) -> pa.Table:
 # dedup stage (exact, skew-aware; SURVEY.md D2)
 # ---------------------------------------------------------------------------
 
+_META_CACHE: dict[str, tuple[float, pa.Table]] = {}
+
+
+def _docs_meta_table(docs_dir: str) -> pa.Table:
+    """One driver-side scan of (doc_id, dl) shared by the dedup-detect and
+    stats stages (cached per docs dir + manifest-ish mtime)."""
+    key = docs_dir
+    stamp = max(
+        (os.path.getmtime(os.path.join(r, f)) for r, _d, fs in os.walk(docs_dir) for f in fs),
+        default=0.0,
+    )
+    hit = _META_CACHE.get(key)
+    if hit and hit[0] == stamp:
+        return hit[1]
+    t = pads.dataset(docs_dir).to_table(columns=["doc_id", "dl"])
+    _META_CACHE[key] = (stamp, t)
+    return t
+
+
 def _find_dup_ids(docs_dir: str, cfg: EngineConfig) -> set[int]:
-    if _column_bytes(docs_dir, ["doc_id"]) <= cfg.driver_agg_max_bytes:
-        ids = pads.dataset(docs_dir).to_table(columns=["doc_id"])["doc_id"]
+    if _column_bytes(docs_dir, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes:
+        ids = _docs_meta_table(docs_dir)["doc_id"]
         g = pa.table({"doc_id": ids}).group_by("doc_id").aggregate([("doc_id", "count")])
         dup = g.filter(pc.greater(g["doc_id_count"], 1))
         return set(dup["doc_id"].to_pylist())
@@ -236,8 +255,8 @@ def _run_dedup(index_dir: str, cfg: EngineConfig) -> dict:
 
 def _run_stats(index_dir: str, cfg: EngineConfig) -> dict:
     docs_dir = _docs_path(index_dir)
-    if _column_bytes(docs_dir, ["dl"]) <= cfg.driver_agg_max_bytes:
-        dl = pads.dataset(docs_dir).to_table(columns=["dl"])["dl"]
+    if _column_bytes(docs_dir, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes:
+        dl = _docs_meta_table(docs_dir)["dl"]
         n_docs = len(dl)
         sum_dl = int(pc.sum(dl).as_py() or 0)
     else:

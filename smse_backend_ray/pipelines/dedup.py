@@ -80,7 +80,7 @@ def exact_dedup(sf_dir: str) -> pa.Table:
 
     winners = (
         _read_documents(sf_dir)
-        .map_batches(fp_batch, batch_format="pyarrow")
+        .map_batches(fp_batch, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("fingerprint")
         .aggregate(Min("doc_id", alias_name="doc_id"))
     )
@@ -105,7 +105,7 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
 
 
 def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
-    shingles = _read_documents(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow")
+    shingles = _read_documents(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     # doc shingle-set sizes: tiny table -> broadcast
     from ray.data.aggregate import Count
@@ -152,7 +152,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table
             }
         )
 
-    out = inter.map_batches(score, batch_format="pyarrow")
+    out = inter.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     t = pa.concat_tables(ray.get(out.to_arrow_refs()))
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
 
@@ -219,7 +219,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.T
 
     cands_ds = (
         _read_documents(sf_dir)
-        .map_batches(band_rows, batch_format="pyarrow")
+        .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band", "key"])
         .map_groups(emit_pairs, batch_format="pyarrow")
     )
@@ -293,7 +293,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
             }
         )
 
-    sh_ds = _read_documents(sf_dir).map_batches(sh_batch, batch_format="pyarrow")
+    sh_ds = _read_documents(sf_dir).map_batches(sh_batch, batch_format="pyarrow", zero_copy_batch=True)
     t = pa.concat_tables(ray.get(sh_ds.to_arrow_refs()))
     dids = np.asarray(t["doc_id"])
     hashes = np.asarray(t["simhash"])
@@ -362,6 +362,6 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = EMB_DUP_THRESHOLD) -> pa
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     ).repartition(_parallel_blocks())
-    out = ds.map_batches(pairs_batch, batch_format="pyarrow")
+    out = ds.map_batches(pairs_batch, batch_format="pyarrow", zero_copy_batch=True)
     t = pa.concat_tables(ray.get(out.to_arrow_refs()))
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))

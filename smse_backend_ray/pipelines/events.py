@@ -60,7 +60,7 @@ def hourly_window_agg(sf_dir: str) -> pa.Table:
 
     agg = (
         _read_events(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["window", "event_type"])
         .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n"))
     )

@@ -101,7 +101,7 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K) -> pa.Table:
     ds = ray.data.read_parquet(
         _emb_path(sf_dir), columns=["vec_id", "embedding"]
     ).repartition(_parallel_blocks())
-    parts = ray.get(ds.map_batches(batch_topk, batch_format="pyarrow").to_arrow_refs())
+    parts = ray.get(ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs())
     return _topk_merge(parts, k)
 
 
@@ -142,7 +142,7 @@ def train_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS, iters: int = IV
             )
 
         parts = pa.concat_tables(
-            ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+            ray.get(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs())
         )
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype=np.int64)
@@ -195,5 +195,5 @@ def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_CLUSTERS) -> pa.Table
     ds = ray.data.read_parquet(
         _emb_path(sf_dir), columns=["vec_id", "embedding"]
     ).repartition(_parallel_blocks())
-    parts = ray.get(ds.map_batches(batch_topk, batch_format="pyarrow").to_arrow_refs())
+    parts = ray.get(ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs())
     return _topk_merge(parts, k)

@@ -126,7 +126,7 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 def _run(sf_dir: str, fn) -> pa.Table:
     t = (
         _read_documents(sf_dir)
-        .map_batches(fn, batch_format="pyarrow")
+        .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
         .to_arrow_refs()
     )
     import ray as _ray

@@ -84,7 +84,7 @@ def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
         columns=["doc_id", "text", "lang", "source"],
     )
     return ds.repartition(_parallel_blocks()).map_batches(
-        _derive_batch, batch_format="pyarrow"
+        _derive_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -117,7 +117,7 @@ def replicated_corpus_from_documents(sf_dir: str, repl: int) -> "ray.data.Datase
     # same task — scale it down by the expansion factor or the whole corpus
     # funnels through a handful of tasks
     return ds.repartition(_parallel_blocks()).map_batches(
-        expand, batch_format="pyarrow", batch_size=max(1, 4096 // repl)
+        expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=max(1, 4096 // repl)
     )
 
 

@@ -17,6 +17,7 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False  # see bench.py:_ray_session
     yield
     ray.shutdown()
 
