@@ -279,7 +279,11 @@ def _run_segments(index_dir: str, cfg: EngineConfig, avgdl: float) -> None:
     runs = ds.map_batches(
         functools.partial(explode_preagg_batch, n_buckets=nb),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+        # large batches: each batch emits one run-row per distinct term, so
+        # hot terms produce n_batches rows — bigger batches shrink the
+        # shuffle volume
+        batch_size=max(cfg.batch_size, 8192),
     )
     # coalesce pre-aggregated runs before the wide exchange: fewer map
     # fragments -> far less shuffle fixed cost (M x R block fragments)

@@ -132,3 +132,32 @@ class Catalog:
             for pid, rec in self._state["partitions"].items()
             if rec["status"] == "done"
         )
+
+    # -- maintenance (reference periodic cleanup analog:
+    #    smse_backend/services/file_cleanup.py:5-26 runs every 24h deleting
+    #    query temp files older than 24h,
+    #    smse_backend/services/file_storage.py:675-708) ------------------
+    def gc(self, max_age_hours: float = 24.0, now: float | None = None) -> dict:
+        """Delete query-log/search-record files older than ``max_age_hours``
+        and orphaned stage temp dirs (*.tmp from interrupted runs). Returns
+        counts. Driver-side cron pass, not a dataset op (SURVEY.md §2.9)."""
+        now = now if now is not None else time.time()
+        cutoff = now - max_age_hours * 3600
+        removed = {"query_files": 0, "tmp_dirs": 0}
+        for sub in ("querylog", "search_records"):
+            d = os.path.join(self.index_dir, sub)
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                p = os.path.join(d, f)
+                if os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+                    removed["query_files"] += 1
+        for f in os.listdir(self.index_dir):
+            if f.endswith(".tmp"):
+                p = os.path.join(self.index_dir, f)
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True)
+                removed["tmp_dirs"] += 1
+        return removed
