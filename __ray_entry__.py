@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": textstats.quality,
         "doc_lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.fingerprint,
+        "doc_winnow": textstats.winnow_fingerprints,  # rows-only (rolling hash)
         "dedup_exact": dedup.exact_dedup,
         "dedup_jaccard": dedup.jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,   # rows-only (LSH recall)

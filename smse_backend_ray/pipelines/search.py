@@ -81,6 +81,7 @@ class SearchEngine:
         ray.get([a.ping.remote() for a in self.actors])
         self._df_ds = pads.dataset(os.path.join(index_dir, "df"))
         self._df_cache: dict[str, int] = {}  # term -> df (0 = known absent)
+        self._tombstones = self._load_tombstones()
         self._next_query_id = self._load_next_query_id()
 
     # ------------------------------------------------------------------
@@ -94,6 +95,35 @@ class SearchEngine:
 
     def __exit__(self, *exc):
         self.close()
+
+    # ------------------------------------------------------------------
+    # tombstone deletes (reference DELETE /api/contents analog,
+    # smse_backend/routes/content.py — removes a document from search
+    # visibility immediately; corpus statistics refresh at the next
+    # rebuild, matching the batch-index model)
+    # ------------------------------------------------------------------
+
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.index_dir, "tombstones.json")
+
+    def _load_tombstones(self) -> set[int]:
+        import json
+
+        p = self._tombstone_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return set(json.load(f))
+        return set()
+
+    def delete_doc(self, doc_id: int) -> None:
+        """Remove a doc from all future results (persisted; atomic write)."""
+        import json
+
+        self._tombstones.add(int(doc_id))
+        tmp = self._tombstone_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(self._tombstones), f)
+        os.replace(tmp, self._tombstone_path())
 
     # ------------------------------------------------------------------
     def idf_weights(self, qtf: dict[str, int]) -> tuple[list[str], list[float]]:
@@ -139,6 +169,7 @@ class SearchEngine:
                 "weights": weights,
                 "scope": scope,
                 "k": max(limit, SHARD_CANDIDATE_K),
+                "tombstones": sorted(self._tombstones),
             }
             cands = pa.concat_tables(
                 ray.get([a.search.remote([job], self.strategy) for a in self.actors])
@@ -167,6 +198,7 @@ class SearchEngine:
                         "weights": weights,
                         "scope": qs.scope,
                         "k": max(qs.limit, SHARD_CANDIDATE_K),
+                        "tombstones": sorted(self._tombstones),
                     }
                 )
         results = [RESULT_SCHEMA.empty_table()]

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -121,6 +122,72 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "fingerprint": pa.array(fps, type=pa.string()),
         }
     )
+
+
+WINNOW_K = 5      # k-gram length (in subtokens) for the rolling hash
+WINNOW_W = 4      # winnowing window (Schleimer/Wilkerson/Aiken MOSS scheme)
+_ROLL_BASE = np.uint64(1000003)
+
+
+def winnow_fingerprints_one(text: str) -> list[int]:
+    """Document fingerprint via winnowing: rolling (polynomial) hash over
+    subtoken k-grams, keep the minimum hash of every window of W k-grams
+    (rightmost-min rule), dedup preserving order. Robust to local edits —
+    the near-dup fingerprint the north_star's 'document fingerprinting
+    (rolling hash)' asks for."""
+    toks = split_subtokens(text or "")
+    if len(toks) < WINNOW_K:
+        return []
+    # token -> stable 64-bit value; rolling polynomial hash over k-grams
+    vals = np.array(
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in toks],
+        dtype=np.uint64,
+    )
+    n_grams = len(toks) - WINNOW_K + 1
+    powers = _ROLL_BASE ** np.arange(WINNOW_K, dtype=np.uint64)
+    grams = np.zeros(n_grams, dtype=np.uint64)
+    # vectorized polynomial hash: sum vals[i+j] * base^(K-1-j)
+    for j in range(WINNOW_K):
+        grams += vals[j : j + n_grams] * powers[WINNOW_K - 1 - j]
+    if n_grams <= WINNOW_W:
+        return [int(grams.min())]
+    # sliding-window minimum (rightmost min on ties)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(grams, WINNOW_W)
+    rev_arg = WINNOW_W - 1 - np.argmin(win[:, ::-1], axis=1)  # rightmost min
+    mins = win[np.arange(win.shape[0]), rev_arg]
+    out: list[int] = []
+    seen_last = None
+    for v in mins.tolist():
+        if v != seen_last:
+            out.append(int(v))
+            seen_last = v
+    # dedup globally, preserve first-seen order
+    seen: set[int] = set()
+    uniq = []
+    for v in out:
+        if v not in seen:
+            seen.add(v)
+            uniq.append(v)
+    return uniq
+
+
+def winnow_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    fps = [winnow_fingerprints_one(t) for t in texts]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "fingerprints": pa.array(fps, type=pa.list_(pa.uint64())),
+            "n_fingerprints": pa.array([len(f) for f in fps], type=pa.int64()),
+        }
+    )
+
+
+def winnow_fingerprints(sf_dir: str) -> pa.Table:
+    return _run(sf_dir, winnow_batch)
 
 
 def _run(sf_dir: str, fn) -> pa.Table:

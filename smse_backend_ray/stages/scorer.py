@@ -118,6 +118,7 @@ class ShardIndex:
         scope: str = "",
         k: int = 30,
         strategy: str = "exact",
+        tombstones: "np.ndarray | None" = None,
     ) -> dict:
         """Top-k for one query on this shard.
 
@@ -127,7 +128,7 @@ class ShardIndex:
         (rscore DESC, doc_id ASC), truncated to k.
         """
         if strategy == "wand":
-            return self._score_wand(terms, weights, scope, k)
+            return self._score_wand(terms, weights, scope, k, tombstones)
         id_parts: list[np.ndarray] = []
         c_parts: list[np.ndarray] = []
         for term, w in zip(terms, weights):
@@ -140,9 +141,19 @@ class ShardIndex:
         if not id_parts:
             return self._empty()
         uniq, scores = _accumulate(id_parts, c_parts)
-        return self._finalize(uniq, scores, scope, k)
+        return self._finalize(uniq, scores, scope, k, tombstones)
 
-    def _finalize(self, doc_ids: np.ndarray, scores: np.ndarray, scope: str, k: int) -> dict:
+    def _finalize(
+        self,
+        doc_ids: np.ndarray,
+        scores: np.ndarray,
+        scope: str,
+        k: int,
+        tombstones: np.ndarray | None = None,
+    ) -> dict:
+        if tombstones is not None and tombstones.size:
+            m = ~np.isin(doc_ids, tombstones)
+            doc_ids, scores = doc_ids[m], scores[m]
         pos = np.searchsorted(self.meta_ids, doc_ids)
         # all candidate doc_ids exist in meta by construction
         repo = self.meta_repo[pos]
@@ -178,7 +189,7 @@ class ShardIndex:
 
     # -- block-max WAND (scale path; exact same results, fewer decodes) ----
 
-    def _score_wand(self, terms, weights, scope: str, k: int) -> dict:
+    def _score_wand(self, terms, weights, scope: str, k: int, tombstones=None) -> dict:
         """Block-max pruned scoring (north_star T1): skip whole posting
         blocks that provably cannot reach the k-th best score, then re-score
         the surviving candidates exactly (bitwise-identical to exhaustive).
@@ -195,7 +206,7 @@ class ShardIndex:
         Scope filtering routes to exhaustive (block bounds ignore scope).
         """
         if scope:
-            return self.score_query(terms, weights, scope, k, strategy="exact")
+            return self.score_query(terms, weights, scope, k, strategy="exact", tombstones=tombstones)
         infos = []
         for term, w in zip(terms, weights):
             ent = self.terms.get(term)
@@ -205,9 +216,13 @@ class ShardIndex:
             infos.append((term, w, ent, float(w * bmax.max()) if bmax.size else 0.0))
         if not infos:
             return self._empty()
-        # seed theta from the highest-upper-bound term
+        # seed theta from the highest-upper-bound term (tombstoned docs must
+        # not inflate theta — a too-high threshold would over-prune)
         seed_term, seed_w, seed_ent, _ = max(infos, key=lambda x: x[3])
-        _, s_tfs, s_dls = decode_postings(seed_ent, self.block_size)
+        s_ids, s_tfs, s_dls = decode_postings(seed_ent, self.block_size)
+        if tombstones is not None and np.asarray(tombstones).size:
+            alive = ~np.isin(s_ids, tombstones)
+            s_tfs, s_dls = s_tfs[alive], s_dls[alive]
         seed_contrib = seed_w * tfnorm_vec(s_tfs, s_dls, self.avgdl, self.params)
         if seed_contrib.size > k:
             theta = float(np.partition(seed_contrib, -k)[-k])
@@ -237,7 +252,7 @@ class ShardIndex:
             id_parts.append(doc_ids[m])
             c_parts.append(w * tfnorm_vec(tfs[m], dls[m], self.avgdl, self.params))
         uniq, scores = _accumulate(id_parts, c_parts)
-        return self._finalize(uniq, scores, scope, k)
+        return self._finalize(uniq, scores, scope, k, tombstones)
 
 
 @ray.remote
@@ -274,9 +289,11 @@ class ShardSearcher:
         }
         for job in jobs:
             for sh in self.shards:
+                tomb = job.get("tombstones")
                 r = sh.score_query(
                     job["terms"], job["weights"], job.get("scope", ""),
                     job["k"], strategy=strategy,
+                    tombstones=np.asarray(tomb, dtype=np.int64) if tomb else None,
                 )
                 n = len(r["doc_id"])
                 if not n:

@@ -102,6 +102,37 @@ def test_lang_id_paths():
     assert out["pred_lang"].to_pylist() == ["zh", "en", "es", "unknown"]
 
 
+def test_winnow_fingerprints_properties():
+    from smse_backend_ray.pipelines.textstats import winnow_fingerprints_one
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while parsing tokens "
+        "and building index segments for search engines every day " * 3
+    )
+    fp1 = winnow_fingerprints_one(base)
+    assert fp1 == winnow_fingerprints_one(base)  # deterministic
+    assert len(fp1) > 3
+    # local edit preserves most fingerprints (the point of winnowing)
+    edited = base.replace("lazy dog", "sleepy cat", 1)
+    fp2 = set(winnow_fingerprints_one(edited))
+    overlap = len(set(fp1) & fp2) / len(fp1)
+    assert overlap > 0.6
+    # unrelated text shares ~nothing
+    other = "completely unrelated database transaction log replication " * 6
+    fp3 = set(winnow_fingerprints_one(other))
+    assert len(set(fp1) & fp3) == 0
+    assert winnow_fingerprints_one("") == []
+    assert winnow_fingerprints_one("one two") == []  # shorter than k
+
+
+def test_winnow_pipeline(ray_session, sf_dir):
+    t = textstats.winnow_fingerprints(sf_dir)
+    assert t.num_rows == 500
+    assert t.schema.field("fingerprints").type == __import__("pyarrow").list_(
+        __import__("pyarrow").uint64()
+    )
+
+
 def test_sessions_vs_events_totals(ray_session, sf_dir, duck):
     t = events.user_sessions(sf_dir)
     total_events = duck.sql("SELECT count(*) FROM events").fetchone()[0]
