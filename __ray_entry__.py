@@ -157,6 +157,19 @@ def _q_lang_counts(sf_dir: str) -> Any:
     return out.take(pa.compute.sort_indices(out["lang"]))
 
 
+def _q_top_terms(sf_dir: str, n: int = 20) -> Any:
+    """Hot-term head by df (term-skew profile; the groupby-salting target)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    idx = _index_for(sf_dir)
+    t = pads.dataset(os.path.join(idx, "df")).to_table()
+    order = pa.compute.sort_indices(
+        t, sort_keys=[("df", "descending"), ("term", "ascending")]
+    )
+    return t.take(order).slice(0, n)
+
+
 def _q_path_parse(sf_dir: str) -> Any:
     """Filename/extension extraction (reference Content.filename/extension
     properties, smse_backend/models/content.py:43-62)."""
@@ -206,7 +219,9 @@ def _q_repo_sizes(sf_dir: str) -> Any:
         .groupby("repo")
         .aggregate(Sum("cnt", alias_name="n_docs"), Sum("bytes", alias_name="total_bytes"))
     )
-    t = pa.concat_tables(ray.get(agg.to_arrow_refs()))
+    from smse_backend_ray.functions.collect import collect_table
+
+    t = collect_table(agg)
     t = pa.table(
         {
             "repo": t["repo"],
@@ -236,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
         "term_df": _q_term_df,
+        "top_terms": _q_top_terms,
         "postings_decoded": _q_postings,
         "lang_counts": _q_lang_counts,
         "path_parse": _q_path_parse,
@@ -277,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_docs": sqlgen.ingest_docs_sql(),
         "corpus_stats": sqlgen.corpus_stats_sql(),
         "term_df": sqlgen.term_df_sql(),
+        "top_terms": sqlgen.top_terms_sql(20),
         "postings_decoded": sqlgen.postings_sql(),
         "lang_counts": sqlgen.lang_counts_sql(),
         "path_parse": sqlgen.path_parse_sql(),

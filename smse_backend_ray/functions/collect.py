@@ -1,0 +1,33 @@
+"""Driver-side collection of small Dataset results.
+
+Ray groupby/aggregate outputs can include empty ZERO-COLUMN blocks whose
+schema differs from the data blocks, which makes a bare
+``pa.concat_tables(ray.get(ds.to_arrow_refs()))`` raise ArrowInvalid
+nondeterministically (depends on shuffle partitioning). Always collect
+through here.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+
+def collect_table(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a SMALL dataset to one Arrow table, dropping empty
+    zero-column blocks. ``empty_schema`` types the result when every block
+    is empty (falls back to ds.schema())."""
+    tabs = [
+        t
+        for t in ray.get(ds.to_arrow_refs())
+        if t.num_rows > 0 and t.num_columns > 0
+    ]
+    if not tabs:
+        schema = empty_schema
+        if schema is None:
+            schema = pa.schema(ds.schema().base_schema)
+        return schema.empty_table()
+    if len(tabs) == 1:
+        return tabs[0]
+    return pa.concat_tables(tabs, promote_options="permissive")

@@ -177,6 +177,16 @@ def lang_counts_sql() -> str:
     )
 
 
+def top_terms_sql(n: int) -> str:
+    """Hot-term head profile (df DESC, term ASC) — the skew the salted
+    pre-aggregation targets (SURVEY.md §4 skew row)."""
+    return with_corpus_docs(
+        f", toks AS ({_toks()}) "
+        "SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        f"FROM toks GROUP BY term ORDER BY df DESC, term ASC LIMIT {n}"
+    )
+
+
 def path_parse_sql() -> str:
     """Filename/extension extraction (M3 Content.filename + F1/F2 analogs,
     smse_backend/models/content.py:43-62)."""

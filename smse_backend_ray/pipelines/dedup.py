@@ -35,6 +35,7 @@ import ray
 import ray.data
 
 from smse_backend_ray.functions.analyzer import split_subtokens
+from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.functions.rounding import round_half_away
 from smse_backend_ray.sources.corpus import _parallel_blocks
 
@@ -86,7 +87,7 @@ def exact_dedup(sf_dir: str) -> pa.Table:
         .groupby("fingerprint")
         .aggregate(Min("doc_id", alias_name="doc_id"))
     )
-    t = pa.concat_tables(ray.get(winners.to_arrow_refs()))
+    t = collect_table(winners)
     t = t.select(["doc_id", "fingerprint"])
     return t.take(pc.sort_indices(t["doc_id"]))
 
@@ -113,7 +114,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table
     from ray.data.aggregate import Count
 
     sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="n"))
-    sizes_t = pa.concat_tables(ray.get(sizes_ds.to_arrow_refs()))
+    sizes_t = collect_table(sizes_ds)
     sizes = dict(zip(sizes_t["doc_id"].to_pylist(), sizes_t["n"].to_pylist()))
     sizes_ref = ray.put(sizes)
 
@@ -155,7 +156,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table
         )
 
     out = inter.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    t = collect_table(out)
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
 
 
@@ -225,7 +226,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.T
         .groupby(["band", "key"])
         .map_groups(emit_pairs, batch_format="pyarrow")
     )
-    cands_t = pa.concat_tables(ray.get(cands_ds.to_arrow_refs()))
+    cands_t = collect_table(cands_ds)
     if cands_t.num_rows == 0:
         return pa.table(
             {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
@@ -234,7 +235,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.T
     pairs = sorted({(a, b) for a, b in zip(cands_t["a"].to_pylist(), cands_t["b"].to_pylist())})
 
     # exact verification of the (small) candidate set: broadcast shingle sets
-    docs = pa.concat_tables(ray.get(_read_documents(sf_dir).to_arrow_refs()))
+    docs = collect_table(_read_documents(sf_dir))
     need = {d for p in pairs for d in p}
     sh = {
         did: set(doc_shingles(text))
@@ -296,7 +297,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         )
 
     sh_ds = _read_documents(sf_dir).map_batches(sh_batch, batch_format="pyarrow", zero_copy_batch=True)
-    t = pa.concat_tables(ray.get(sh_ds.to_arrow_refs()))
+    t = collect_table(sh_ds)
     dids = np.asarray(t["doc_id"])
     hashes = np.asarray(t["simhash"])
     # band by 16-bit chunks -> candidates -> exact hamming verify
@@ -365,5 +366,5 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = EMB_DUP_THRESHOLD) -> pa
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     ).repartition(_parallel_blocks())
     out = ds.map_batches(pairs_batch, batch_format="pyarrow", zero_copy_batch=True)
-    t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    t = collect_table(out)
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))

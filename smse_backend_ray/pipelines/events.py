@@ -22,6 +22,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.functions.rounding import round_half_away
 from smse_backend_ray.sources.corpus import _parallel_blocks
 
@@ -64,7 +65,7 @@ def hourly_window_agg(sf_dir: str) -> pa.Table:
         .groupby(["window", "event_type"])
         .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n"))
     )
-    t = pa.concat_tables(ray.get(agg.to_arrow_refs()))
+    t = collect_table(agg)
     t = pa.table(
         {
             "window": pc.cast(t["window"], pa.timestamp("us")),
@@ -109,8 +110,7 @@ def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> pa.Table:
         )
 
     out = _read_events(sf_dir).groupby("user_id").map_groups(per_user, batch_format="pandas")
-    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
-    t = pa.concat_tables(tabs, promote_options="permissive")
+    t = collect_table(out)
     t = pa.table(
         {
             "user_id": pc.cast(t["user_id"], pa.int64()),

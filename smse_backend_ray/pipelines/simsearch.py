@@ -23,6 +23,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.functions.rounding import round_half_away
 from smse_backend_ray.sources.corpus import _parallel_blocks
 
@@ -101,8 +102,8 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K) -> pa.Table:
     ds = ray.data.read_parquet(
         _emb_path(sf_dir), columns=["vec_id", "embedding"]
     ).repartition(_parallel_blocks())
-    parts = ray.get(ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs())
-    return _topk_merge(parts, k)
+    cands = collect_table(ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True))
+    return _topk_merge([cands], k)
 
 
 # ---------------------------------------------------------------------------
@@ -141,8 +142,8 @@ def train_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS, iters: int = IV
                 }
             )
 
-        parts = pa.concat_tables(
-            ray.get(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs())
+        parts = collect_table(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         )
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype=np.int64)
@@ -195,5 +196,5 @@ def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_CLUSTERS) -> pa.Table
     ds = ray.data.read_parquet(
         _emb_path(sf_dir), columns=["vec_id", "embedding"]
     ).repartition(_parallel_blocks())
-    parts = ray.get(ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs())
-    return _topk_merge(parts, k)
+    cands = collect_table(ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True))
+    return _topk_merge([cands], k)

@@ -18,6 +18,7 @@ import ray.data
 
 from smse_backend_ray.config import LANG_MARKERS, STOPWORDS
 from smse_backend_ray.functions.analyzer import split_subtokens, tokenize
+from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.functions.rounding import round_half_away
 from smse_backend_ray.sources.corpus import _parallel_blocks
 
@@ -191,14 +192,11 @@ def winnow_fingerprints(sf_dir: str) -> pa.Table:
 
 
 def _run(sf_dir: str, fn) -> pa.Table:
-    t = (
-        _read_documents(sf_dir)
-        .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-        .to_arrow_refs()
+    out = collect_table(
+        _read_documents(sf_dir).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
-    import ray as _ray
-
-    out = pa.concat_tables(_ray.get(t))
     return out.take(pa.compute.sort_indices(out["doc_id"]))
 
 

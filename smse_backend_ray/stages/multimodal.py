@@ -26,6 +26,8 @@ import pyarrow as pa
 
 import ray.data
 
+from smse_backend_ray.functions.collect import collect_table
+
 MEDIA_KINDS = ("image", "audio", "video")
 FEATURE_DIM = 8
 
@@ -170,8 +172,6 @@ def media_pipeline(n: int = 300, fake: bool = True) -> pa.Table:
     """End-to-end media pipeline: synth media -> decode (actor pool) ->
     features (actor pool); returns decoded metadata joined with feature
     dims. Binary columns stay in Arrow throughout (never pandas)."""
-    import ray as _ray
-
     ds = ray.data.from_arrow(synth_media_table(n)).repartition(8)
     decoded = ds.map_batches(
         DecodeMedia,
@@ -180,5 +180,5 @@ def media_pipeline(n: int = 300, fake: bool = True) -> pa.Table:
         concurrency=2,          # actor pool
         fn_constructor_kwargs={"deterministic_fake": fake},
     )
-    t = pa.concat_tables(_ray.get(decoded.to_arrow_refs()))
+    t = collect_table(decoded)
     return t.take(pa.compute.sort_indices(t["media_id"]))
