@@ -8,10 +8,9 @@ its shards' segment + docmeta parquet ONCE in ``__init__`` and then answers
 top-k for batches of queries with vectorized numpy scoring.
 
 Score determinism (SURVEY.md §4): contributions are accumulated in FIXED
-term-ascending order per doc — concatenate per-term arrays in sorted-term
-order, stable-sort by doc_id, ``np.add.reduceat`` — which performs the exact
-same float additions as the single-process oracle, so scores are bitwise
-equal.
+term-ascending order per doc (see ``_accumulate``) — one scalar add per
+(doc, term) into a zero-initialized accumulator, the exact float addition
+sequence of the single-process oracle, so scores are bitwise equal.
 """
 
 from __future__ import annotations
