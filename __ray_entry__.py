@@ -239,6 +239,19 @@ def _q_bm25(queries) -> Callable[[str], Any]:
     return run
 
 
+def _q_bm25_bulk(sf_dir: str) -> Any:
+    """Dataset-streaming bulk search path (pipelines/bulk_search.py): same
+    results as the serving path, produced by streaming the index instead of
+    holding it in actors."""
+    from smse_backend_ray.pipelines.bulk_search import bulk_search
+    from smse_backend_ray.queryset import BASE_QUERIES
+
+    idx = _index_for(sf_dir)
+    return bulk_search(idx, BASE_QUERIES).select(
+        ["query_id", "rank", "doc_id", "score"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from smse_backend_ray.pipelines import dedup, events, simsearch, textstats
     from smse_backend_ray.queryset import (
@@ -257,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_parse": _q_path_parse,
         "repo_sizes": _q_repo_sizes,
         "bm25_topk": _q_bm25(BASE_QUERIES),
+        "bm25_bulk": _q_bm25_bulk,
         "bm25_topk_scoped": _q_bm25(SCOPED_QUERIES),
         "bm25_topk_multipart": _q_bm25(MULTIPART_QUERIES),
         "doc_token_stats": textstats.token_stats,
@@ -299,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "path_parse": sqlgen.path_parse_sql(),
         "repo_sizes": sqlgen.repo_sizes_sql(),
         "bm25_topk": sqlgen.bm25_topk_sql(BASE_QUERIES, p),
+        "bm25_bulk": sqlgen.bm25_topk_sql(BASE_QUERIES, p, meta_cols=False),
         "bm25_topk_scoped": sqlgen.bm25_topk_sql(SCOPED_QUERIES, p),
         "bm25_topk_multipart": sqlgen.bm25_topk_sql(MULTIPART_QUERIES, p),
         "doc_token_stats": sqlgen.token_stats_sql(),

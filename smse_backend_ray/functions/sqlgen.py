@@ -448,7 +448,7 @@ scored AS (
 )"""
 
 
-def bm25_topk_sql(queries, params: BM25Params) -> str:
+def bm25_topk_sql(queries, params: BM25Params, meta_cols: bool = True) -> str:
     """Full oracle for the flagship pipeline: top-k BM25 per QuerySpec.
 
     ``queries`` is a sequence of queryset.QuerySpec (per-query parts, scope,
@@ -494,7 +494,7 @@ topk AS (
   FROM ranked
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank,
-       doc_id, path, repo, lang, rscore AS score
+       doc_id, {"path, repo, lang, " if meta_cols else ""}rscore AS score
 FROM topk WHERE rnk <= lim
 ORDER BY query_id, rank
 """
