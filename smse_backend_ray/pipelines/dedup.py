@@ -234,13 +234,18 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.T
         )
     pairs = sorted({(a, b) for a, b in zip(cands_t["a"].to_pylist(), cands_t["b"].to_pylist())})
 
-    # exact verification of the (small) candidate set: broadcast shingle sets
-    docs = collect_table(_read_documents(sf_dir))
+    # exact verification of the (small) candidate set: read ONLY the
+    # candidate docs (predicate pushdown — never materialize the corpus)
+    import pyarrow.dataset as pads
+
     need = {d for p in pairs for d in p}
+    docs = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(sorted(need)),
+    )
     sh = {
         did: set(doc_shingles(text))
         for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
-        if did in need
     }
     a_out, b_out, j_out = [], [], []
     for a, b in pairs:

@@ -38,11 +38,14 @@ def _emb_path(sf_dir: str) -> str:
 
 
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(_emb_path(sf_dir)).to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < N_QUERIES
+    )
     ids = np.asarray(t["vec_id"])
-    m = ids < N_QUERIES
-    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)[m]
-    return ids[m], Q
+    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, Q
 
 
 def _topk_merge(parts: list[pa.Table], k: int) -> pa.Table:
