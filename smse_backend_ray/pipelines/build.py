@@ -225,7 +225,7 @@ def _run_dedup(index_dir: str, cfg: EngineConfig) -> dict:
 
     def split(t: pa.Table, keep_dups: bool) -> pa.Table:
         ids = ray.get(dup_ref)
-        mask = pa.array([d in ids for d in t["doc_id"].to_pylist()])
+        mask = pc.is_in(t["doc_id"], value_set=pa.array(sorted(ids), type=pa.int64()))
         return t.filter(mask if keep_dups else pc.invert(mask))
 
     def winner(g: pa.Table) -> pa.Table:
@@ -304,7 +304,9 @@ def _run_df(index_dir: str, cfg: EngineConfig) -> None:
     if _column_bytes(seg_dir, ["term", "df"]) <= cfg.driver_agg_max_bytes:
         t = pads.dataset(seg_dir).to_table(columns=["term", "df"])
         g = t.group_by("term").aggregate([("df", "max")])
-        g = g.rename_columns(["term", "df"]).sort_by("term")
+        # select by NAME: pyarrow group_by column order has differed across
+        # versions; a positional rename would silently swap term/df
+        g = pa.table({"term": g["term"], "df": g["df_max"]}).sort_by("term")
         tmp = out_dir + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)

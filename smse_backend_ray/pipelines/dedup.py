@@ -77,7 +77,8 @@ def exact_dedup(sf_dir: str) -> pa.Table:
             {"fingerprint": pa.array(fps), "doc_id": t["doc_id"]}
         )
         g = part.group_by("fingerprint").aggregate([("doc_id", "min")])
-        return g.rename_columns(["fingerprint", "doc_id"])
+        # by-name selection (group_by column order varies across pyarrow versions)
+        return pa.table({"fingerprint": g["fingerprint"], "doc_id": g["doc_id_min"]})
 
     from ray.data.aggregate import Min
 

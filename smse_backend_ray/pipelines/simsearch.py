@@ -184,7 +184,7 @@ def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_CLUSTERS) -> pa.Table
             if not m.any():
                 continue
             v, s = vids[m], sims[qi][m]
-            order = np.lexsort((v, -s))[: min(TOP_K, len(v))]
+            order = np.lexsort((v, -s))[: min(k, len(v))]
             out["query_vec_id"].extend([int(q_ids[qi])] * len(order))
             out["vec_id"].extend(v[order].tolist())
             out["cosine"].extend(s[order].tolist())

@@ -132,7 +132,7 @@ def sha256_hex_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return pa.array(
-        [hashlib.sha256(v.encode()).hexdigest() for v in col.to_pylist()],
+        [hashlib.sha256((v or "").encode()).hexdigest() for v in col.to_pylist()],
         type=pa.string(),
     )
 

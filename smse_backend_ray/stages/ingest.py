@@ -16,7 +16,6 @@ All stages are Arrow-in/Arrow-out and vectorized except the tokenizer itself
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 
 import numpy as np
@@ -34,59 +33,60 @@ def ingest_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     Output schema: doc_id, repo, path, commit, lang, content_sha256, n_bytes,
     dl, terms (list<string> sorted asc), tfs (list<int32>), shard_id.
     """
-    from smse_backend_ray.sources.corpus import validate_corpus_schema
+    from smse_backend_ray.sources.corpus import (
+        n_bytes_column,
+        sha256_hex_column,
+        validate_corpus_schema,
+    )
 
     validate_corpus_schema(batch.schema)
+    if cfg.allowed_langs is not None:  # vectorized allowlist predicate (M2)
+        batch = batch.filter(
+            pc.is_in(batch["lang"], value_set=pa.array(cfg.allowed_langs))
+        )
+    content = pc.fill_null(batch["content"], "")
+    batch = batch.set_column(
+        batch.column_names.index("content"), "content", content
+    )
+    contents = content.to_pylist()
     repos = batch["repo"].to_pylist()
     paths = batch["path"].to_pylist()
     commits = batch["commit"].to_pylist()
-    langs = batch["lang"].to_pylist()
-    contents = batch["content"].to_pylist()
 
-    n = len(repos)
-    keep = range(n)
-    if cfg.allowed_langs is not None:
-        allowed = set(cfg.allowed_langs)
-        keep = [i for i in range(n) if langs[i] in allowed]
+    # the only per-row passes: sha256/doc-id hashing (C-speed hashlib) and
+    # the compiled-regex tokenizer; everything else is Arrow/numpy kernels
+    doc_ids = np.fromiter(
+        (doc_id_from_key(r, p, c) for r, p, c in zip(repos, paths, commits)),
+        dtype=np.int64,
+        count=len(repos),
+    )
+    tcs_all = [term_counts(c) for c in contents]
+    terms_l = [[t for t, _ in tcs] for tcs in tcs_all]
+    tfs_l = pa.array([[tf for _, tf in tcs] for tcs in tcs_all], type=pa.list_(pa.int32()))
+    # dl = per-row sum(tf) via offset prefix-sums (integer, order-free)
+    off = np.asarray(tfs_l.offsets, dtype=np.int64)
+    csum = np.concatenate(([0], np.cumsum(np.asarray(tfs_l.values, dtype=np.int64))))
+    dl = pa.array(csum[off[1:]] - csum[off[:-1]], type=pa.int64())
 
-    doc_ids, shas, nbytes, dls, terms_l, tfs_l = [], [], [], [], [], []
-    out_repo, out_path, out_commit, out_lang = [], [], [], []
-    for i in keep:
-        c = contents[i] if contents[i] is not None else ""
-        did = doc_id_from_key(repos[i], paths[i], commits[i])
-        tcs = term_counts(c)
-        doc_ids.append(did)
-        shas.append(hashlib.sha256(c.encode()).hexdigest())
-        nbytes.append(len(c.encode()))
-        dls.append(sum(tf for _, tf in tcs))
-        terms_l.append([t for t, _ in tcs])
-        tfs_l.append([tf for _, tf in tcs])
-        out_repo.append(repos[i])
-        out_path.append(paths[i])
-        out_commit.append(commits[i])
-        out_lang.append(langs[i])
-
-    shard_ids = [d % cfg.n_shards for d in doc_ids]
-    extra = {}
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {}
     if "partition_id" in batch.column_names:  # file-mode lineage tag
-        pid = batch["partition_id"].to_pylist()
-        extra["partition_id"] = pa.array([pid[i] for i in keep], type=pa.int32())
-    return pa.table(
+        cols["partition_id"] = pc.cast(batch["partition_id"], pa.int32())
+    cols.update(
         {
-            **extra,
             "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "repo": pa.array(out_repo, type=pa.string()),
-            "path": pa.array(out_path, type=pa.string()),
-            "commit": pa.array(out_commit, type=pa.string()),
-            "lang": pa.array(out_lang, type=pa.string()),
-            "content_sha256": pa.array(shas, type=pa.string()),
-            "n_bytes": pa.array(nbytes, type=pa.int64()),
-            "dl": pa.array(dls, type=pa.int64()),
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "commit": batch["commit"],
+            "lang": batch["lang"],
+            "content_sha256": sha256_hex_column(batch["content"]),
+            "n_bytes": n_bytes_column(batch["content"]),
+            "dl": dl,
             "terms": pa.array(terms_l, type=pa.list_(pa.string())),
-            "tfs": pa.array(tfs_l, type=pa.list_(pa.int32())),
-            "shard_id": pa.array(shard_ids, type=pa.int32()),
+            "tfs": tfs_l,
+            "shard_id": pa.array(doc_ids % cfg.n_shards, type=pa.int32()),
         }
     )
+    return pa.table(cols)
 
 
 def term_bucket(term: str, n_buckets: int) -> int:

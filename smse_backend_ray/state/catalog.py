@@ -156,8 +156,17 @@ class Catalog:
         for f in os.listdir(self.index_dir):
             if f.endswith(".tmp"):
                 p = os.path.join(self.index_dir, f)
-                import shutil
+                # orphaned temp state can be a DIR (stage output) or a FILE
+                # (manifest.json.tmp left by a crash); count only removals
+                # that actually happened
+                try:
+                    if os.path.isdir(p):
+                        import shutil
 
-                shutil.rmtree(p, ignore_errors=True)
-                removed["tmp_dirs"] += 1
+                        shutil.rmtree(p)
+                    else:
+                        os.remove(p)
+                    removed["tmp_dirs"] += 1
+                except OSError:
+                    pass
         return removed
