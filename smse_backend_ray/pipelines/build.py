@@ -17,6 +17,12 @@ manifest (state/catalog.py). Stages:
             delta-varint posting blocks (stages/ingest.py, functions/codec.py)
   df        distinct (term, df) table, term-sorted for filter-pushdown reads
 
+All index I/O goes through state/fs.IndexFS (pyarrow.fs), so ``index_dir``
+may be a local path, a ``file://``/``s3://`` URI, or a (FileSystem, path)
+pair — build and serve work against shared/remote storage on a multi-node
+cluster (reference StorageBackend contract,
+smse_backend/services/file_storage.py:32-73 + S3 impl :220-431).
+
 Every stage writes to a temp dir and renames on success (idempotent commit);
 a restart skips completed stages / partitions via the manifest.
 
@@ -31,15 +37,10 @@ kilobyte-sized reductions.
 from __future__ import annotations
 
 import functools
-import glob as globmod
-import os
-import shutil
 import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -53,6 +54,7 @@ from smse_backend_ray.stages.ingest import (
     ingest_batch,
 )
 from smse_backend_ray.state.catalog import Catalog
+from smse_backend_ray.state.fs import IndexFS
 
 DOCS_DIR = "docs"
 SEGMENTS_DIR = "segments"
@@ -60,46 +62,6 @@ DF_DIR = "df"
 
 # stage dependency order: invalidating one invalidates all after it
 STAGE_ORDER = ["docs", "dedup", "stats", "segments", "df"]
-
-
-def _atomic_write(ds: "ray.data.Dataset", out_dir: str, **kwargs) -> None:
-    tmp = out_dir + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    ds.write_parquet(tmp, **kwargs)
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    os.replace(tmp, out_dir)
-
-
-def _docs_path(index_dir: str) -> str:
-    return os.path.join(index_dir, DOCS_DIR)
-
-
-def _dir_bytes(path: str, suffix: str = ".parquet") -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(suffix):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
-
-
-def _column_bytes(path: str, columns: list[str]) -> int:
-    """Approximate on-disk size of a column subset (parquet metadata only)."""
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            md = pq.ParquetFile(os.path.join(root, fn)).metadata
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    col = g.column(ci)
-                    if col.path_in_schema.split(".")[0] in columns:
-                        total += col.total_compressed_size
-    return total
 
 
 def _cluster_cpus() -> int:
@@ -113,7 +75,7 @@ def _cluster_cpus() -> int:
 # docs stage
 # ---------------------------------------------------------------------------
 
-def _run_docs_from_dataset(corpus: "ray.data.Dataset", index_dir: str, cfg: EngineConfig) -> None:
+def _run_docs_from_dataset(corpus: "ray.data.Dataset", ifs: IndexFS, cfg: EngineConfig) -> None:
     # schema validation happens inside ingest_batch (corpus.schema() here
     # would trigger a separate partial execution of the upstream pipeline)
     ingest = functools.partial(ingest_batch, cfg=cfg)
@@ -125,17 +87,16 @@ def _run_docs_from_dataset(corpus: "ray.data.Dataset", index_dir: str, cfg: Engi
     # file PER SHARD, so W tasks x S shards files — uncoalesced that is a
     # small-file storm that dominates every downstream read
     docs = docs.repartition(max(8, _cluster_cpus() // 2))
-    _atomic_write(docs, _docs_path(index_dir), partition_cols=["shard_id"])
+    ifs.atomic_write_dataset(docs, DOCS_DIR, partition_cols=["shard_id"])
 
 
 def _run_docs_from_files(
-    files: list[str], index_dir: str, cfg: EngineConfig, cat: Catalog
+    files: list[str], ifs: IndexFS, cfg: EngineConfig, cat: Catalog
 ) -> None:
     """Wave-committed file-mode build with per-partition lineage (one input
     file = one partition; reference Task-per-file analog,
     smse_backend/services/embedding.py:18)."""
-    docs_root = _docs_path(index_dir)
-    os.makedirs(docs_root, exist_ok=True)
+    ifs.mkdirs(DOCS_DIR)
     partitions = {i: [f] for i, f in enumerate(sorted(files))}
     pending = cat.plan_partitions(partitions)
     ingest = functools.partial(ingest_batch, cfg=cfg)
@@ -151,10 +112,10 @@ def _run_docs_from_files(
             parts.append(ds)
         ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
         docs = ds.map_batches(ingest, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        wave_dir = os.path.join(docs_root, f"wave_{wave[0]:06d}")
-        _atomic_write(docs, wave_dir, partition_cols=["shard_id"])
+        wave_rel = f"{DOCS_DIR}/wave_{wave[0]:06d}"
+        ifs.atomic_write_dataset(docs, wave_rel, partition_cols=["shard_id"])
         # per-partition metrics from the written wave (columnar, cheap)
-        t = pads.dataset(wave_dir).to_table(columns=["partition_id", "n_bytes", "dl"])
+        t = ifs.pads_dataset(wave_rel).to_table(columns=["partition_id", "n_bytes", "dl"])
         g = t.group_by("partition_id").aggregate(
             [("partition_id", "count"), ("n_bytes", "sum"), ("dl", "sum")]
         )
@@ -167,7 +128,7 @@ def _run_docs_from_files(
             }
             for r in g.to_pylist()
         }
-        cat.mark_partitions_done(wave, metrics, wave_dir)
+        cat.mark_partitions_done(wave, metrics, ifs.join(wave_rel))
 
 
 def _tag_partition(batch: pa.Table, pid: int) -> pa.Table:
@@ -183,30 +144,31 @@ def _tag_partition(batch: pa.Table, pid: int) -> pa.Table:
 _META_CACHE: dict[str, tuple[float, pa.Table]] = {}
 
 
-def _docs_meta_table(docs_dir: str) -> pa.Table:
+def _docs_meta_table(ifs: IndexFS) -> pa.Table:
     """One driver-side scan of (doc_id, dl) shared by the dedup-detect and
-    stats stages (cached per docs dir + manifest-ish mtime)."""
-    key = docs_dir
+    stats stages (cached per docs location + newest-file mtime)."""
+    key = ifs.join(DOCS_DIR)
     stamp = max(
-        (os.path.getmtime(os.path.join(r, f)) for r, _d, fs in os.walk(docs_dir) for f in fs),
+        (i.mtime.timestamp() if i.mtime else 0.0
+         for i in ifs.list_infos(DOCS_DIR, recursive=True) if i.is_file),
         default=0.0,
     )
     hit = _META_CACHE.get(key)
     if hit and hit[0] == stamp:
         return hit[1]
-    t = pads.dataset(docs_dir).to_table(columns=["doc_id", "dl"])
+    t = ifs.pads_dataset(DOCS_DIR).to_table(columns=["doc_id", "dl"])
     _META_CACHE[key] = (stamp, t)
     return t
 
 
-def _find_dup_ids(docs_dir: str, cfg: EngineConfig) -> set[int]:
-    if _column_bytes(docs_dir, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes:
-        ids = _docs_meta_table(docs_dir)["doc_id"]
+def _find_dup_ids(ifs: IndexFS, cfg: EngineConfig) -> set[int]:
+    if ifs.column_bytes(DOCS_DIR, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes:
+        ids = _docs_meta_table(ifs)["doc_id"]
         g = pa.table({"doc_id": ids}).group_by("doc_id").aggregate([("doc_id", "count")])
         dup = g.filter(pc.greater(g["doc_id_count"], 1))
         return set(dup["doc_id"].to_pylist())
     counts = (
-        ray.data.read_parquet(docs_dir, columns=["doc_id"])
+        ifs.ray_read_parquet(DOCS_DIR, columns=["doc_id"])
         .groupby("doc_id")
         .aggregate(Count(alias_name="n"))
     )
@@ -214,9 +176,8 @@ def _find_dup_ids(docs_dir: str, cfg: EngineConfig) -> set[int]:
     return set() if dup_tbl.empty else set(dup_tbl["doc_id"].tolist())
 
 
-def _run_dedup(index_dir: str, cfg: EngineConfig) -> dict:
-    docs_dir = _docs_path(index_dir)
-    dup_ids = _find_dup_ids(docs_dir, cfg)
+def _run_dedup(ifs: IndexFS, cfg: EngineConfig) -> dict:
+    dup_ids = _find_dup_ids(ifs, cfg)
     if not dup_ids:
         return {"duplicates": 0}
 
@@ -234,7 +195,7 @@ def _run_dedup(index_dir: str, cfg: EngineConfig) -> dict:
         i = pc.sort_indices(g["content_sha256"])[0].as_py()
         return g.slice(i, 1)
 
-    full = ray.data.read_parquet(docs_dir)
+    full = ifs.ray_read_parquet(DOCS_DIR)
     clean = full.map_batches(functools.partial(split, keep_dups=False), batch_format="pyarrow")
     dups = (
         full.map_batches(functools.partial(split, keep_dups=True), batch_format="pyarrow")
@@ -242,10 +203,10 @@ def _run_dedup(index_dir: str, cfg: EngineConfig) -> dict:
         .map_groups(winner, batch_format="pyarrow")
     )
     deduped = clean.union(dups)
-    tmp_out = os.path.join(index_dir, DOCS_DIR + "_dedup")
-    _atomic_write(deduped, tmp_out, partition_cols=["shard_id"])
-    shutil.rmtree(docs_dir)
-    os.replace(tmp_out, docs_dir)
+    tmp_rel = DOCS_DIR + "_dedup"
+    ifs.atomic_write_dataset(deduped, tmp_rel, partition_cols=["shard_id"])
+    ifs.delete_dir(DOCS_DIR)
+    ifs.move(tmp_rel, DOCS_DIR)
     return {"duplicates": len(dup_ids)}
 
 
@@ -253,14 +214,13 @@ def _run_dedup(index_dir: str, cfg: EngineConfig) -> dict:
 # stats / segments / df stages
 # ---------------------------------------------------------------------------
 
-def _run_stats(index_dir: str, cfg: EngineConfig) -> dict:
-    docs_dir = _docs_path(index_dir)
-    if _column_bytes(docs_dir, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes:
-        dl = _docs_meta_table(docs_dir)["dl"]
+def _run_stats(ifs: IndexFS, cfg: EngineConfig) -> dict:
+    if ifs.column_bytes(DOCS_DIR, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes:
+        dl = _docs_meta_table(ifs)["dl"]
         n_docs = len(dl)
         sum_dl = int(pc.sum(dl).as_py() or 0)
     else:
-        ds = ray.data.read_parquet(docs_dir, columns=["dl"])
+        ds = ifs.ray_read_parquet(DOCS_DIR, columns=["dl"])
         row = ds.aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="sum_dl"))
         n_docs = int(row["n_docs"])
         sum_dl = int(row["sum_dl"] or 0)
@@ -271,11 +231,9 @@ def _run_stats(index_dir: str, cfg: EngineConfig) -> dict:
     }
 
 
-def _run_segments(index_dir: str, cfg: EngineConfig, avgdl: float) -> None:
+def _run_segments(ifs: IndexFS, cfg: EngineConfig, avgdl: float) -> None:
     nb = cfg_buckets(cfg)
-    ds = ray.data.read_parquet(
-        _docs_path(index_dir), columns=["doc_id", "dl", "terms", "tfs"]
-    )
+    ds = ifs.ray_read_parquet(DOCS_DIR, columns=["doc_id", "dl", "terms", "tfs"])
     runs = ds.map_batches(
         functools.partial(explode_preagg_batch, n_buckets=nb),
         batch_format="pyarrow",
@@ -295,30 +253,28 @@ def _run_segments(index_dir: str, cfg: EngineConfig, avgdl: float) -> None:
         return enc(group)
 
     seg = runs.groupby("bucket").map_groups(encode_bucket, batch_format="pyarrow")
-    _atomic_write(seg, os.path.join(index_dir, SEGMENTS_DIR), partition_cols=["shard_id"])
+    ifs.atomic_write_dataset(seg, SEGMENTS_DIR, partition_cols=["shard_id"])
 
 
-def _run_df(index_dir: str, cfg: EngineConfig) -> None:
-    seg_dir = os.path.join(index_dir, SEGMENTS_DIR)
-    out_dir = os.path.join(index_dir, DF_DIR)
-    if _column_bytes(seg_dir, ["term", "df"]) <= cfg.driver_agg_max_bytes:
-        t = pads.dataset(seg_dir).to_table(columns=["term", "df"])
+def _run_df(ifs: IndexFS, cfg: EngineConfig) -> None:
+    if ifs.column_bytes(SEGMENTS_DIR, ["term", "df"]) <= cfg.driver_agg_max_bytes:
+        t = ifs.pads_dataset(SEGMENTS_DIR).to_table(columns=["term", "df"])
         g = t.group_by("term").aggregate([("df", "max")])
         # select by NAME: pyarrow group_by column order has differed across
         # versions; a positional rename would silently swap term/df
         g = pa.table({"term": g["term"], "df": g["df_max"]}).sort_by("term")
-        tmp = out_dir + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        pq.write_table(g, os.path.join(tmp, "df.parquet"))
-        if os.path.exists(out_dir):
-            shutil.rmtree(out_dir)
-        os.replace(tmp, out_dir)
+        tmp = DF_DIR + ".tmp"
+        if ifs.exists(tmp):
+            ifs.delete_dir(tmp)
+        ifs.mkdirs(tmp)
+        ifs.write_table(g, f"{tmp}/df.parquet")
+        if ifs.exists(DF_DIR):
+            ifs.delete_dir(DF_DIR)
+        ifs.move(tmp, DF_DIR)
         return
-    ds = ray.data.read_parquet(seg_dir, columns=["term", "df"])
+    ds = ifs.ray_read_parquet(SEGMENTS_DIR, columns=["term", "df"])
     df_tbl = ds.groupby("term").aggregate(Max("df", alias_name="df")).sort("term")
-    _atomic_write(df_tbl, out_dir)
+    ifs.atomic_write_dataset(df_tbl, DF_DIR)
 
 
 # ---------------------------------------------------------------------------
@@ -327,12 +283,13 @@ def _run_df(index_dir: str, cfg: EngineConfig) -> None:
 
 def build_index(
     corpus: "ray.data.Dataset | None" = None,
-    index_dir: str = "",
+    index_dir="",
     cfg: EngineConfig | None = None,
     input_files: list[str] | None = None,
     resume: bool = True,
 ) -> Catalog:
-    """Build (or resume) a full index under ``index_dir``.
+    """Build (or resume) a full index under ``index_dir`` (any IndexFS
+    location: local path, URI, or (FileSystem, path) pair).
 
     Exactly one of ``corpus`` (a Dataset) or ``input_files`` (parquet paths,
     enables per-partition lineage/resume) must be given.
@@ -341,6 +298,7 @@ def build_index(
     cfg = cfg or EngineConfig()
     cfg.validate()
     cat = Catalog(index_dir)
+    ifs = cat.ifs
     if not resume:
         cat.invalidate_from(STAGE_ORDER)
 
@@ -351,30 +309,30 @@ def build_index(
     if not cat.stage_done("docs"):
         cat.mark_stage("docs", "running")
         if input_files is not None:
-            _run_docs_from_files(input_files, index_dir, cfg, cat)
+            _run_docs_from_files(input_files, ifs, cfg, cat)
         else:
-            _run_docs_from_dataset(corpus, index_dir, cfg)
+            _run_docs_from_dataset(corpus, ifs, cfg)
         cat.mark_stage("docs", "done")
 
     if not cat.stage_done("dedup"):
         cat.mark_stage("dedup", "running")
-        m = _run_dedup(index_dir, cfg) if cfg.dedup else {"duplicates": "skipped"}
+        m = _run_dedup(ifs, cfg) if cfg.dedup else {"duplicates": "skipped"}
         cat.mark_stage("dedup", "done", m)
 
     if not cat.stage_done("stats"):
         cat.mark_stage("stats", "running")
-        stats = _run_stats(index_dir, cfg)
+        stats = _run_stats(ifs, cfg)
         cat.set_stats(stats)
         cat.mark_stage("stats", "done", stats)
 
     if not cat.stage_done("segments"):
         cat.mark_stage("segments", "running")
-        _run_segments(index_dir, cfg, cat.get_stats()["avgdl"])
+        _run_segments(ifs, cfg, cat.get_stats()["avgdl"])
         cat.mark_stage("segments", "done")
 
     if not cat.stage_done("df"):
         cat.mark_stage("df", "running")
-        _run_df(index_dir, cfg)
+        _run_df(ifs, cfg)
         cat.mark_stage("df", "done")
 
     return cat

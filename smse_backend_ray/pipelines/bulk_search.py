@@ -22,8 +22,6 @@ needed).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -56,6 +54,7 @@ def bulk_search(index_dir: str, queries, limit: int = DEFAULT_TOP_K) -> pa.Table
     scope/threshold are serving-path features). Returns RESULT_SCHEMA rows
     sorted by (query_id, rank)."""
     cat = Catalog(index_dir)
+    ifs = cat.ifs
     stats = cat.get_stats()
     cfg = cat.get_config()
     n_docs = stats["n_docs"]
@@ -66,7 +65,7 @@ def bulk_search(index_dir: str, queries, limit: int = DEFAULT_TOP_K) -> pa.Table
     # driver-side query analysis (tiny) + per-term fan-out map
     import pyarrow.dataset as pads
 
-    df_ds = pads.dataset(os.path.join(index_dir, "df"))
+    df_ds = ifs.pads_dataset("df")
     term_queries: dict[str, list[tuple[int, float]]] = {}
     limits: dict[int, int] = {}
     for qs in queries:
@@ -87,8 +86,8 @@ def bulk_search(index_dir: str, queries, limit: int = DEFAULT_TOP_K) -> pa.Table
     needed = sorted(term_queries)
     fanout_ref = ray.put((term_queries, avgdl, block_size, params))
 
-    seg = ray.data.read_parquet(
-        os.path.join(index_dir, "segments"),
+    seg = ifs.ray_read_parquet(
+        "segments",
         filter=pc.field("term").isin(needed),  # row-group pushdown
     )
 

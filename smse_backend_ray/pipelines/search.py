@@ -14,13 +14,11 @@ query-log + search-record append (query history, T3).
 
 from __future__ import annotations
 
-import os
 import time
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 
 import ray
 
@@ -35,6 +33,7 @@ from smse_backend_ray.functions.fusion import fuse_parts
 from smse_backend_ray.functions.normalize import NORMALIZERS
 from smse_backend_ray.stages.scorer import ShardSearcher
 from smse_backend_ray.state.catalog import Catalog
+from smse_backend_ray.state.fs import IndexFS
 
 RESULT_SCHEMA = pa.schema(
     [
@@ -54,9 +53,10 @@ class SearchEngine:
     """Serving handle over a built index. Creates one actor per shard group;
     state (decoded segments, doc meta) loads once per actor (ST1 analog)."""
 
-    def __init__(self, index_dir: str, num_actors: int | None = None, strategy: str = "exact"):
+    def __init__(self, index_dir, num_actors: int | None = None, strategy: str = "exact"):
         self.index_dir = index_dir
         self.cat = Catalog(index_dir)
+        self.ifs: IndexFS = self.cat.ifs
         cfg = self.cat.get_config()
         stats = self.cat.get_stats()
         self.n_docs = stats["n_docs"]
@@ -70,7 +70,7 @@ class SearchEngine:
             groups[s % n_actors].append(s)
         self.actors = [
             ShardSearcher.remote(
-                index_dir,
+                self.ifs,
                 g,
                 self.avgdl,
                 {"k1": self.params.k1, "b": self.params.b},
@@ -79,7 +79,7 @@ class SearchEngine:
             for g in groups
         ]
         ray.get([a.ping.remote() for a in self.actors])
-        self._df_ds = pads.dataset(os.path.join(index_dir, "df"))
+        self._df_ds = self.ifs.pads_dataset("df")
         self._df_cache: dict[str, int] = {}  # term -> df (0 = known absent)
         self._tombstones = self._load_tombstones()
         self._next_query_id = self._load_next_query_id()
@@ -103,27 +103,17 @@ class SearchEngine:
     # rebuild, matching the batch-index model)
     # ------------------------------------------------------------------
 
-    def _tombstone_path(self) -> str:
-        return os.path.join(self.index_dir, "tombstones.json")
+    TOMBSTONES = "tombstones.json"
 
     def _load_tombstones(self) -> set[int]:
-        import json
-
-        p = self._tombstone_path()
-        if os.path.exists(p):
-            with open(p) as f:
-                return set(json.load(f))
+        if self.ifs.exists(self.TOMBSTONES):
+            return set(self.ifs.read_json(self.TOMBSTONES))
         return set()
 
     def delete_doc(self, doc_id: int) -> None:
         """Remove a doc from all future results (persisted; atomic write)."""
-        import json
-
         self._tombstones.add(int(doc_id))
-        tmp = self._tombstone_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(sorted(self._tombstones), f)
-        os.replace(tmp, self._tombstone_path())
+        self.ifs.write_json_atomic(self.TOMBSTONES, sorted(self._tombstones))
 
     # ------------------------------------------------------------------
     def idf_weights(self, qtf: dict[str, int]) -> tuple[list[str], list[float]]:
@@ -263,26 +253,17 @@ class SearchEngine:
     # routes/search.py:242-316)
     # ------------------------------------------------------------------
 
-    def _log_dir(self) -> str:
-        d = os.path.join(self.index_dir, "querylog")
-        os.makedirs(d, exist_ok=True)
-        return d
-
-    def _records_dir(self) -> str:
-        d = os.path.join(self.index_dir, "search_records")
-        os.makedirs(d, exist_ok=True)
-        return d
-
     def _load_next_query_id(self) -> int:
-        d = os.path.join(self.index_dir, "querylog")
-        if not os.path.isdir(d) or not os.listdir(d):
+        if not self.ifs.list_files("querylog"):
             return 1
-        t = pads.dataset(d).to_table(columns=["query_id"])
+        t = self.ifs.pads_dataset("querylog").to_table(columns=["query_id"])
         return (pa.compute.max(t["query_id"]).as_py() or 0) + 1
 
     def _log_query(self, qid, parts, scope, limit, result: pa.Table) -> None:
         ts = time.time()
-        pq.write_table(
+        self.ifs.mkdirs("querylog")
+        self.ifs.mkdirs("search_records")
+        self.ifs.write_table(
             pa.table(
                 {
                     "query_id": pa.array([qid], type=pa.int64()),
@@ -294,29 +275,35 @@ class SearchEngine:
                     "n_results": pa.array([result.num_rows], type=pa.int32()),
                 }
             ),
-            os.path.join(self._log_dir(), f"q_{qid:012d}.parquet"),
+            f"querylog/q_{qid:012d}.parquet",
         )
         rec = result.select(["query_id", "rank", "doc_id", "score"]).append_column(
             "retrieved_at", pa.array([ts] * result.num_rows, type=pa.float64())
         )
-        pq.write_table(
-            rec, os.path.join(self._records_dir(), f"q_{qid:012d}.parquet")
-        )
+        self.ifs.write_table(rec, f"search_records/q_{qid:012d}.parquet")
 
     def history(self, limit: int = 10, offset: int = 0) -> dict:
         """Timestamp-descending query history with pagination echo
         (routes/search.py:242-283 incl. total/has_more)."""
-        d = os.path.join(self.index_dir, "querylog")
-        if not os.path.isdir(d) or not os.listdir(d):
+        if not self.ifs.list_files("querylog"):
             return {"queries": [], "total": 0, "limit": limit, "offset": offset, "has_more": False}
-        t = pads.dataset(d).to_table()
+        t = self.ifs.pads_dataset("querylog").to_table()
         idx = pa.compute.sort_indices(
             t, sort_keys=[("timestamp", "descending"), ("query_id", "descending")]
         )
         total = t.num_rows
         page = t.take(idx).slice(offset, limit)
+        # strftime-formatted timestamp per row (reference formats history
+        # timestamps with "%Y-%m-%d %H:%M:%S", smse_backend/routes/user.py:24)
+        import datetime as _dt
+
+        rows = page.to_pylist()
+        for r in rows:
+            r["timestamp_str"] = _dt.datetime.fromtimestamp(
+                r["timestamp"], tz=_dt.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S")
         return {
-            "queries": page.to_pylist(),
+            "queries": rows,
             "total": total,
             "limit": limit,
             "offset": offset,
@@ -325,15 +312,15 @@ class SearchEngine:
 
     def get_results(self, query_id: int) -> pa.Table:
         """Replay stored search records (routes/search.py:286-316)."""
-        f = os.path.join(self._records_dir(), f"q_{query_id:012d}.parquet")
-        if not os.path.exists(f):
+        rel = f"search_records/q_{query_id:012d}.parquet"
+        if not self.ifs.exists(rel):
             raise KeyError(f"query {query_id} not found")
-        return pq.read_table(f)
+        return self.ifs.read_table(rel)
 
     def delete_query(self, query_id: int) -> None:
         """Cascade delete of a stored query + its records
         (routes/search.py:319-331; FK CASCADE analog)."""
-        for d, name in ((self._log_dir(), "query"), (self._records_dir(), "records")):
-            f = os.path.join(d, f"q_{query_id:012d}.parquet")
-            if os.path.exists(f):
-                os.remove(f)
+        for sub in ("querylog", "search_records"):
+            rel = f"{sub}/q_{query_id:012d}.parquet"
+            if self.ifs.exists(rel):
+                self.ifs.delete_file(rel)

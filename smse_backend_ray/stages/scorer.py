@@ -3,9 +3,18 @@
 Reference analog: the pgvector index queried per modality with DB-side top-k
 (smse_backend/services/search.py:97-110) and the worker-resident model state
 (module globals loaded once per worker, smse_backend/tasks.py:35-39). Here the
-per-worker state is a decoded index shard: a ``ShardSearcher`` Ray actor loads
-its shards' segment + docmeta parquet ONCE in ``__init__`` and then answers
-top-k for batches of queries with vectorized numpy scoring.
+per-worker state is an index shard: a ``ShardSearcher`` Ray actor loads its
+shards' segment + docmeta parquet ONCE in ``__init__`` and then answers top-k
+for batches of queries with vectorized numpy scoring.
+
+Shard state stays COLUMNAR: segments are held as one Arrow table with a
+term -> row-index dict; per-term entries (posting bytes, block metadata) are
+materialized lazily on first query of the term and postings decode lazily on
+top of that. Actor start cost is O(1 table concat + 1 string-column pass),
+flat as the vocabulary grows — never a to_pylist of every segment row.
+
+All index reads go through state/fs.IndexFS, so shards load from any
+pyarrow.fs location (local, file://, s3://, or an injected FileSystem).
 
 Score determinism (SURVEY.md §4): contributions are accumulated in FIXED
 term-ascending order per doc (see ``_accumulate``) — one scalar add per
@@ -15,12 +24,8 @@ sequence of the single-process oracle, so scores are bitwise equal.
 
 from __future__ import annotations
 
-import glob
-import os
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray
 
@@ -28,6 +33,7 @@ from smse_backend_ray.config import SCORE_DECIMALS, BM25Params
 from smse_backend_ray.functions.bm25 import tfnorm_vec
 from smse_backend_ray.functions.rounding import round_half_away
 from smse_backend_ray.functions.codec import decode_block, decode_postings
+from smse_backend_ray.state.fs import resolve
 
 
 def _accumulate(
@@ -50,44 +56,52 @@ SEGMENT_COLS = [
     "term", "docs_bytes", "tfs_bytes", "dls_bytes",
     "block_doc_off", "block_tf_off", "block_dl_off", "block_last", "block_max",
 ]
+_ENTRY_COLS = SEGMENT_COLS[1:]
 
 
 class ShardIndex:
-    """In-memory decoded view of one shard (segments + doc metadata)."""
+    """Columnar view of one shard (segments + doc metadata)."""
 
     def __init__(
         self,
-        index_dir: str,
+        index_dir,
         shard_id: int,
         avgdl: float,
         params: BM25Params,
         block_size: int = 128,
     ):
+        ifs = resolve(index_dir)
         self.shard_id = shard_id
         self.avgdl = avgdl
         self.params = params
         self.block_size = block_size
 
-        seg_files = sorted(
-            glob.glob(os.path.join(index_dir, "segments", f"shard_id={shard_id}", "*.parquet"))
+        seg_files = ifs.list_files(
+            f"segments/shard_id={shard_id}", suffix=".parquet"
         )
-        self.terms: dict[str, dict] = {}
-        for f in seg_files:
-            t = pq.read_table(f, columns=SEGMENT_COLS)
-            for row in t.to_pylist():
-                self.terms[row.pop("term")] = row
+        if seg_files:
+            seg = pa.concat_tables(
+                ifs.read_table(f, columns=SEGMENT_COLS) for f in seg_files
+            ).combine_chunks()
+        else:
+            seg = None
+        self._seg = seg
+        # the only full-vocabulary pass: one string column -> row index
+        self._term_row: dict[str, int] = (
+            {t: i for i, t in enumerate(seg["term"].to_pylist())} if seg is not None else {}
+        )
+        self._ent_cache: dict[str, dict] = {}
 
         # docs are hive-partitioned by shard_id (optionally nested under
         # wave_* dirs in file-mode builds); read only this shard's meta cols
-        meta_files = sorted(
-            glob.glob(
-                os.path.join(index_dir, "docs", "**", f"shard_id={shard_id}", "*.parquet"),
-                recursive=True,
-            )
-        )
+        meta_files = [
+            f
+            for f in ifs.list_files("docs", recursive=True, suffix=".parquet")
+            if f"shard_id={shard_id}/" in f
+        ]
         if meta_files:
             m = pa.concat_tables(
-                pq.read_table(f, columns=["doc_id", "repo", "path", "lang"])
+                ifs.read_table(f, columns=["doc_id", "repo", "path", "lang"])
                 for f in meta_files
             )
             order = pa.compute.sort_indices(m["doc_id"])
@@ -100,15 +114,30 @@ class ShardIndex:
             self.meta_ids = np.empty(0, dtype=np.int64)
             self.meta_repo = self.meta_path = self.meta_lang = np.empty(0, dtype=object)
 
-    # -- scoring -----------------------------------------------------------
+    # -- lazy per-term state ----------------------------------------------
+
+    def _entry(self, term: str) -> dict | None:
+        """Materialize one term's segment row from the columnar table
+        (cached); decode state attaches to the same dict lazily."""
+        ent = self._ent_cache.get(term)
+        if ent is not None:
+            return ent
+        i = self._term_row.get(term)
+        if i is None:
+            return None
+        ent = {c: self._seg[c][i].as_py() for c in _ENTRY_COLS}
+        self._ent_cache[term] = ent
+        return ent
 
     def _decoded(self, term: str):
-        ent = self.terms.get(term)
+        ent = self._entry(term)
         if ent is None:
             return None
         if "dec" not in ent:
             ent["dec"] = decode_postings(ent, self.block_size)
         return ent["dec"]
+
+    # -- scoring -----------------------------------------------------------
 
     def score_query(
         self,
@@ -208,7 +237,7 @@ class ShardIndex:
             return self.score_query(terms, weights, scope, k, strategy="exact", tombstones=tombstones)
         infos = []
         for term, w in zip(terms, weights):
-            ent = self.terms.get(term)
+            ent = self._entry(term)
             if ent is None:
                 continue
             bmax = np.asarray(ent["block_max"], dtype=np.float64)
@@ -261,7 +290,7 @@ class ShardSearcher:
 
     def __init__(
         self,
-        index_dir: str,
+        index_dir,
         shard_ids: list[int],
         avgdl: float,
         params_dict: dict,

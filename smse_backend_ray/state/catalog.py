@@ -2,21 +2,27 @@
 smse_backend/models/task.py:6-34; status reconciliation
 smse_backend/routes/task.py:30-52).
 
-The manifest is a JSON file under the index directory recording, per build
+The manifest is a JSON file under the index location recording, per build
 stage and per input partition: input fingerprint, status, timestamps, metrics
 and output path. Commits are atomic (write temp + rename — the idempotent
 write protocol SURVEY.md §4 requires). Resume = anti-join of planned
 partitions against completed ones (the engine's only anti-join, SURVEY.md
 §2.4 J3).
+
+All I/O goes through state/fs.IndexFS, so the index may live on any
+pyarrow.fs filesystem (local path, file:// or s3:// URI, or an explicit
+(FileSystem, path) pair) — the reference's pluggable StorageBackend contract
+(smse_backend/services/file_storage.py:32-73).
 """
 
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import time
 from dataclasses import asdict, dataclass, field
+
+from smse_backend_ray.state.fs import IndexFS, resolve
 
 
 @dataclass
@@ -31,7 +37,8 @@ class PartitionRecord:
 
 
 def fingerprint_files(files: list[str]) -> str:
-    """Deterministic partition fingerprint: path + size + mtime per file."""
+    """Deterministic partition fingerprint: path + size + mtime per file.
+    (Input corpus files, not index state — local paths in file-mode builds.)"""
     h = hashlib.sha256()
     for f in sorted(files):
         st = os.stat(f)
@@ -40,25 +47,23 @@ def fingerprint_files(files: list[str]) -> str:
 
 
 class Catalog:
-    """Manifest manager for one index directory."""
+    """Manifest manager for one index location."""
 
-    def __init__(self, index_dir: str):
+    MANIFEST = "manifest.json"
+
+    def __init__(self, index_dir):
+        self.ifs: IndexFS = resolve(index_dir)
         self.index_dir = index_dir
-        self.path = os.path.join(index_dir, "manifest.json")
-        os.makedirs(index_dir, exist_ok=True)
+        self.ifs.mkdirs()
         self._state = self._load()
 
     def _load(self) -> dict:
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                return json.load(f)
-        return {"stages": {}, "partitions": {}, "config": {}, "stats": {}}
+        if self.ifs.exists(self.MANIFEST):
+            return self.ifs.read_json(self.MANIFEST)
+        return {"stages": {}, "partitions": {}, "config": {}, "stats": {}, "prefs": {}}
 
     def _commit(self) -> None:
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._state, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.path)  # atomic on POSIX
+        self.ifs.write_json_atomic(self.MANIFEST, self._state)
 
     # -- config / stats ----------------------------------------------------
     def set_config(self, cfg_dict: dict) -> None:
@@ -74,6 +79,22 @@ class Catalog:
 
     def get_stats(self) -> dict:
         return self._state["stats"]
+
+    # -- preferences (reference User.preferences JSON get/merge/clear,
+    #    smse_backend/models/user.py:18, routes/user.py:93-141) -----------
+    def get_prefs(self) -> dict:
+        return dict(self._state.get("prefs", {}))
+
+    def merge_prefs(self, updates: dict) -> dict:
+        """Shallow-merge semantics of the reference's preferences PUT."""
+        prefs = self._state.setdefault("prefs", {})
+        prefs.update(updates)
+        self._commit()
+        return dict(prefs)
+
+    def clear_prefs(self) -> None:
+        self._state["prefs"] = {}
+        self._commit()
 
     # -- stage-level lineage ----------------------------------------------
     def stage_done(self, stage: str) -> bool:
@@ -139,34 +160,34 @@ class Catalog:
     #    smse_backend/services/file_storage.py:675-708) ------------------
     def gc(self, max_age_hours: float = 24.0, now: float | None = None) -> dict:
         """Delete query-log/search-record files older than ``max_age_hours``
-        and orphaned stage temp dirs (*.tmp from interrupted runs). Returns
-        counts. Driver-side cron pass, not a dataset op (SURVEY.md §2.9)."""
+        and orphaned temp state (*.tmp dirs/files from interrupted runs).
+        Returns counts. Driver-side cron pass, not a dataset op
+        (SURVEY.md §2.9)."""
         now = now if now is not None else time.time()
         cutoff = now - max_age_hours * 3600
         removed = {"query_files": 0, "tmp_dirs": 0}
         for sub in ("querylog", "search_records"):
-            d = os.path.join(self.index_dir, sub)
-            if not os.path.isdir(d):
-                continue
-            for f in os.listdir(d):
-                p = os.path.join(d, f)
-                if os.path.getmtime(p) < cutoff:
-                    os.remove(p)
+            for info in self.ifs.list_infos(sub):
+                if not info.is_file:
+                    continue
+                mtime = info.mtime.timestamp() if info.mtime else 0.0
+                if mtime < cutoff:
+                    self.ifs.fs.delete_file(info.path)
                     removed["query_files"] += 1
-        for f in os.listdir(self.index_dir):
-            if f.endswith(".tmp"):
-                p = os.path.join(self.index_dir, f)
-                # orphaned temp state can be a DIR (stage output) or a FILE
-                # (manifest.json.tmp left by a crash); count only removals
-                # that actually happened
-                try:
-                    if os.path.isdir(p):
-                        import shutil
+        for info in self.ifs.list_infos():
+            if not info.path.endswith(".tmp"):
+                continue
+            # orphaned temp state can be a DIR (stage output) or a FILE
+            # (manifest.json.tmp left by a crash); count only removals that
+            # actually happened
+            try:
+                import pyarrow.fs as pafs
 
-                        shutil.rmtree(p)
-                    else:
-                        os.remove(p)
-                    removed["tmp_dirs"] += 1
-                except OSError:
-                    pass
+                if info.type == pafs.FileType.Directory:
+                    self.ifs.fs.delete_dir(info.path)
+                else:
+                    self.ifs.fs.delete_file(info.path)
+                removed["tmp_dirs"] += 1
+            except OSError:
+                pass
         return removed

@@ -1,0 +1,194 @@
+"""Filesystem-agnostic index storage seam (pyarrow.fs).
+
+Reference analog: the ``StorageBackend`` ABC with local + S3 implementations
+selected by config (smse_backend/services/file_storage.py:32-73, S3 impl
+:220-431, selection :441-462). Here the seam is a single ``IndexFS`` object
+wrapping a ``pyarrow.fs.FileSystem`` + root path; every byte of index state
+(docs/segments/df parquet, manifest, tombstones, query log) goes through it,
+so ``index_dir`` may be a local path, a URI (``file://``, ``s3://`` — any
+scheme ``pyarrow.fs.FileSystem.from_uri`` resolves), or an explicit
+``(FileSystem, path)`` pair (how tests exercise a remote-FS stand-in via
+``SubTreeFileSystem`` without network access).
+
+Commit protocol: write to ``<dest>.tmp`` then ``move`` — a true atomic rename
+on local filesystems; on object stores it degrades to per-file copy+delete,
+which is still safe because readers discover state through the manifest,
+which is itself committed last via a single-file move (single-object PUT
+semantics on S3-likes).
+
+IndexFS is picklable (pyarrow filesystems ship by value), so Ray actors and
+map_batches tasks receive the location object directly.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+from typing import Any, Iterable
+
+import pyarrow.fs as pafs
+
+Location = "str | tuple[pafs.FileSystem, str] | IndexFS"
+
+
+class IndexFS:
+    """One index location: (filesystem, root path) + the I/O helpers the
+    engine needs. All relative paths use "/" separators (posix)."""
+
+    def __init__(self, location: Any):
+        if isinstance(location, IndexFS):
+            self.fs, self.root, self.location = location.fs, location.root, location.location
+            return
+        if isinstance(location, tuple):
+            self.fs, self.root = location
+            self.root = self.root.rstrip("/")
+            self.location = location
+            return
+        if not isinstance(location, str):
+            raise TypeError(f"index location must be str/tuple/IndexFS, got {type(location)}")
+        if "://" in location:
+            fs, path = pafs.FileSystem.from_uri(location)
+            self.fs, self.root = fs, path.rstrip("/")
+        else:
+            import os
+
+            self.fs = pafs.LocalFileSystem()
+            self.root = os.path.abspath(location)
+        self.location = location
+
+    # -- paths -------------------------------------------------------------
+    def join(self, *parts: str) -> str:
+        return posixpath.join(self.root, *parts) if parts else self.root
+
+    def subfs(self, *parts: str) -> "IndexFS":
+        return IndexFS((self.fs, self.join(*parts)))
+
+    # -- metadata ops ------------------------------------------------------
+    def info(self, rel: str = "") -> pafs.FileInfo:
+        return self.fs.get_file_info(self.join(rel))
+
+    def exists(self, rel: str = "") -> bool:
+        return self.info(rel).type != pafs.FileType.NotFound
+
+    def is_dir(self, rel: str = "") -> bool:
+        return self.info(rel).type == pafs.FileType.Directory
+
+    def mkdirs(self, rel: str = "") -> None:
+        self.fs.create_dir(self.join(rel), recursive=True)
+
+    def delete_file(self, rel: str) -> None:
+        self.fs.delete_file(self.join(rel))
+
+    def delete_dir(self, rel: str = "") -> None:
+        self.fs.delete_dir(self.join(rel))
+
+    def delete_any(self, rel: str) -> None:
+        if self.is_dir(rel):
+            self.delete_dir(rel)
+        else:
+            self.delete_file(rel)
+
+    def move(self, src_rel: str, dst_rel: str) -> None:
+        """Rename within this filesystem (atomic on local FS)."""
+        self.fs.move(self.join(src_rel), self.join(dst_rel))
+
+    def list_infos(self, rel: str = "", recursive: bool = False) -> list[pafs.FileInfo]:
+        sel = pafs.FileSelector(self.join(rel), recursive=recursive, allow_not_found=True)
+        return list(self.fs.get_file_info(sel))
+
+    def list_files(
+        self, rel: str = "", recursive: bool = False, suffix: str | None = None
+    ) -> list[str]:
+        """Sorted FULL paths of plain files under ``rel``."""
+        out = [
+            i.path
+            for i in self.list_infos(rel, recursive=recursive)
+            if i.is_file and (suffix is None or i.path.endswith(suffix))
+        ]
+        return sorted(out)
+
+    def dir_bytes(self, rel: str = "", suffix: str = ".parquet") -> int:
+        return sum(
+            i.size
+            for i in self.list_infos(rel, recursive=True)
+            if i.is_file and i.path.endswith(suffix)
+        )
+
+    # -- streams / JSON ----------------------------------------------------
+    def open_input(self, path: str):
+        """``path`` may be relative to root or a full path from list_files."""
+        return self.fs.open_input_file(self._full(path))
+
+    def open_output(self, path: str):
+        return self.fs.open_output_stream(self._full(path))
+
+    def _full(self, path: str) -> str:
+        return path if path.startswith(self.root) else self.join(path)
+
+    def read_json(self, rel: str) -> Any:
+        with self.open_input(rel) as f:
+            return json.loads(f.read().decode())
+
+    def write_json_atomic(self, rel: str, obj: Any) -> None:
+        tmp = rel + ".tmp"
+        with self.open_output(tmp) as f:
+            f.write(json.dumps(obj, indent=1, sort_keys=True).encode())
+        if self.exists(rel):
+            self.delete_file(rel)  # no-op overwrite guard for object stores
+        self.move(tmp, rel)
+
+    # -- parquet -----------------------------------------------------------
+    def pads_dataset(self, rel: str = "", **kwargs):
+        import pyarrow.dataset as pads
+
+        return pads.dataset(self.join(rel), filesystem=self.fs, **kwargs)
+
+    def read_table(self, path: str, **kwargs):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(self._full(path), filesystem=self.fs, **kwargs)
+
+    def write_table(self, table, rel: str, **kwargs) -> None:
+        import pyarrow.parquet as pq
+
+        pq.write_table(table, self.join(rel), filesystem=self.fs, **kwargs)
+
+    def parquet_file(self, path: str):
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self.open_input(path))
+
+    def column_bytes(self, rel: str, columns: Iterable[str]) -> int:
+        """On-disk compressed size of a column subset (parquet footers only)."""
+        cols = set(columns)
+        total = 0
+        for f in self.list_files(rel, recursive=True, suffix=".parquet"):
+            md = self.parquet_file(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema.split(".")[0] in cols:
+                        total += col.total_compressed_size
+        return total
+
+    # -- Ray Data ----------------------------------------------------------
+    def ray_read_parquet(self, rel: str = "", **kwargs):
+        import ray.data
+
+        return ray.data.read_parquet(self.join(rel), filesystem=self.fs, **kwargs)
+
+    def atomic_write_dataset(self, ds, rel: str, **kwargs) -> None:
+        """write_parquet to ``rel``.tmp then swap into place (idempotent
+        commit; SURVEY.md §4 retries row)."""
+        tmp = rel + ".tmp"
+        if self.exists(tmp):
+            self.delete_dir(tmp)
+        ds.write_parquet(self.join(tmp), filesystem=self.fs, **kwargs)
+        if self.exists(rel):
+            self.delete_dir(rel)
+        self.move(tmp, rel)
+
+
+def resolve(location: Any) -> IndexFS:
+    return location if isinstance(location, IndexFS) else IndexFS(location)
