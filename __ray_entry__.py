@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,   # rows-only (LSH recall)
         "dedup_simhash": dedup.simhash_pairs,           # rows-only (hash fn)
         "dedup_embedding": dedup.embedding_dup_pairs,
+        "dedup_embedding_ivf": dedup.embedding_dup_pairs_ivf,  # rows-only (blocking recall)
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_ivf_full_probe": lambda sf: simsearch.knn_ivf(sf, nprobe=16),
         "events_hourly_agg": events.hourly_window_agg,
@@ -322,7 +323,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": sqlgen.fingerprint_sql(),
         "dedup_exact": sqlgen.exact_dedup_sql(),
         "dedup_jaccard": sqlgen.jaccard_pairs_sql(
-            dedup_mod.JACCARD_THRESHOLD, dedup_mod.SHINGLE_K
+            dedup_mod.JACCARD_THRESHOLD,
+            dedup_mod.SHINGLE_K,
+            dedup_mod.JACCARD_SHINGLE_DF_CAP,
         ),
         # dedup_minhash_lsh / dedup_simhash: no SQL oracle (hash functions);
         # rows-only check + pytest containment vs exact jaccard

@@ -333,13 +333,19 @@ grams AS (
 shingles AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE rn <= n - {k - 1})"""
 
 
-def jaccard_pairs_sql(threshold: float, k: int) -> str:
+def jaccard_pairs_sql(threshold: float, k: int, df_cap: int = 256) -> str:
+    """Exact-Jaccard twin. ``df_cap`` mirrors the engine's
+    JACCARD_SHINGLE_DF_CAP: shingles shared by more than df_cap docs are
+    excluded from every shingle set (sizes AND intersections)."""
     return f"""
 WITH {_shingles_cte(k).lstrip()},
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+hot AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) > {df_cap}),
+kept AS (SELECT doc_id, shingle FROM shingles
+         WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 inter AS (
   SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
-  FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  FROM kept s1 JOIN kept s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
   GROUP BY s1.doc_id, s2.doc_id
 )
 SELECT inter.a, inter.b,

@@ -14,11 +14,14 @@ Scale notes (the partitioning assumptions each operator relies on):
     docs emits d*(d-1)/2 candidate pairs, so this is for verification /
     small scopes. The scale path is minhash_lsh (bounded band buckets).
   - minhash_lsh: shingle -> 64 minhashes -> 16 bands of 4 -> groupby(band
-    bucket) -> candidate pairs -> exact-Jaccard verify. Only band-bucket
-    collisions shuffle.
-  - embedding near-dup: blocked matrix product against a broadcast
-    (ray.put) normalized matrix; the scale path replaces the broadcast side
-    with IVF buckets (see pipelines/simsearch.py).
+    bucket) -> candidate pairs -> DISTRIBUTED exact-Jaccard verify over the
+    candidate docs only. Only band-bucket collisions shuffle; the driver
+    sees pair ids, never text.
+  - simhash: banding AND hamming verification run distributed
+    (groupby(16-bit chunk bucket)); oversized buckets are capped + logged.
+  - embedding near-dup: exact = distributed block-pair sweep (per-task
+    pushdown reads, no broadcast, no driver-held vectors); scale path =
+    IVF-bucketed blocking over pipelines/simsearch.build_ivf_index.
 """
 
 from __future__ import annotations
@@ -108,36 +111,28 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
     )
 
 
-def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
-    shingles = _read_documents(sf_dir).map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+# shingles shared by more than this many docs are excluded from Jaccard sets
+# (engine AND DuckDB oracle share the cap; sqlgen.jaccard_pairs_sql mirrors
+# it). Bounds the all-pairs emission per shingle group at cap^2/2 — without
+# it one ubiquitous shingle emits d^2/2 rows and kills the job at scale.
+JACCARD_SHINGLE_DF_CAP = 256
 
-    # doc shingle-set sizes: tiny table -> broadcast
-    from ray.data.aggregate import Count
 
-    sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="n"))
-    sizes_t = collect_table(sizes_ds)
-    sizes = dict(zip(sizes_t["doc_id"].to_pylist(), sizes_t["n"].to_pylist()))
-    sizes_ref = ray.put(sizes)
-
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        dids = sorted(g["doc_id"].to_pylist())
-        a, b = [], []
-        for i in range(len(dids)):
-            for j in range(i + 1, len(dids)):
-                a.append(dids[i])
-                b.append(dids[j])
-        return pa.table(
-            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
-        )
-
-    from ray.data.aggregate import Count as Count2
-
-    inter = (
-        shingles.groupby("shingle")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count2(alias_name="inter"))
+def _emit_pairs_group(g: pa.Table) -> pa.Table:
+    """All (a < b) doc pairs within one shingle/band group."""
+    dids = sorted(set(g["doc_id"].to_pylist()))
+    a, b = [], []
+    for i in range(len(dids)):
+        for j in range(i + 1, len(dids)):
+            a.append(dids[i])
+            b.append(dids[j])
+    return pa.table(
+        {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
     )
+
+
+def _score_jaccard(inter_ds, sizes_ref, threshold: float) -> pa.Table:
+    """(a, b, inter) dataset + broadcast sizes -> verified pair table."""
 
     def score(t: pa.Table) -> pa.Table:
         sz = ray.get(sizes_ref)
@@ -156,9 +151,59 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table
             }
         )
 
-    out = inter.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    out = inter_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     t = collect_table(out)
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
+
+
+def jaccard_pairs(
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int = JACCARD_SHINGLE_DF_CAP,
+) -> pa.Table:
+    """Exact shingle-Jaccard pairs via a distributed inverted shingle index.
+    Shingles with global df > ``df_cap`` are dropped from every shingle set
+    (sizes AND intersections; the SQL oracle applies the identical cap), and
+    the drop is logged — never silent."""
+    from ray.data.aggregate import Count
+
+    docs = _read_documents(sf_dir)
+    shingles = docs.map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    # global shingle df -> hot head (tiny: only shingles over the cap)
+    hot_t = collect_table(
+        shingles.groupby("shingle").aggregate(Count(alias_name="df")).filter(
+            expr=f"df > {df_cap}"
+        )
+    )
+    if hot_t.num_rows:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jaccard_pairs: excluding %d shingles with df > %d from Jaccard sets",
+            hot_t.num_rows, df_cap,
+        )
+        hot_ref = ray.put(set(hot_t["shingle"].to_pylist()))
+
+        def drop_hot(t: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref)
+            mask = pa.array([s not in hot for s in t["shingle"].to_pylist()])
+            return t.filter(mask)
+
+        shingles = shingles.map_batches(drop_hot, batch_format="pyarrow", zero_copy_batch=True)
+
+    # doc shingle-set sizes: tiny table -> broadcast
+    sizes_t = collect_table(shingles.groupby("doc_id").aggregate(Count(alias_name="n")))
+    sizes = dict(zip(sizes_t["doc_id"].to_pylist(), sizes_t["n"].to_pylist()))
+    sizes_ref = ray.put(sizes)
+
+    inter = (
+        shingles.groupby("shingle")
+        .map_groups(_emit_pairs_group, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+    return _score_jaccard(inter, sizes_ref, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -187,8 +232,16 @@ def _minhash_sig(shingles: list[str]) -> np.ndarray | None:
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
-    """LSH candidate generation + exact-Jaccard verification. Output schema
-    == jaccard_pairs (pairs it found; high recall, verified precision)."""
+    """LSH candidate generation + DISTRIBUTED exact-Jaccard verification.
+    Output schema == jaccard_pairs (pairs it found; high recall, verified
+    precision).
+
+    Scale shape: only band-bucket collisions shuffle; the driver sees only
+    the candidate PAIR IDS (never text or shingles). Verification reads just
+    the candidate docs (predicate pushdown), re-shingles them in map_batches,
+    and counts intersections with a shingle-group shuffle restricted to the
+    broadcast candidate-pair set."""
+    from ray.data.aggregate import Count
 
     def band_rows(t: pa.Table) -> pa.Table:
         dids, bands, keys = [], [], []
@@ -210,62 +263,63 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.T
             }
         )
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+         "jaccard": pa.array([], type=pa.float64())}
+    )
+
+    # candidate pairs, distinct-ed distributed (a pair colliding in k bands
+    # shuffles k rows but reaches the driver once)
+    cands_t = collect_table(
+        _read_documents(sf_dir)
+        .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "key"])
+        .map_groups(_emit_pairs_group, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+    if cands_t.num_rows == 0:
+        return empty
+    pair_set = set(zip(cands_t["a"].to_pylist(), cands_t["b"].to_pylist()))
+    need = sorted({d for p in pair_set for d in p})
+    pair_ref = ray.put(pair_set)
+
+    # distributed verification over candidate docs only; materialized because
+    # two consumers (sizes, intersections) read it — bounded by the candidate
+    # set, not the corpus
+    cand_shingles = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(need),
+        )
+        .repartition(_parallel_blocks())
+        .map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    sizes_t = collect_table(cand_shingles.groupby("doc_id").aggregate(Count(alias_name="n")))
+    sizes_ref = ray.put(dict(zip(sizes_t["doc_id"].to_pylist(), sizes_t["n"].to_pylist())))
+
+    def emit_candidate_pairs(g: pa.Table) -> pa.Table:
+        pairs = ray.get(pair_ref)
         dids = sorted(set(g["doc_id"].to_pylist()))
         a, b = [], []
         for i in range(len(dids)):
             for j in range(i + 1, len(dids)):
-                a.append(dids[i])
-                b.append(dids[j])
+                if (dids[i], dids[j]) in pairs:
+                    a.append(dids[i])
+                    b.append(dids[j])
         return pa.table(
             {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
         )
 
-    cands_ds = (
-        _read_documents(sf_dir)
-        .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "key"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
+    inter = (
+        cand_shingles.groupby("shingle")
+        .map_groups(emit_candidate_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter"))
     )
-    cands_t = collect_table(cands_ds)
-    if cands_t.num_rows == 0:
-        return pa.table(
-            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
-             "jaccard": pa.array([], type=pa.float64())}
-        )
-    pairs = sorted({(a, b) for a, b in zip(cands_t["a"].to_pylist(), cands_t["b"].to_pylist())})
-
-    # exact verification of the (small) candidate set: read ONLY the
-    # candidate docs (predicate pushdown — never materialize the corpus)
-    import pyarrow.dataset as pads
-
-    need = {d for p in pairs for d in p}
-    docs = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
-        columns=["doc_id", "text"],
-        filter=pads.field("doc_id").isin(sorted(need)),
-    )
-    sh = {
-        did: set(doc_shingles(text))
-        for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
-    }
-    a_out, b_out, j_out = [], [], []
-    for a, b in pairs:
-        sa, sb = sh[a], sh[b]
-        inter = len(sa & sb)
-        if not inter:
-            continue
-        j = inter / (len(sa) + len(sb) - inter)
-        if j >= threshold:
-            a_out.append(a)
-            b_out.append(b)
-            j_out.append(round_half_away(j, 4))
-    return pa.table(
-        {
-            "a": pa.array(a_out, type=pa.int64()),
-            "b": pa.array(b_out, type=pa.int64()),
-            "jaccard": pa.array(j_out, type=pa.float64()),
-        }
-    )
+    return _score_jaccard(inter, sizes_ref, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -273,6 +327,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.T
 # ---------------------------------------------------------------------------
 
 def simhash64(text: str) -> int:
+    """Scalar reference simhash (the frozen definition; the batch path
+    below must match it bit for bit — tested)."""
     toks = split_subtokens(text or "")
     if not toks:
         return 0
@@ -288,89 +344,301 @@ def simhash64(text: str) -> int:
     return int(out)
 
 
+_BIT_WEIGHTS = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized simhash64 over a batch: per-token md5 (C-speed) is the only
+    per-item pass; the ±1 bit accumulation is one reduceat over a
+    (total_tokens x 64) int matrix (integer adds — order-free)."""
+    counts = np.zeros(len(texts), dtype=np.int64)
+    flat: list[int] = []
+    for i, txt in enumerate(texts):
+        toks = split_subtokens(txt or "")
+        counts[i] = len(toks)
+        flat.extend(
+            struct.unpack("<Q", hashlib.md5(t.encode()).digest()[:8])[0] for t in toks
+        )
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not flat:
+        return out
+    h = np.array(flat, dtype=np.uint64)
+    pm = 2 * ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64) - 1
+    nz = np.flatnonzero(counts)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nz]
+    acc = np.add.reduceat(pm, starts, axis=0)
+    out[nz] = ((acc > 0).astype(np.uint64) * _BIT_WEIGHTS[None, :]).sum(axis=1)
+    return out
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    if not x.size:
+        return np.zeros(0, dtype=np.int64)
+    return np.unpackbits(np.ascontiguousarray(x).view(np.uint8)).reshape(-1, 64).sum(axis=1)
+
+
+# banding recall cap: buckets larger than this are skipped (and LOGGED — a
+# 16-bit chunk shared by this many docs carries ~no near-dup signal, but the
+# drop is surfaced, never silent)
+SIMHASH_BUCKET_CAP = 200
+
+
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """Near-dup pairs by simhash hamming distance, banded by 16-bit chunks
-    (a pair within hamming<=3 must agree on >=1 of 4 chunks)."""
+    (a pair within hamming<=3 must agree on >=1 of 4 chunks).
+
+    Fully distributed: hash in map_batches, band via groupby(chunk bucket),
+    pair + exact-hamming-verify INSIDE each bucket group (every group row
+    carries the full 64-bit hash), then a distributed (a, b) dedupe — the
+    driver never sees the hash set, only the final pair table. The shuffle
+    carries 4 rows of (bucket, doc_id, simhash) per doc.
+    """
 
     def sh_batch(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "simhash": pa.array(
-                    [simhash64(x) for x in t["text"].to_pylist()], type=pa.uint64()
-                ),
+                "simhash": pa.array(simhash_batch(t["text"].to_pylist()), type=pa.uint64()),
             }
         )
 
-    sh_ds = _read_documents(sf_dir).map_batches(sh_batch, batch_format="pyarrow", zero_copy_batch=True)
-    t = collect_table(sh_ds)
-    dids = np.asarray(t["doc_id"])
-    hashes = np.asarray(t["simhash"])
-    # band by 16-bit chunks -> candidates -> exact hamming verify
-    cand: set[tuple[int, int]] = set()
-    for c in range(4):
-        chunk = (hashes >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-        order = np.argsort(chunk, kind="stable")
-        sc = chunk[order]
-        bounds = np.flatnonzero(np.diff(sc)) + 1
-        for grp in np.split(order, bounds):
-            if 1 < len(grp) <= 200:
-                g = sorted(dids[grp].tolist())
-                for i in range(len(g)):
-                    for j in range(i + 1, len(g)):
-                        cand.add((g[i], g[j]))
-    by_id = dict(zip(dids.tolist(), hashes.tolist()))
-    a_o, b_o, d_o = [], [], []
-    for a, b in sorted(cand):
-        d = bin(by_id[a] ^ by_id[b]).count("1")
-        if d <= max_hamming:
-            a_o.append(a)
-            b_o.append(b)
-            d_o.append(d)
-    return pa.table(
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["simhash"])
+        d = np.asarray(t["doc_id"])
+        keys, dids, hs = [], [], []
+        for c in range(4):
+            val = ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            keys.append((np.int64(c) << np.int64(16)) | val)  # bucket key = chunk || value
+            dids.append(d)
+            hs.append(h)
+        return pa.table(
+            {
+                "bkey": pa.array(np.concatenate(keys), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+                "simhash": pa.array(np.concatenate(hs), type=pa.uint64()),
+            }
+        )
+
+    def pair_group(g: pa.Table) -> pa.Table:
+        m = g.num_rows
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+             "hamming": pa.array([], type=pa.int64())}
+        )
+        if m < 2:
+            return empty
+        if m > SIMHASH_BUCKET_CAP:
+            # marker row (a=-1): oversized bucket skipped; b = bucket key,
+            # hamming = -group_size. Split out + logged by the driver below.
+            return pa.table(
+                {"a": pa.array([-1], type=pa.int64()),
+                 "b": pa.array([g["bkey"][0].as_py()], type=pa.int64()),
+                 "hamming": pa.array([-m], type=pa.int64())}
+            )
+        d = np.asarray(g["doc_id"])
+        h = np.asarray(g["simhash"])
+        order = np.argsort(d, kind="stable")
+        d, h = d[order], h[order]
+        iu, ju = np.triu_indices(m, 1)
+        dist = _popcount64(h[iu] ^ h[ju])
+        keep = dist <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(d[iu][keep], type=pa.int64()),
+                "b": pa.array(d[ju][keep], type=pa.int64()),
+                "hamming": pa.array(dist[keep], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs_ds = (
+        _read_documents(sf_dir)
+        .map_batches(sh_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkey")
+        .map_groups(pair_group, batch_format="pyarrow")
+        # a pair can surface from up to 4 chunks: distributed dedupe
+        .groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+    t = collect_table(pairs_ds)
+    markers = t.filter(pc.equal(t["a"], -1))
+    if markers.num_rows:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash_pairs: skipped %d oversized banding buckets "
+            "(cap %d; %d member rows) — banding recall reduced in those buckets",
+            markers.num_rows,
+            SIMHASH_BUCKET_CAP,
+            -int(pc.sum(markers["hamming"]).as_py()),
+        )
+        t = t.filter(pc.not_equal(t["a"], -1))
+    t = pa.table(
         {
-            "a": pa.array(a_o, type=pa.int64()),
-            "b": pa.array(b_o, type=pa.int64()),
-            "hamming": pa.array(d_o, type=pa.int32()),
+            "a": t["a"],
+            "b": t["b"],
+            "hamming": pc.cast(t["hamming"], pa.int32()),
         }
     )
+    return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
 
 
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = EMB_DUP_THRESHOLD) -> pa.Table:
-    """Pairs (a < b) with cosine >= threshold. Broadcast normalized matrix,
-    blocked matmul per batch (float64; SQL twin sums in double too)."""
-    import pyarrow.parquet as pq
+def embedding_dup_pairs(
+    sf_dir: str, threshold: float = EMB_DUP_THRESHOLD, block_rows: int = 4096
+) -> pa.Table:
+    """Exact pairs (a < b) with cosine >= threshold, as a DISTRIBUTED
+    block-pair sweep: vec_id space is cut into fixed ranges and one Ray task
+    per (block_i <= block_j) pair reads JUST those two ranges via parquet
+    predicate pushdown and does one float64 matmul. Nothing is broadcast and
+    the driver never holds a vector — memory is O(block²) per task while the
+    (inherent for an exact all-pairs op) O(N²) compute spreads over
+    nb*(nb+1)/2 tasks. The IVF-bucketed variant below is the sub-quadratic
+    scale path."""
+    from math import ceil
 
-    full = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    from ray.data.aggregate import Max, Min
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    mm = ray.data.read_parquet(path, columns=["vec_id"]).aggregate(
+        Min("vec_id", alias_name="lo"), Max("vec_id", alias_name="hi")
     )
-    ids = np.asarray(full["vec_id"])
-    M = np.array(full["embedding"].to_pylist(), dtype=np.float64)
-    norms = np.sqrt((M * M).sum(axis=1))
-    ref = ray.put((ids, M, norms))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    nb = max(1, ceil((hi - lo + 1) / block_rows))
 
-    def pairs_batch(t: pa.Table) -> pa.Table:
-        all_ids, allM, all_norms = ray.get(ref)
-        bids = np.asarray(t["vec_id"])
-        B = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        bnorms = np.sqrt((B * B).sum(axis=1))
-        sims = (B @ allM.T) / np.outer(bnorms, all_norms)
-        bi, aj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
+    def rng(i: int) -> tuple[int, int]:
+        return lo + i * block_rows, min(lo + (i + 1) * block_rows, hi + 1)
+
+    tasks = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+
+    def pair_block(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(path)
+
+        def load(i: int):
+            a, b = rng(i)
+            t = dset.to_table(
+                columns=["vec_id", "embedding"],
+                filter=(pads.field("vec_id") >= a) & (pads.field("vec_id") < b),
+            )
+            ids = np.asarray(t["vec_id"])
+            M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            return ids, M, np.sqrt((M * M).sum(axis=1))
+
+        outs = []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ia, Ma, na = load(i)
+            ib, Mb, nbn = (ia, Ma, na) if i == j else load(j)
+            if not len(ia) or not len(ib):
+                continue
+            sims = (Ma @ Mb.T) / np.outer(na, nbn)
+            ri, cj = np.nonzero((sims >= threshold) & (ia[:, None] < ib[None, :]))
+            outs.append(
+                pa.table(
+                    {
+                        "a": pa.array(ia[ri], type=pa.int64()),
+                        "b": pa.array(ib[cj], type=pa.int64()),
+                        "cosine": pa.array(
+                            round_half_away(sims[ri, cj], 4), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
+        return pa.concat_tables(outs)
+
+    out = ray.data.from_items(tasks).map_batches(
+        pair_block, batch_format="pyarrow", batch_size=1
+    )
+    t = collect_table(out)
+    return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
+
+
+def embedding_dup_pairs_ivf(
+    sf_dir: str,
+    threshold: float = EMB_DUP_THRESHOLD,
+    assign_probes: int = 2,
+) -> pa.Table:
+    """Sub-quadratic near-dup blocking via the IVF cluster layout
+    (pipelines/simsearch.build_ivf_index): each vector is assigned to its
+    ``assign_probes`` nearest centroids, pairs are generated ONLY within a
+    shared cluster (groupby(cluster) shuffle, O(sum cluster²) compute), then
+    deduped distributed. High recall for cosine-similar pairs (similar
+    vectors land in the same or adjacent Voronoi cells — multi-assignment
+    covers the boundaries); precision exact (cosines verified in-group).
+    Rows-only gate + recall test vs the exact sweep."""
+    from ray.data.aggregate import Max
+
+    from smse_backend_ray.pipelines.simsearch import build_ivf_index
+
+    _, cents = build_ivf_index(sf_dir)
+    cents_ref = ray.put(cents)
+
+    def assign_rows(t: pa.Table) -> pa.Table:
+        C = ray.get(cents_ref)
+        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        near = np.argsort(d, axis=1, kind="stable")[:, :assign_probes]
+        ids = np.asarray(t["vec_id"])
+        emb = t["embedding"]
+        parts = []
+        for p in range(assign_probes):
+            parts.append(
+                pa.table(
+                    {
+                        "cluster": pa.array(near[:, p].astype(np.int32), type=pa.int32()),
+                        "vec_id": pa.array(ids, type=pa.int64()),
+                        "embedding": emb,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def pair_group(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["vec_id"])
+        order = np.argsort(ids, kind="stable")
+        # multi-assignment can duplicate a vec within a group via different
+        # probes only across groups, but be safe: distinct vec_ids
+        uniq_mask = np.concatenate(([True], np.diff(ids[order]) != 0))
+        sel = order[uniq_mask]
+        ids = ids[sel]
+        M = np.array(g["embedding"].take(pa.array(sel)).to_pylist(), dtype=np.float64)
+        if len(ids) < 2:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
+        n = np.sqrt((M * M).sum(axis=1))
+        sims = (M @ M.T) / np.outer(n, n)
+        ri, cj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
         return pa.table(
             {
-                "a": pa.array(bids[bi], type=pa.int64()),
-                "b": pa.array(all_ids[aj], type=pa.int64()),
-                "cosine": pa.array(round_half_away(sims[bi, aj], 4), type=pa.float64()),
+                "a": pa.array(ids[ri], type=pa.int64()),
+                "b": pa.array(ids[cj], type=pa.int64()),
+                "cosine": pa.array(round_half_away(sims[ri, cj], 4), type=pa.float64()),
             }
         )
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    ).repartition(_parallel_blocks())
-    out = ds.map_batches(pairs_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        .repartition(_parallel_blocks())
+        .map_batches(assign_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(pair_group, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+    )
     t = collect_table(out)
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))

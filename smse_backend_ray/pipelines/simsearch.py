@@ -1,14 +1,24 @@
 """Similarity search over the ``embeddings`` table (list<float> column):
 brute-force cosine top-k as the exact baseline, and an IVF (inverted-file)
-variant as the scale path.
+variant with a real cluster-partitioned storage layout as the scale path.
 
-Pattern (SURVEY.md ST4 analog): the query matrix is broadcast once via
-``ray.put`` and every batch does one blocked float64 matmul against it —
-never a per-row Python loop, never a shuffle. The IVF variant trains k-means
-centroids with deterministic seeding (first-k init, fixed iterations) and
-restricts search to the ``nprobe`` nearest clusters; with nprobe = n_clusters
-it is exactly the brute-force result (that configuration is the driver-gated
-oracle; recall at lower nprobe is covered by tests).
+Patterns (SURVEY.md ST4 analog):
+  - brute force: the query matrix is broadcast once via ``ray.put`` and every
+    batch does one blocked float64 matmul against it — never a per-row Python
+    loop, never a shuffle.
+  - IVF: ``build_ivf_index`` trains k-means centroids with deterministic
+    seeding (init = pushdown-filtered first k vectors, fixed iterations;
+    per-iteration one small partial-(sum,count) reduction, no shuffle) and
+    writes the vectors to parquet HIVE-PARTITIONED BY ASSIGNED CLUSTER.
+    ``knn_ivf`` then reads ONLY the probed cluster partitions (I/O + compute
+    pruning proportional to nprobe/n_clusters); with nprobe = n_clusters it
+    reads everything and is exactly the brute-force result (that
+    configuration is the driver-gated oracle; recall at lower nprobe is
+    covered by tests).
+
+Float caveat (documented risk class, see BASELINE.md): cosine dot products
+come from per-batch BLAS matmuls whose accumulation order is not frozen; the
+4-decimal rounding absorbs ulp drift except exactly at a .00005 boundary.
 """
 
 from __future__ import annotations
@@ -18,7 +28,6 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -37,6 +46,17 @@ def _emb_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix without a Python loop."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.values, dtype=np.float64)
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    widths = np.diff(offs)
+    d = int(widths[0]) if len(widths) else 0
+    assert (widths == d).all(), "ragged embedding column"
+    return flat.reshape(-1, d) if d else flat.reshape(len(widths), 0)
+
+
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.dataset as pads
 
@@ -44,7 +64,7 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") < N_QUERIES
     )
     ids = np.asarray(t["vec_id"])
-    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    Q = _emb_matrix(t["embedding"])
     return ids, Q
 
 
@@ -83,7 +103,7 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K) -> pa.Table:
     def batch_topk(t: pa.Table) -> pa.Table:
         q_ids, Qm, q_n = ray.get(ref)
         vids = np.asarray(t["vec_id"])
-        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        V = _emb_matrix(t["embedding"])
         vn = np.sqrt((V * V).sum(axis=1))
         sims = round_half_away((Qm @ V.T) / np.outer(q_n, vn), 4)
         out = {"query_vec_id": [], "vec_id": [], "cosine": []}
@@ -110,28 +130,34 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# IVF
+# IVF: train -> cluster-partitioned layout -> probe-pruned search
 # ---------------------------------------------------------------------------
 
 def train_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS, iters: int = IVF_ITERS) -> np.ndarray:
-    """Deterministic distributed k-means: init = first n_clusters vectors by
-    vec_id; each iteration broadcasts centroids and reduces per-batch partial
-    (sum, count) — one small aggregation per iteration, no shuffle."""
-    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
-    order = pc.sort_indices(t["vec_id"])
-    M0 = np.array(t.take(order[:n_clusters])["embedding"].to_pylist(), dtype=np.float64)
-    cents = M0.copy()
+    """Deterministic distributed k-means: init = the first n_clusters vectors
+    by vec_id (PUSHDOWN-filtered read — only those rows leave storage); each
+    iteration broadcasts centroids and reduces per-batch partial (sum, count)
+    — one small aggregation per iteration, no shuffle, no materialization of
+    the dataset (each iteration streams the column-pruned read again; at real
+    scale k-means would train on a pushdown sample the same way)."""
+    import pyarrow.dataset as pads
+
+    t0 = pads.dataset(_emb_path(sf_dir)).to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_clusters
+    )
+    t0 = t0.take(pc.sort_indices(t0["vec_id"]))
+    cents = _emb_matrix(t0["embedding"]).copy()
 
     ds = ray.data.read_parquet(
         _emb_path(sf_dir), columns=["embedding"]
-    ).repartition(_parallel_blocks()).materialize()
+    ).repartition(_parallel_blocks())
 
     for _ in range(iters):
         ref = ray.put(cents)
 
         def partial(tb: pa.Table) -> pa.Table:
             C = ray.get(ref)
-            V = np.array(tb["embedding"].to_pylist(), dtype=np.float64)
+            V = _emb_matrix(tb["embedding"])
             d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d.argmin(axis=1)
             sums = np.zeros_like(C)
@@ -151,7 +177,7 @@ def train_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS, iters: int = IV
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype=np.int64)
         cl = np.asarray(parts["cluster"])
-        ss = np.array(parts["sum"].to_pylist(), dtype=np.float64)
+        ss = _emb_matrix(parts["sum"])
         cc = np.asarray(parts["count"])
         np.add.at(sums, cl, ss)
         np.add.at(counts, cl, cc)
@@ -160,27 +186,80 @@ def train_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS, iters: int = IV
     return cents
 
 
+_IVF_CACHE: dict[tuple[str, int], tuple[str, np.ndarray]] = {}
+
+
+def build_ivf_index(
+    sf_dir: str, out_dir: str | None = None, n_clusters: int = IVF_CLUSTERS
+) -> tuple[str, np.ndarray]:
+    """Train centroids and write the vectors HIVE-PARTITIONED BY ASSIGNED
+    CLUSTER — the storage layout that makes IVF actually prune: a query
+    probing p of c clusters reads p/c of the data. Returns
+    (layout_dir, centroids). Cached per (sf_dir, n_clusters) per process."""
+    key = (os.path.normpath(sf_dir), n_clusters)
+    hit = _IVF_CACHE.get(key)
+    if hit and os.path.isdir(hit[0]):
+        return hit
+    cents = train_centroids(sf_dir, n_clusters)
+    cents_ref = ray.put(cents)
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        C = ray.get(cents_ref)
+        V = _emb_matrix(t["embedding"])
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1).astype(np.int32)
+        # "cluster" becomes the hive partition dir; "cluster_id" stays a
+        # physical column (Ray's per-fragment filter cannot see partition
+        # fields, and per-row masking at query time needs the value)
+        t = t.append_column("cluster", pa.array(assign, type=pa.int32()))
+        return t.append_column("cluster_id", pa.array(assign, type=pa.int32()))
+
+    if out_dir is None:
+        out_dir = f"/tmp/smse_ivf_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}_{n_clusters}"
+    import shutil
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+        .repartition(_parallel_blocks())
+        .map_batches(assign_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(max(4, _parallel_blocks() // 8))  # bound files per cluster
+        .write_parquet(tmp, partition_cols=["cluster"])
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    # centroids live NEXT TO the layout dir (a foreign file inside a
+    # hive-partitioned dir breaks parquet dataset discovery)
+    np.save(out_dir + ".centroids.npy", cents)
+    _IVF_CACHE[key] = (out_dir, cents)
+    return out_dir, cents
+
+
 def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_CLUSTERS) -> pa.Table:
-    """IVF search: assign vectors to centroids, probe the nprobe nearest
-    clusters per query. nprobe == n_clusters reproduces brute force exactly."""
-    cents = train_centroids(sf_dir)
+    """IVF search over the cluster-partitioned layout: per query probe the
+    ``nprobe`` nearest clusters; ONLY the union of probed partitions is read
+    (partition-filter pushdown), and scores for a batch are masked to the
+    queries that probed that batch's clusters. nprobe == n_clusters
+    reproduces brute force exactly."""
+    layout_dir, cents = build_ivf_index(sf_dir)
     qids, Q = _load_queries(sf_dir)
     qnorms = np.sqrt((Q * Q).sum(axis=1))
     qd = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probe = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]  # per-query clusters
-    ref = ray.put((qids, Q, qnorms, cents, probe))
+    probed_union = sorted({int(c) for row in probe for c in row})
+    ref = ray.put((qids, Q, qnorms, probe))
 
     def batch_topk(t: pa.Table) -> pa.Table:
-        q_ids, Qm, q_n, C, prb = ray.get(ref)
+        q_ids, Qm, q_n, prb = ray.get(ref)
         vids = np.asarray(t["vec_id"])
-        V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        clusters = np.asarray(t["cluster_id"])
+        V = _emb_matrix(t["embedding"])
         vn = np.sqrt((V * V).sum(axis=1))
         sims = round_half_away((Qm @ V.T) / np.outer(q_n, vn), 4)
         out = {"query_vec_id": [], "vec_id": [], "cosine": []}
         for qi in range(len(q_ids)):
-            m = np.isin(assign, prb[qi])
+            m = np.isin(clusters, prb[qi])
             if not m.any():
                 continue
             v, s = vids[m], sims[qi][m]
@@ -196,8 +275,16 @@ def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_CLUSTERS) -> pa.Table
             }
         )
 
-    ds = ray.data.read_parquet(
-        _emb_path(sf_dir), columns=["vec_id", "embedding"]
-    ).repartition(_parallel_blocks())
+    # partition pruning by PATH: only the probed cluster directories are
+    # listed/read (Ray's per-fragment filter cannot bind partition fields,
+    # so pruning happens at path selection, the stronger form anyway)
+    import glob
+
+    paths = sorted(
+        f
+        for c in probed_union
+        for f in glob.glob(os.path.join(layout_dir, f"cluster={c}", "*.parquet"))
+    )
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding", "cluster_id"])
     cands = collect_table(ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True))
     return _topk_merge([cands], k)

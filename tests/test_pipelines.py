@@ -45,6 +45,37 @@ def test_simhash_pairs_are_near_dups(ray_session, sf_dir):
     assert t.num_rows > 0  # word-soup corpus has near-dup docs
 
 
+def test_simhash_batch_matches_scalar():
+    texts = [
+        "the quick brown fox " * 3,
+        "",
+        "def foo(barBaz): return qux_quux",
+        "你好 世界",
+        "a b c d e f g h",
+    ]
+    assert dedup.simhash_batch(texts).tolist() == [dedup.simhash64(t) for t in texts]
+
+
+def test_embedding_dedup_block_invariant(ray_session, sf_dir):
+    """The block-pair sweep's output is independent of block size (and the
+    upper-triangle handling of diagonal blocks is exercised at tiny blocks)."""
+    a = dedup.embedding_dup_pairs(sf_dir)
+    b = dedup.embedding_dup_pairs(sf_dir, block_rows=17)
+    assert a.to_pylist() == b.to_pylist()
+
+
+def test_embedding_dedup_ivf_blocking(ray_session, sf_dir):
+    """IVF-bucketed blocking: exact precision (every returned pair really
+    clears the threshold) and usable recall vs the exact sweep."""
+    exact = dedup.embedding_dup_pairs(sf_dir)
+    ivf = dedup.embedding_dup_pairs_ivf(sf_dir)
+    ep = _pairs(exact)
+    ip = _pairs(ivf)
+    assert not (ip - ep)  # precision 1.0
+    if ep:
+        assert len(ep & ip) / len(ep) >= 0.5
+
+
 def test_ivf_full_probe_equals_bruteforce(ray_session, sf_dir):
     bf = simsearch.knn_bruteforce(sf_dir)
     ivf = simsearch.knn_ivf(sf_dir, nprobe=simsearch.IVF_CLUSTERS)
