@@ -252,6 +252,15 @@ def _q_bm25_bulk(sf_dir: str) -> Any:
     )
 
 
+def _q_multimodal(sf_dir: str) -> Any:
+    """Media pipeline with REAL decoders (PPM/WAV/SMV1 synth payloads ->
+    decode + feature actor pools). Deterministic; rows-only gate (payloads
+    are synthesized in-process, not a driver parquet table)."""
+    from smse_backend_ray.stages.multimodal import media_pipeline
+
+    return media_pipeline(300)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from smse_backend_ray.pipelines import dedup, events, simsearch, textstats
     from smse_backend_ray.queryset import (
@@ -278,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.fingerprint,
         "doc_winnow": textstats.winnow_fingerprints,  # rows-only (rolling hash)
+        "doc_preview": textstats.preview,
+        "multimodal_pipeline": _q_multimodal,  # rows-only (synth media, real codecs)
         "dedup_exact": dedup.exact_dedup,
         "dedup_jaccard": dedup.jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,   # rows-only (LSH recall)
@@ -321,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": sqlgen.quality_sql(),
         "doc_lang_id": sqlgen.lang_id_sql(),
         "doc_fingerprint": sqlgen.fingerprint_sql(),
+        "doc_preview": sqlgen.preview_sql(),
         "dedup_exact": sqlgen.exact_dedup_sql(),
         "dedup_jaccard": sqlgen.jaccard_pairs_sql(
             dedup_mod.JACCARD_THRESHOLD,

@@ -304,6 +304,19 @@ def fingerprint_sql() -> str:
 # dedup / similarity oracles (pipelines/dedup.py, pipelines/simsearch.py)
 # ---------------------------------------------------------------------------
 
+def preview_sql() -> str:
+    """Twin of textstats.preview_batch: first line truncated to 120 chars
+    (char semantics on both sides), line count, preview char length."""
+    return """
+SELECT doc_id,
+       substring(split_part(text, chr(10), 1), 1, 120) AS preview,
+       length(substring(split_part(text, chr(10), 1), 1, 120)) AS preview_len,
+       length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def exact_dedup_sql() -> str:
     return (
         "SELECT doc_id, md5(text) AS fingerprint FROM documents "

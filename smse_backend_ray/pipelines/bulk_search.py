@@ -5,15 +5,23 @@ The serving path (pipelines/search.py) holds decoded shards in an actor pool
 queries against the index once), the better shape is to stream the INDEX:
 
   read segments parquet, predicate-pushdown ``term IN (all query terms)``
-  -> map_batches decode + per-(query, term) contribution arrays
-  -> groupby(query_id).map_groups: term-ordered exact accumulation + top-k
+  -> map_batches decode + per-term (doc_ids, tf-norm) arrays, fanned out to
+     QUERY BUCKETS (not queries)
+  -> groupby(query_bucket).map_groups: per query in the bucket, term-ordered
+     exact accumulation + top-k
 
-Only the posting lists of queried terms leave storage (the segments table is
-term-sorted within files via the bucket layout, so row-group pruning works),
-nothing is pinned in memory, and the shuffle moves per-query candidate
-contributions once. Scores are bitwise-identical to the oracle/serving path:
-the per-query group accumulates contributions term-ascending with disjoint
-per-shard doc sets (see stages/scorer._accumulate).
+Hot-term fanout is BOUNDED: queries are hashed into ``n_qbuckets`` reduce
+buckets and a term's decoded posting arrays ship once per bucket that needs
+the term — a term shared by a million queries duplicates min(n_qbuckets,
+n_queries) times in the shuffle, not a million. Only the posting lists of
+queried terms leave storage (the segments table is term-sorted within files
+via the bucket layout, so row-group pruning works), nothing is pinned in
+memory.
+
+Scores are bitwise-identical to the oracle/serving path: each per-query
+accumulation walks its terms ascending, and the several shard-rows of one
+term carry disjoint doc sets, so row order within a term cannot change any
+sum (see stages/scorer._accumulate).
 
 Scope filtering and metadata enrichment are not part of this path (bulk
 output is (query_id, rank, doc_id, score); join doc meta downstream if
@@ -21,6 +29,8 @@ needed).
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -48,8 +58,12 @@ RESULT_SCHEMA = pa.schema(
     ]
 )
 
+N_QUERY_BUCKETS = 64
 
-def bulk_search(index_dir: str, queries, limit: int = DEFAULT_TOP_K) -> pa.Table:
+
+def bulk_search(
+    index_dir, queries, limit: int = DEFAULT_TOP_K, n_qbuckets: int = N_QUERY_BUCKETS
+) -> pa.Table:
     """``queries``: sequence of queryset.QuerySpec (parts + limit are used;
     scope/threshold are serving-path features). Returns RESULT_SCHEMA rows
     sorted by (query_id, rank)."""
@@ -62,29 +76,36 @@ def bulk_search(index_dir: str, queries, limit: int = DEFAULT_TOP_K) -> pa.Table
     block_size = cfg["block_size"]
     params = BM25Params(**cfg["bm25"])
 
-    # driver-side query analysis (tiny) + per-term fan-out map
+    # driver-side query analysis (tiny): per-query term weights + the
+    # term -> query-bucket fanout map
     import pyarrow.dataset as pads
 
     df_ds = ifs.pads_dataset("df")
-    term_queries: dict[str, list[tuple[int, float]]] = {}
-    limits: dict[int, int] = {}
+    term_buckets: dict[str, set[int]] = {}
+    plans: dict[int, dict[int, tuple[int, list[tuple[str, float]]]]] = {}
     for qs in queries:
         qtf, _ = fuse_parts(list(qs.parts))
         terms = sorted(qtf)
         tbl = df_ds.to_table(columns=["term", "df"], filter=pads.field("term").isin(terms))
         dfm = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
-        limits[qs.query_id] = getattr(qs, "limit", limit) or limit
-        for t in terms:
-            d = dfm.get(t)
-            if d:
-                term_queries.setdefault(t, []).append(
-                    (qs.query_id, qtf[t] * idf_fn(n_docs, d))
-                )
-    if not term_queries:
+        tw = [(t, qtf[t] * idf_fn(n_docs, dfm[t])) for t in terms if dfm.get(t)]
+        if not tw:
+            continue
+        qb = zlib.crc32(str(qs.query_id).encode()) % n_qbuckets
+        plans.setdefault(qb, {})[qs.query_id] = (
+            getattr(qs, "limit", limit) or limit,
+            tw,
+        )
+        for t, _w in tw:
+            term_buckets.setdefault(t, set()).add(qb)
+    if not term_buckets:
         return RESULT_SCHEMA.empty_table()
 
-    needed = sorted(term_queries)
-    fanout_ref = ray.put((term_queries, avgdl, block_size, params))
+    needed = sorted(term_buckets)
+    fanout_ref = ray.put(
+        ({t: sorted(b) for t, b in term_buckets.items()}, avgdl, block_size, params)
+    )
+    plans_ref = ray.put(plans)
 
     seg = ifs.ray_read_parquet(
         "segments",
@@ -92,61 +113,81 @@ def bulk_search(index_dir: str, queries, limit: int = DEFAULT_TOP_K) -> pa.Table
     )
 
     def contribs(batch: pa.Table) -> pa.Table:
-        tq, a_avgdl, a_bs, a_params = ray.get(fanout_ref)
-        out = {"query_id": [], "term": [], "doc_ids": [], "contrib": []}
+        """One decoded (doc_ids, tfnorm) row per segment row PER QUERY BUCKET
+        needing the term — the decode happens once; shuffle duplication is
+        bounded by the bucket count, never the query count."""
+        tb, a_avgdl, a_bs, a_params = ray.get(fanout_ref)
+        out = {"qbucket": [], "term": [], "doc_ids": [], "tfn": []}
         for row in batch.to_pylist():
+            buckets = tb.get(row["term"])
+            if not buckets:
+                continue
             ids, tfs, dls = decode_postings(row, a_bs)
             tfn = tfnorm_vec(tfs, dls, a_avgdl, a_params)
-            for qid, w in tq.get(row["term"], ()):
-                out["query_id"].append(qid)
+            ids_l, tfn_l = ids.tolist(), tfn.tolist()
+            for qb in buckets:
+                out["qbucket"].append(qb)
                 out["term"].append(row["term"])
-                out["doc_ids"].append(ids.tolist())
-                out["contrib"].append((w * tfn).tolist())
+                out["doc_ids"].append(ids_l)
+                out["tfn"].append(tfn_l)
         return pa.table(
             {
-                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "qbucket": pa.array(out["qbucket"], type=pa.int32()),
                 "term": pa.array(out["term"], type=pa.string()),
                 "doc_ids": pa.array(out["doc_ids"], type=pa.list_(pa.int64())),
-                "contrib": pa.array(out["contrib"], type=pa.list_(pa.float64())),
+                "tfn": pa.array(out["tfn"], type=pa.list_(pa.float64())),
             }
         )
 
-    limits_ref = ray.put(limits)
-
-    def per_query_topk(g: pa.Table) -> pa.Table:
-        lims = ray.get(limits_ref)
-        qid = g["query_id"][0].as_py()
-        # term-ascending row order; per-shard doc sets of one term are
-        # disjoint, so row order within a term cannot change any sum
-        order = pc.sort_indices(g["term"])
-        g = g.take(order)
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        """All queries of one bucket, scored from the bucket's term rows;
+        per query: terms ascending, shard-rows of one term disjoint."""
+        qplans = ray.get(plans_ref)[g["qbucket"][0].as_py()]
+        by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
         doc_col = g["doc_ids"].combine_chunks()
         flat_ids = np.asarray(doc_col.values, dtype=np.int64)
         offs = np.asarray(doc_col.offsets, dtype=np.int64)
-        flat_c = np.asarray(g["contrib"].combine_chunks().values, dtype=np.float64)
-        uniq = np.unique(flat_ids)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        for i in range(g.num_rows):
-            ids = flat_ids[offs[i] : offs[i + 1]]
-            scores[np.searchsorted(uniq, ids)] += flat_c[offs[i] : offs[i + 1]]
-        rscore = round_half_away(scores, SCORE_DECIMALS)
-        k = lims.get(qid, DEFAULT_TOP_K)
-        top = np.lexsort((uniq, -rscore))[:k]
-        n = len(top)
+        flat_tfn = np.asarray(g["tfn"].combine_chunks().values, dtype=np.float64)
+        for i, t in enumerate(g["term"].to_pylist()):
+            by_term.setdefault(t, []).append(
+                (flat_ids[offs[i] : offs[i + 1]], flat_tfn[offs[i] : offs[i + 1]])
+            )
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": [], "exact_score": []}
+        for qid in sorted(qplans):
+            k, tw = qplans[qid]
+            id_parts, c_parts = [], []
+            for t, w in tw:  # already term-ascending
+                for ids, tfn in by_term.get(t, ()):
+                    id_parts.append(ids)
+                    c_parts.append(w * tfn)
+            if not id_parts:
+                continue
+            uniq = np.unique(np.concatenate(id_parts))
+            scores = np.zeros(uniq.size, dtype=np.float64)
+            for ids, contrib in zip(id_parts, c_parts):
+                scores[np.searchsorted(uniq, ids)] += contrib
+            rscore = round_half_away(scores, SCORE_DECIMALS)
+            top = np.lexsort((uniq, -rscore))[:k]
+            n = len(top)
+            out["query_id"].extend([qid] * n)
+            out["rank"].extend(range(1, n + 1))
+            out["doc_id"].extend(uniq[top].tolist())
+            out["score"].extend(rscore[top].tolist())
+            out["exact_score"].extend(scores[top].tolist())
         return pa.table(
             {
-                "query_id": pa.array([qid] * n, type=pa.int64()),
-                "rank": pa.array(np.arange(1, n + 1, dtype=np.int32)),
-                "doc_id": pa.array(uniq[top], type=pa.int64()),
-                "score": pa.array(rscore[top], type=pa.float64()),
-                "exact_score": pa.array(scores[top], type=pa.float64()),
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "rank": pa.array(out["rank"], type=pa.int32()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+                "exact_score": pa.array(out["exact_score"], type=pa.float64()),
             }
         )
 
     results = (
         seg.map_batches(contribs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("query_id")
-        .map_groups(per_query_topk, batch_format="pyarrow")
+        .groupby("qbucket")
+        .map_groups(bucket_topk, batch_format="pyarrow")
     )
     t = collect_table(results, empty_schema=RESULT_SCHEMA)
     return t.take(

@@ -214,3 +214,35 @@ def lang_id(sf_dir: str) -> pa.Table:
 
 def fingerprint(sf_dir: str) -> pa.Table:
     return _run(sf_dir, fingerprint_batch)
+
+
+def preview_batch(batch: pa.Table) -> pa.Table:
+    """Derived preview artifact per doc (reference thumbnail-generation
+    analog, smse_backend/services/thumbnail.py:100-150 — a cheap derived
+    representation stored alongside the doc): first line truncated to 120
+    chars + line count + preview char length."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    previews, n_lines, plen = [], [], []
+    for t in texts:
+        t = t or ""
+        head = t.split("\n", 1)[0][:120]
+        previews.append(head)
+        n_lines.append(t.count("\n") + 1)
+        plen.append(len(head))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "preview": pa.array(previews, type=pa.string()),
+            "preview_len": pa.array(plen, type=pa.int64()),
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+        }
+    )
+
+
+def preview(sf_dir: str) -> pa.Table:
+    out = _read_documents(sf_dir).map_batches(
+        preview_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    t = collect_table(out)
+    return t.take(pa.compute.sort_indices(t["doc_id"]))

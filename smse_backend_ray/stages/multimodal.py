@@ -3,12 +3,23 @@ with typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Reference analog: the image/audio preprocessing + encode path
 (smse_backend/tasks.py:58-85 preprocessing, :195-234 process_file) and the
-modality dispatch (smse_backend/utils/file_extensions.py:33-46). The decode
-libraries (PIL, torchaudio, ffmpeg) are NOT in this container, so the decode
-kernels are STUBS: ``DecodeMedia`` raises NotImplementedError unless
-``deterministic_fake=True``, in which case it derives metadata/features
-deterministically from the payload bytes. The Ray-side plumbing — schema,
-actor-pool signature, batch flow, output layout — is real and tested.
+modality dispatch (smse_backend/utils/file_extensions.py:33-46).
+
+Decode kernels are REAL for the formats this dependency-free environment can
+produce and parse:
+
+  image  binary PPM (P6) — header + raw RGB, decoded with numpy
+  audio  RIFF/WAVE PCM16 mono — chunk walk + int16 sample decode
+  video  "SMV1" frame container (magic, fps, n_frames, length-prefixed PPM
+         frames) — a stand-in for an ffmpeg demuxer with the same stage
+         signature
+
+Payloads in other formats (JPEG/PNG/MP3/MP4 — magic detected) raise
+NotImplementedError naming the missing library (PIL/torchaudio/ffmpeg);
+a real deployment drops those decoders into the same ``DecodeMedia`` /
+``ExtractFeatures`` actor-pool stages without touching the Ray plumbing.
+``deterministic_fake=True`` keeps the round-1 hash-derived metadata path for
+tests that want pure-plumbing behavior.
 
 Media table schema:
   media_id: int64, kind: string (image|audio|video), payload: binary,
@@ -30,17 +41,136 @@ from smse_backend_ray.functions.collect import collect_table
 
 MEDIA_KINDS = ("image", "audio", "video")
 FEATURE_DIM = 8
+WAV_RATE = 8000
+SMV_MAGIC = b"SMV1"
+
+
+# ---------------------------------------------------------------------------
+# codecs (pure numpy/struct — no external media libraries)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(width: int, height: int, rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    assert rgb.shape == (height, width, 3) and rgb.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb.tobytes()
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PPM (P6) -> (width, height, (h, w, 3) uint8)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace separated, then one
+    # whitespace byte before the raster
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment line
+            i = data.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        fields.append(data[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, px.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """int16 mono samples -> RIFF/WAVE (PCM16)."""
+    assert samples.dtype == np.int16
+    raw = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE -> (rate, int16 mono samples). Chunk-walking parser."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, samples = 12, None, None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (clen,) = struct.unpack("<I", data[i + 4 : i + 8])
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", data[i + 8 : i + 16])
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("only PCM mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype=np.int16, count=clen // 2, offset=i + 8)
+        i += 8 + clen + (clen & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def encode_smv(frames: list[bytes], fps: int = 24) -> bytes:
+    """Length-prefixed PPM frames -> SMV1 container."""
+    out = [SMV_MAGIC, struct.pack("<II", fps, len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_smv(data: bytes) -> tuple[int, list[bytes]]:
+    """SMV1 container -> (fps, frame payloads)."""
+    if data[:4] != SMV_MAGIC:
+        raise ValueError("not an SMV1 payload")
+    fps, n = struct.unpack("<II", data[4:12])
+    frames, i = [], 12
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", data[i : i + 4])
+        frames.append(data[i + 4 : i + 4 + ln])
+        i += 4 + ln
+    return fps, frames
+
+
+def _rng_bytes(seed: str, n: int) -> np.ndarray:
+    """Deterministic byte stream from a seed (sha256 counter mode)."""
+    out = bytearray()
+    c = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{seed}:{c}".encode()).digest()
+        c += 1
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
 
 
 def synth_media_table(n: int) -> pa.Table:
-    """Deterministic fake media corpus: payload bytes derive from media_id."""
+    """Deterministic REAL-format media corpus: every payload round-trips
+    through the codecs above (P6 images, PCM16 WAV clips, SMV1 videos)."""
     ids, kinds, payloads, metas = [], [], [], []
     for i in range(n):
-        h = hashlib.sha256(f"media{i}".encode()).digest()
         kind = MEDIA_KINDS[i % len(MEDIA_KINDS)]
+        if kind == "image":
+            w, h = 16 + i % 8, 12 + i % 5
+            px = _rng_bytes(f"img{i}", w * h * 3).reshape(h, w, 3)
+            payload = encode_ppm(w, h, px)
+        elif kind == "audio":
+            ns = 800 + 160 * (i % 5)
+            samples = (
+                _rng_bytes(f"aud{i}", ns * 2).view(np.int16).astype(np.int16)
+            )
+            payload = encode_wav(samples, WAV_RATE)
+        else:
+            nf = 2 + i % 4
+            w, h = 8 + i % 4, 6 + i % 3
+            frames = [
+                encode_ppm(w, h, _rng_bytes(f"vid{i}f{f}", w * h * 3).reshape(h, w, 3))
+                for f in range(nf)
+            ]
+            payload = encode_smv(frames, fps=24)
         ids.append(i)
         kinds.append(kind)
-        payloads.append(h * (8 + i % 5))  # variable-size opaque payload
+        payloads.append(payload)
         metas.append(json.dumps({"source": f"synth/{i}", "kind": kind}, sort_keys=True))
     return pa.table(
         {
@@ -52,40 +182,82 @@ def synth_media_table(n: int) -> pa.Table:
     )
 
 
-class DecodeMedia:
-    """Actor-pool stage: decode payload -> typed metadata.
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
 
-    Real decode (PIL / torchaudio / ffmpeg) is unavailable in this
-    environment; pass ``deterministic_fake=True`` to derive width/height/
-    duration/frames from the payload hash instead. State (the would-be
-    decoder handles) initializes ONCE per actor (ST1 pattern,
-    smse_backend/tasks.py:35-103).
-    """
+_FOREIGN_MAGIC = {
+    b"\xff\xd8\xff": "JPEG (needs PIL)",
+    b"\x89PNG": "PNG (needs PIL)",
+    b"ID3": "MP3 (needs torchaudio)",
+    b"\x00\x00\x00\x18ftyp": "MP4 (needs ffmpeg)",
+}
+
+
+def _foreign_format(payload: bytes) -> str | None:
+    for magic, name in _FOREIGN_MAGIC.items():
+        if payload.startswith(magic):
+            return name
+    return None
+
+
+class DecodeMedia:
+    """Actor-pool stage: decode payload -> typed metadata. Codec dispatch
+    happens once per actor in __init__ (ST1 pattern,
+    smse_backend/tasks.py:35-103); real decode for PPM/WAV/SMV1, explicit
+    NotImplementedError naming the missing library for foreign formats."""
 
     def __init__(self, deterministic_fake: bool = False):
         self.fake = deterministic_fake
-        if not deterministic_fake:
-            # this is where PIL/torchaudio handles would be constructed
-            pass
+        # decoder dispatch table = the per-actor state a PIL/ffmpeg-backed
+        # implementation would build here
+        self._decoders = {
+            "image": self._decode_image,
+            "audio": self._decode_audio,
+            "video": self._decode_video,
+        }
+
+    @staticmethod
+    def _decode_image(payload: bytes) -> dict:
+        w, h, _px = decode_ppm(payload)
+        return {"width": w, "height": h, "duration_s": 0.0, "frames": 1}
+
+    @staticmethod
+    def _decode_audio(payload: bytes) -> dict:
+        rate, samples = decode_wav(payload)
+        return {
+            "width": 0, "height": 0,
+            "duration_s": round(len(samples) / rate, 4), "frames": 0,
+        }
+
+    @staticmethod
+    def _decode_video(payload: bytes) -> dict:
+        fps, frames = decode_smv(payload)
+        w, h, _ = decode_ppm(frames[0]) if frames else (0, 0, None)
+        return {
+            "width": w, "height": h,
+            "duration_s": round(len(frames) / fps, 4), "frames": len(frames),
+        }
 
     def _decode_one(self, kind: str, payload: bytes) -> dict:
-        if not self.fake:
+        if self.fake:
+            h = hashlib.sha256(payload).digest()
+            a, b = struct.unpack("<II", h[:8])
+            if kind == "image":
+                return {"width": 64 + a % 1920, "height": 64 + b % 1080, "duration_s": 0.0, "frames": 1}
+            if kind == "audio":
+                return {"width": 0, "height": 0, "duration_s": round(0.5 + (a % 3000) / 100, 2), "frames": 0}
+            return {
+                "width": 64 + a % 1920, "height": 64 + b % 1080,
+                "duration_s": round(1.0 + (b % 6000) / 100, 2), "frames": 24 * (1 + a % 120),
+            }
+        foreign = _foreign_format(payload)
+        if foreign:
             raise NotImplementedError(
-                "media decoding requires PIL/torchaudio/ffmpeg, not present "
-                "in this environment; construct DecodeMedia(deterministic_fake=True)"
+                f"decoding {foreign} is not available in this environment; "
+                "supported real formats: PPM(P6) image, WAV(PCM16) audio, SMV1 video"
             )
-        h = hashlib.sha256(payload).digest()
-        a, b = struct.unpack("<II", h[:8])
-        if kind == "image":
-            return {"width": 64 + a % 1920, "height": 64 + b % 1080, "duration_s": 0.0, "frames": 1}
-        if kind == "audio":
-            return {"width": 0, "height": 0, "duration_s": round(0.5 + (a % 3000) / 100, 2), "frames": 0}
-        return {
-            "width": 64 + a % 1920,
-            "height": 64 + b % 1080,
-            "duration_s": round(1.0 + (b % 6000) / 100, 2),
-            "frames": 24 * (1 + a % 120),
-        }
+        return self._decoders[kind](payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
@@ -106,23 +278,50 @@ class DecodeMedia:
 
 class ExtractFeatures:
     """Actor-pool stage: payload -> FEATURE_DIM float32 vector (the
-    model-encode analog, smse_backend/tasks.py:227). Deterministic fake:
-    bytes of sha256 -> scaled floats; a real model would load in __init__."""
+    model-encode analog, smse_backend/tasks.py:227). Real mode computes
+    content statistics of the DECODED media (pixel moments / sample energy),
+    so the vector is a true function of the media content; fake mode keeps
+    the round-1 hash-derived embedding."""
 
     def __init__(self, deterministic_fake: bool = False):
         self.fake = deterministic_fake
 
+    @staticmethod
+    def _image_vec(px: np.ndarray, w: int, h: int) -> np.ndarray:
+        f = px.astype(np.float64) / 255.0
+        mean = f.mean(axis=(0, 1))          # R, G, B means
+        std = f.std(axis=(0, 1))            # R, G, B stds
+        luma = (0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]).mean()
+        return np.array([*mean, *std, w / h, luma])
+
+    def _features_one(self, kind: str, payload: bytes) -> np.ndarray:
+        if self.fake:
+            h = hashlib.sha256(b"feat" + payload).digest()
+            v = np.frombuffer(h[: FEATURE_DIM * 4], dtype=np.uint32).astype(np.float64)
+            return v / 2**32
+        if kind == "image":
+            w, h, px = decode_ppm(payload)
+            return self._image_vec(px, w, h)
+        if kind == "audio":
+            rate, s = decode_wav(payload)
+            f = s.astype(np.float64) / 32768.0
+            rms = float(np.sqrt((f * f).mean())) if f.size else 0.0
+            zcr = float((np.diff(np.signbit(f)) != 0).mean()) if f.size > 1 else 0.0
+            # 4 coarse band energies via strided fold (cheap spectral proxy)
+            k = max(1, f.size // 4)
+            bands = [float(np.abs(f[i * k : (i + 1) * k]).mean() or 0.0) for i in range(4)]
+            return np.array([rms, zcr, float(np.abs(f).max(initial=0.0)), len(f) / rate, *bands])
+        fps, frames = decode_smv(payload)
+        if not frames:
+            return np.zeros(FEATURE_DIM)
+        w, h, px = decode_ppm(frames[0])
+        return self._image_vec(px, w, h)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "feature extraction requires a model runtime; construct "
-                "ExtractFeatures(deterministic_fake=True)"
-            )
-        feats = []
-        for p in batch["payload"].to_pylist():
-            h = hashlib.sha256(b"feat" + p).digest()
-            v = np.frombuffer(h[:FEATURE_DIM * 4], dtype=np.uint32).astype(np.float64)
-            feats.append((v / 2**32).astype(np.float32))
+        feats = [
+            self._features_one(k, p).astype(np.float32)
+            for k, p in zip(batch["kind"].to_pylist(), batch["payload"].to_pylist())
+        ]
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -134,10 +333,10 @@ class ExtractFeatures:
         )
 
 
-def sample_frames_batch(batch: pa.Table, every_n: int = 24) -> pa.Table:
+def sample_frames_batch(batch: pa.Table, every_n: int = 1) -> pa.Table:
     """flat_map-style stage: one row per sampled frame of video payloads
-    (frame payload = deterministic slice marker; a real impl would emit
-    decoded frame tensors). Non-video rows pass through with frame_no=0."""
+    (every ``every_n``-th container frame; frame_key = md5 of the actual
+    frame bytes). Non-video rows pass through with frame_no=0."""
     out = {"media_id": [], "kind": [], "frame_no": [], "frame_key": []}
     for mid, kind, payload in zip(
         batch["media_id"].to_pylist(),
@@ -150,14 +349,12 @@ def sample_frames_batch(batch: pa.Table, every_n: int = 24) -> pa.Table:
             out["frame_no"].append(0)
             out["frame_key"].append(hashlib.md5(payload).hexdigest())
             continue
-        n_frames = 1 + len(payload) % 5
-        for f in range(n_frames):
+        _fps, frames = decode_smv(payload)
+        for f in range(0, len(frames), every_n):
             out["media_id"].append(mid)
             out["kind"].append(kind)
-            out["frame_no"].append(f * every_n)
-            out["frame_key"].append(
-                hashlib.md5(payload + struct.pack("<I", f)).hexdigest()
-            )
+            out["frame_no"].append(f)
+            out["frame_key"].append(hashlib.md5(frames[f]).hexdigest())
     return pa.table(
         {
             "media_id": pa.array(out["media_id"], type=pa.int64()),
@@ -168,10 +365,11 @@ def sample_frames_batch(batch: pa.Table, every_n: int = 24) -> pa.Table:
     )
 
 
-def media_pipeline(n: int = 300, fake: bool = True) -> pa.Table:
+def media_pipeline(n: int = 300, fake: bool = False) -> pa.Table:
     """End-to-end media pipeline: synth media -> decode (actor pool) ->
-    features (actor pool); returns decoded metadata joined with feature
-    dims. Binary columns stay in Arrow throughout (never pandas)."""
+    features (actor pool) -> zip on media_id. Binary columns stay in Arrow
+    throughout (never pandas); payload batches are small because rows are
+    wide (the multimodal batch-size rule)."""
     ds = ray.data.from_arrow(synth_media_table(n)).repartition(8)
     decoded = ds.map_batches(
         DecodeMedia,
@@ -180,5 +378,16 @@ def media_pipeline(n: int = 300, fake: bool = True) -> pa.Table:
         concurrency=2,          # actor pool
         fn_constructor_kwargs={"deterministic_fake": fake},
     )
+    feats = ds.map_batches(
+        ExtractFeatures,
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64,
+        concurrency=2,
+        fn_constructor_kwargs={"deterministic_fake": fake},
+    )
     t = collect_table(decoded)
-    return t.take(pa.compute.sort_indices(t["media_id"]))
+    t = t.take(pa.compute.sort_indices(t["media_id"]))
+    ft = collect_table(feats)
+    ft = ft.take(pa.compute.sort_indices(ft["media_id"]))
+    assert t["media_id"].to_pylist() == ft["media_id"].to_pylist()
+    return t.append_column("embedding", ft["embedding"])

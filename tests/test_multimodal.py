@@ -1,19 +1,24 @@
-"""Multimodal stage tests: the decode kernels are stubs (no PIL/ffmpeg in
-this container) but the Ray plumbing — schemas, actor-pool batch flow,
-binary-column handling — is real and must work."""
+"""Multimodal stage tests: REAL decode kernels for the dependency-free
+formats (PPM/WAV/SMV1) plus the actor-pool Ray plumbing — schemas, batch
+flow, binary-column handling."""
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
-import ray
-import ray.data
-
 from smse_backend_ray.stages.multimodal import (
     FEATURE_DIM,
+    WAV_RATE,
     DecodeMedia,
     ExtractFeatures,
+    decode_ppm,
+    decode_smv,
+    decode_wav,
+    encode_ppm,
+    encode_smv,
+    encode_wav,
     media_pipeline,
     sample_frames_batch,
     synth_media_table,
@@ -26,10 +31,47 @@ def test_synth_media_deterministic():
     assert a.schema.field("payload").type == pa.binary()
 
 
-def test_decode_stub_raises_without_fake():
+def test_codec_roundtrips():
+    px = (np.arange(5 * 4 * 3) % 256).astype(np.uint8).reshape(4, 5, 3)
+    w, h, out = decode_ppm(encode_ppm(5, 4, px))
+    assert (w, h) == (5, 4) and (out == px).all()
+    s = (np.arange(-500, 500, 7)).astype(np.int16)
+    rate, out_s = decode_wav(encode_wav(s, WAV_RATE))
+    assert rate == WAV_RATE and (out_s == s).all()
+    frames = [encode_ppm(5, 4, px), encode_ppm(5, 4, px[::-1].copy())]
+    fps, out_f = decode_smv(encode_smv(frames, fps=24))
+    assert fps == 24 and out_f == frames
+
+
+def test_decode_real_metadata():
     dec = DecodeMedia()
-    with pytest.raises(NotImplementedError):
-        dec(synth_media_table(3))
+    t = synth_media_table(30)
+    out = dec(t)
+    assert out.num_rows == 30
+    for r in out.to_pylist():
+        if r["kind"] == "image":
+            assert r["width"] >= 16 and r["height"] >= 12 and r["frames"] == 1
+        elif r["kind"] == "audio":
+            # synth clips are 800..1440 samples at 8 kHz
+            assert 0.09 <= r["duration_s"] <= 0.19 and r["width"] == 0
+        else:
+            assert r["frames"] >= 2 and r["duration_s"] > 0 and r["width"] >= 8
+    # deterministic
+    assert out.equals(dec(t))
+
+
+def test_decode_foreign_format_raises():
+    dec = DecodeMedia()
+    t = pa.table(
+        {
+            "media_id": pa.array([0], type=pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([b"\xff\xd8\xff\xe0 jpeg bytes"], type=pa.binary()),
+            "meta": pa.array(["{}"]),
+        }
+    )
+    with pytest.raises(NotImplementedError, match="PIL"):
+        dec(t)
 
 
 def test_decode_fake_deterministic():
@@ -37,41 +79,36 @@ def test_decode_fake_deterministic():
     t = synth_media_table(30)
     out1, out2 = dec(t), dec(t)
     assert out1.equals(out2)
-    assert out1.num_rows == 30
     assert set(out1.column_names) == {
         "media_id", "kind", "n_bytes", "width", "height", "duration_s", "frames",
     }
-    rows = out1.to_pylist()
-    for r in rows:
-        if r["kind"] == "image":
-            assert r["width"] >= 64 and r["frames"] == 1
-        elif r["kind"] == "audio":
-            assert r["duration_s"] > 0 and r["width"] == 0
-        else:
-            assert r["frames"] > 0
 
 
-def test_feature_stub():
-    fx = ExtractFeatures(deterministic_fake=True)
-    out = fx(synth_media_table(10))
+def test_features_real():
+    fx = ExtractFeatures()
+    out = fx(synth_media_table(12))
     assert out["embedding"].type == pa.list_(pa.float32())
-    v = out["embedding"][0].as_py()
-    assert len(v) == FEATURE_DIM
-    assert all(0.0 <= x <= 1.0 for x in v)
-    with pytest.raises(NotImplementedError):
-        ExtractFeatures()(synth_media_table(1))
+    for kind, v in zip(out["kind"].to_pylist(), out["embedding"].to_pylist()):
+        assert len(v) == FEATURE_DIM
+        assert all(np.isfinite(v))
+        if kind == "image":
+            assert all(0.0 <= x <= 2.0 for x in v)  # moments + aspect + luma
 
 
-def test_frame_sampling():
+def test_frame_sampling_real_frames():
     out = sample_frames_batch(synth_media_table(12))
     by_kind = {}
     for r in out.to_pylist():
         by_kind.setdefault(r["kind"], []).append(r)
     assert all(r["frame_no"] == 0 for r in by_kind["image"])
     assert any(r["frame_no"] > 0 for r in by_kind["video"])
+    # video frame keys hash the actual frame bytes -> distinct per frame
+    vkeys = [r["frame_key"] for r in by_kind["video"]]
+    assert len(vkeys) == len(set(vkeys))
 
 
 def test_media_pipeline_actor_pool(ray_session):
-    t = media_pipeline(90, fake=True)
+    t = media_pipeline(90)
     assert t.num_rows == 90
     assert t["media_id"].to_pylist() == list(range(90))
+    assert t.schema.field("embedding").type == pa.list_(pa.float32())
