@@ -40,7 +40,7 @@ import ray.data
 from smse_backend_ray.functions.analyzer import split_subtokens
 from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.functions.rounding import round_half_away
-from smse_backend_ray.sources.corpus import _parallel_blocks
+from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
@@ -52,10 +52,9 @@ EMB_DUP_THRESHOLD = 0.4
 
 
 def _read_documents(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    return ds.repartition(_parallel_blocks())
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    return ds.repartition(_parallel_blocks(_parquet_rows(path)))
 
 
 def doc_shingles(text: str) -> list[str]:

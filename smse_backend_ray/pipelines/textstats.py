@@ -20,17 +20,15 @@ from smse_backend_ray.config import LANG_MARKERS, STOPWORDS
 from smse_backend_ray.functions.analyzer import split_subtokens, tokenize
 from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.functions.rounding import round_half_away
-from smse_backend_ray.sources.corpus import _parallel_blocks
+from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
 
 
 def _read_documents(sf_dir: str) -> "ray.data.Dataset":
     import os
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "lang"],
-    )
-    return ds.repartition(_parallel_blocks())
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text", "lang"])
+    return ds.repartition(_parallel_blocks(_parquet_rows(path)))
 
 
 def token_stats_batch(batch: pa.Table) -> pa.Table:

@@ -63,27 +63,42 @@ def corpus_table_from_documents(sf_dir: str) -> pa.Table:
     return _derive_batch(t)
 
 
-def _parallel_blocks() -> int:
+def _parallel_blocks(rows: int | None = None) -> int:
     """Block target so downstream map stages parallelize: a single-file
     parquet read yields ONE block, and Ray fuses the whole map chain into one
     task unless we split first (2-4x cores, ray_guide 'partitions ≈ 2-4x
-    total cores')."""
+    total cores'). When the caller knows the input row count (parquet footer
+    — free), tiny inputs get proportionally fewer blocks: per-task fixed
+    cost dominates sub-64-row blocks long before parallelism helps."""
     import ray as _ray
 
     try:
         cpus = int(_ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(16, cpus * 3)
+    target = max(16, cpus * 3)
+    if rows is not None:
+        target = min(target, max(8, rows // 64))
+    return target
+
+
+def _parquet_rows(path: str) -> int | None:
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
 
 
 def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
     """documents.parquet -> corpus Dataset (deterministic; see CORPUS_CTE)."""
+    path = os.path.join(sf_dir, "documents.parquet")
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
+        path,
         columns=["doc_id", "text", "lang", "source"],
     )
-    return ds.repartition(_parallel_blocks()).map_batches(
+    return ds.repartition(_parallel_blocks(_parquet_rows(path))).map_batches(
         _derive_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 

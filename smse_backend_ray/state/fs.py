@@ -173,10 +173,21 @@ class IndexFS:
         return total
 
     # -- Ray Data ----------------------------------------------------------
+    @property
+    def _is_plain_local(self) -> bool:
+        return type(self.fs) is pafs.LocalFileSystem
+
+    def _ray_fs_kwargs(self) -> dict:
+        """Ray Data reads/writes take the explicit handle ONLY for non-local
+        filesystems: a user-supplied handle bypasses Ray's resolved-local
+        fast path and costs ~30% on local writes (measured), while remote /
+        injected filesystems need the handle to work at all."""
+        return {} if self._is_plain_local else {"filesystem": self.fs}
+
     def ray_read_parquet(self, rel: str = "", **kwargs):
         import ray.data
 
-        return ray.data.read_parquet(self.join(rel), filesystem=self.fs, **kwargs)
+        return ray.data.read_parquet(self.join(rel), **self._ray_fs_kwargs(), **kwargs)
 
     def atomic_write_dataset(self, ds, rel: str, **kwargs) -> None:
         """write_parquet to ``rel``.tmp then swap into place (idempotent
@@ -184,7 +195,7 @@ class IndexFS:
         tmp = rel + ".tmp"
         if self.exists(tmp):
             self.delete_dir(tmp)
-        ds.write_parquet(self.join(tmp), filesystem=self.fs, **kwargs)
+        ds.write_parquet(self.join(tmp), **self._ray_fs_kwargs(), **kwargs)
         if self.exists(rel):
             self.delete_dir(rel)
         self.move(tmp, rel)
