@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.fingerprint,
         "doc_winnow": textstats.winnow_fingerprints,  # rows-only (rolling hash)
         "doc_preview": textstats.preview,
+        "doc_validate": lambda sf: textstats.validate(_index_for(sf)),
         "multimodal_pipeline": _q_multimodal,  # rows-only (synth media, real codecs)
         "dedup_exact": dedup.exact_dedup,
         "dedup_jaccard": dedup.jaccard_pairs,
@@ -333,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": sqlgen.lang_id_sql(),
         "doc_fingerprint": sqlgen.fingerprint_sql(),
         "doc_preview": sqlgen.preview_sql(),
+        "doc_validate": sqlgen.validate_sql(),
         "dedup_exact": sqlgen.exact_dedup_sql(),
         "dedup_jaccard": sqlgen.jaccard_pairs_sql(
             dedup_mod.JACCARD_THRESHOLD,

@@ -317,6 +317,18 @@ ORDER BY doc_id
 """
 
 
+def validate_sql() -> str:
+    """Twin of textstats.validate_batch (same RE2 patterns)."""
+    return with_corpus_docs(
+        "SELECT doc_id, "
+        "regexp_full_match(path, '[A-Za-z0-9_./-]+') AND NOT contains(path, '..') AS valid_path, "
+        "regexp_full_match(lang, '[a-z0-9]{1,8}') AS valid_lang, "
+        "regexp_full_match(commit, '[0-9a-f]{32}') AS valid_commit, "
+        "n_bytes > 0 AS non_empty "
+        "FROM docs ORDER BY doc_id"
+    )
+
+
 def exact_dedup_sql() -> str:
     return (
         "SELECT doc_id, md5(text) AS fingerprint FROM documents "

@@ -85,8 +85,11 @@ def _run_docs_from_dataset(corpus: "ray.data.Dataset", ifs: IndexFS, cfg: Engine
     docs = corpus.map_batches(ingest, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     # coalesce before the hive-partitioned write: every write task emits one
     # file PER SHARD, so W tasks x S shards files — uncoalesced that is a
-    # small-file storm that dominates every downstream read
-    docs = docs.repartition(max(8, _cluster_cpus() // 2))
+    # small-file storm that dominates every downstream read. Target scales
+    # WITH the cluster (cpus, not cpus/2): capping write parallelism below
+    # the core count made the docs stage a fixed-cost floor that flattened
+    # 4->16 CPU scaling
+    docs = docs.repartition(max(8, _cluster_cpus()))
     ifs.atomic_write_dataset(docs, DOCS_DIR, partition_cols=["shard_id"])
 
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -24,17 +23,18 @@ from ray.data.aggregate import Count, Sum
 
 from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.functions.rounding import round_half_away
-from smse_backend_ray.sources.corpus import _parallel_blocks
+from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
 
 SESSION_GAP_MIN = 30
 
 
 def _read_events(sf_dir: str) -> "ray.data.Dataset":
+    path = os.path.join(sf_dir, "events.parquet")
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
+        path,
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
-    return ds.repartition(_parallel_blocks())
+    return ds.repartition(_parallel_blocks(_parquet_rows(path)))
 
 
 def hourly_window_agg(sf_dir: str) -> pa.Table:
@@ -94,22 +94,29 @@ def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> pa.Table:
     to the previous event exceeds ``gap_min`` minutes. Returns per-user
     session count + total events."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        # exact integer timedelta comparison in the column's native
-        # resolution (datetime64[us] here — NOT ns; astype(int64) would
-        # silently be microseconds); matches SQL date_diff('microsecond')
-        gaps = g["ts"].diff()
-        n_sessions = 1 + int((gaps > pd.Timedelta(minutes=gap_min)).sum())
-        return pd.DataFrame(
+    _UNIT_PER_SEC = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+    def per_user(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        ts = g["ts"].take(order)
+        # exact integer gap comparison in the column's NATIVE resolution
+        # (epoch ints via cast; no pandas round-trip, no ns assumption);
+        # matches SQL date_diff('microsecond')
+        unit = ts.type.unit
+        vals = pc.cast(ts, pa.int64()).to_numpy()
+        gap_ticks = gap_min * 60 * _UNIT_PER_SEC[unit]
+        n_sessions = 1 + int((np.diff(vals) > gap_ticks).sum())
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [len(g)],
+                "user_id": pa.array([g["user_id"][0].as_py()]),
+                "n_sessions": pa.array([n_sessions], type=pa.int64()),
+                "n_events": pa.array([g.num_rows], type=pa.int64()),
             }
         )
 
-    out = _read_events(sf_dir).groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = _read_events(sf_dir).groupby("user_id").map_groups(per_user, batch_format="pyarrow")
     t = collect_table(out)
     t = pa.table(
         {

@@ -244,3 +244,42 @@ def preview(sf_dir: str) -> pa.Table:
     )
     t = collect_table(out)
     return t.take(pa.compute.sort_indices(t["doc_id"]))
+
+
+VALID_PATH_RE = r"^[A-Za-z0-9_./-]+$"
+VALID_LANG_RE = r"^[a-z0-9]{1,8}$"
+VALID_COMMIT_RE = r"^[0-9a-f]{32}$"
+
+
+def validate_batch(batch: pa.Table) -> pa.Table:
+    """Field validation flags per doc (reference regex field validation
+    analog: User.email regex check, smse_backend/models/user.py:25-30).
+    Vectorized pyarrow RE2 kernels; patterns shared verbatim with the
+    DuckDB twin (both RE2 dialects)."""
+    import pyarrow.compute as pc
+
+    path_ok = pc.and_(
+        pc.match_substring_regex(batch["path"], VALID_PATH_RE),
+        pc.invert(pc.match_substring(batch["path"], "..")),
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "valid_path": path_ok,
+            "valid_lang": pc.match_substring_regex(batch["lang"], VALID_LANG_RE),
+            "valid_commit": pc.match_substring_regex(batch["commit"], VALID_COMMIT_RE),
+            "non_empty": pc.greater(batch["n_bytes"], 0),
+        }
+    )
+
+
+def validate(index_dir) -> pa.Table:
+    """Run validation over a built index's docs table as a Ray job."""
+    from smse_backend_ray.state.fs import resolve
+
+    ifs = resolve(index_dir)
+    out = ifs.ray_read_parquet(
+        "docs", columns=["doc_id", "path", "commit", "lang", "n_bytes"]
+    ).map_batches(validate_batch, batch_format="pyarrow", zero_copy_batch=True)
+    t = collect_table(out)
+    return t.take(pa.compute.sort_indices(t["doc_id"]))

@@ -169,3 +169,22 @@ def test_sessions_vs_events_totals(ray_session, sf_dir, duck):
     total_events = duck.sql("SELECT count(*) FROM events").fetchone()[0]
     assert sum(t["n_events"].to_pylist()) == total_events
     assert (np.asarray(t["n_sessions"]) >= 1).all()
+
+
+def test_validate_batch_flags():
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "path": pa.array(["src/ok.py", "../evil.py", "sp ace.py", "ok/d.txt"]),
+            "commit": pa.array(["a" * 32, "a" * 32, "xyz", "0" * 32]),
+            "lang": pa.array(["py", "PY!", "toolonglang", "go"]),
+            "n_bytes": pa.array([10, 5, 0, 0], type=pa.int64()),
+        }
+    )
+    out = textstats.validate_batch(t).to_pylist()
+    assert [r["valid_path"] for r in out] == [True, False, False, True]
+    assert [r["valid_commit"] for r in out] == [True, True, False, True]
+    assert [r["valid_lang"] for r in out] == [True, False, False, True]
+    assert [r["non_empty"] for r in out] == [True, True, False, False]
