@@ -194,8 +194,15 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    runs_lo = [one(lo) for _ in range(trials)]
-    runs_hi = [one(hi) for _ in range(trials)]
+    # INTERLEAVE the levels (lo, hi, lo, hi, ...): the host is shared and
+    # noisy, and running all lo trials then all hi trials lets one noise
+    # burst bias a whole level; interleaving samples the same noise
+    # distribution at both levels, then best-of-N per level discards the
+    # slowed runs (external load only ever slows a run down)
+    runs_lo, runs_hi = [], []
+    for _ in range(trials):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
     r_lo = min(runs_lo, key=lambda r: r["queries"]["index_build"])
     r_hi = min(runs_hi, key=lambda r: r["queries"]["index_build"])
     thr_lo = r_lo["files_per_sec"]
