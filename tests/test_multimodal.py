@@ -112,3 +112,48 @@ def test_media_pipeline_actor_pool(ray_session):
     assert t.num_rows == 90
     assert t["media_id"].to_pylist() == list(range(90))
     assert t.schema.field("embedding").type == pa.list_(pa.float32())
+
+
+# -- property-based codec fuzz -------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_ppm_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    w2, h2, out = decode_ppm(encode_ppm(w, h, px))
+    assert (w2, h2) == (w, h) and (out == px).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=4000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-(2**15), 2**15, size=n).astype(np.int16)
+    r2, out = decode_wav(encode_wav(s, rate))
+    assert r2 == rate and (out == s).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_frames=st.integers(min_value=0, max_value=6),
+    fps=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_smv_roundtrip_property(n_frames, fps, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.bytes(rng.integers(0, 200)) for _ in range(n_frames)]
+    fps2, out = decode_smv(encode_smv(frames, fps))
+    assert fps2 == fps and out == frames
