@@ -155,21 +155,14 @@ def _score_jaccard(inter_ds, sizes_ref, threshold: float) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
 
 
-def jaccard_pairs(
-    sf_dir: str,
-    threshold: float = JACCARD_THRESHOLD,
-    df_cap: int = JACCARD_SHINGLE_DF_CAP,
-) -> pa.Table:
-    """Exact shingle-Jaccard pairs via a distributed inverted shingle index.
-    Shingles with global df > ``df_cap`` are dropped from every shingle set
-    (sizes AND intersections; the SQL oracle applies the identical cap), and
-    the drop is logged — never silent."""
+def _global_hot_shingles(sf_dir: str, df_cap: int, op: str) -> set[str]:
+    """Distributed global shingle-df pass -> the (tiny) set of shingles with
+    df > cap. Logged when non-empty — never a silent drop."""
     from ray.data.aggregate import Count
 
-    docs = _read_documents(sf_dir)
-    shingles = docs.map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
-
-    # global shingle df -> hot head (tiny: only shingles over the cap)
+    shingles = _read_documents(sf_dir).map_batches(
+        _shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
     hot_t = collect_table(
         shingles.groupby("shingle").aggregate(Count(alias_name="df")).filter(
             expr=f"df > {df_cap}"
@@ -179,17 +172,42 @@ def jaccard_pairs(
         import logging
 
         logging.getLogger(__name__).warning(
-            "jaccard_pairs: excluding %d shingles with df > %d from Jaccard sets",
-            hot_t.num_rows, df_cap,
+            "%s: excluding %d shingles with df > %d from Jaccard sets",
+            op, hot_t.num_rows, df_cap,
         )
-        hot_ref = ray.put(set(hot_t["shingle"].to_pylist()))
+    return set(hot_t["shingle"].to_pylist())
 
-        def drop_hot(t: pa.Table) -> pa.Table:
-            hot = ray.get(hot_ref)
-            mask = pa.array([s not in hot for s in t["shingle"].to_pylist()])
-            return t.filter(mask)
 
-        shingles = shingles.map_batches(drop_hot, batch_format="pyarrow", zero_copy_batch=True)
+def _drop_hot_stage(ds, hot: set[str]):
+    """Filter (doc_id, shingle) rows against a broadcast hot-shingle set."""
+    if not hot:
+        return ds
+    hot_ref = ray.put(hot)
+
+    def drop_hot(t: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref)
+        mask = pa.array([s not in h for s in t["shingle"].to_pylist()])
+        return t.filter(mask)
+
+    return ds.map_batches(drop_hot, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def jaccard_pairs(
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int = JACCARD_SHINGLE_DF_CAP,
+) -> pa.Table:
+    """Exact shingle-Jaccard pairs via a distributed inverted shingle index.
+    Shingles with global df > ``df_cap`` are dropped from every shingle set
+    (sizes AND intersections; the SQL oracle AND the minhash verifier apply
+    the identical cap), and the drop is logged — never silent."""
+    from ray.data.aggregate import Count
+
+    docs = _read_documents(sf_dir)
+    shingles = docs.map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+    shingles = _drop_hot_stage(
+        shingles, _global_hot_shingles(sf_dir, df_cap, "jaccard_pairs")
+    )
 
     # doc shingle-set sizes: tiny table -> broadcast
     sizes_t = collect_table(shingles.groupby("doc_id").aggregate(Count(alias_name="n")))
@@ -230,10 +248,16 @@ def _minhash_sig(shingles: list[str]) -> np.ndarray | None:
     return sig
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
+def minhash_lsh_pairs(
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int = JACCARD_SHINGLE_DF_CAP,
+) -> pa.Table:
     """LSH candidate generation + DISTRIBUTED exact-Jaccard verification.
     Output schema == jaccard_pairs (pairs it found; high recall, verified
-    precision).
+    precision). Verification applies the SAME global shingle df cap as
+    jaccard_pairs (one extra distributed df pass), so verified values are
+    identical to the exact path even on corpora with hot shingles.
 
     Scale shape: only band-bucket collisions shuffle; the driver sees only
     the candidate PAIR IDS (never text or shingles). Verification reads just
@@ -285,17 +309,17 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.T
 
     # distributed verification over candidate docs only; materialized because
     # two consumers (sizes, intersections) read it — bounded by the candidate
-    # set, not the corpus
-    cand_shingles = (
+    # set, not the corpus. The hot-shingle cap matches jaccard_pairs exactly.
+    cand_shingles = _drop_hot_stage(
         ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
             filter=pc.field("doc_id").isin(need),
         )
         .repartition(_parallel_blocks())
-        .map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .materialize()
-    )
+        .map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True),
+        _global_hot_shingles(sf_dir, df_cap, "minhash_lsh_pairs"),
+    ).materialize()
     sizes_t = collect_table(cand_shingles.groupby("doc_id").aggregate(Count(alias_name="n")))
     sizes_ref = ray.put(dict(zip(sizes_t["doc_id"].to_pylist(), sizes_t["n"].to_pylist())))
 
@@ -346,10 +370,16 @@ def simhash64(text: str) -> int:
 _BIT_WEIGHTS = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
 
+_SIMHASH_CHUNK_TOKENS = 1 << 18  # 256k tokens -> <=64 MB int32 bit matrix
+
+
 def simhash_batch(texts: list[str]) -> np.ndarray:
     """Vectorized simhash64 over a batch: per-token md5 (C-speed) is the only
-    per-item pass; the ±1 bit accumulation is one reduceat over a
-    (total_tokens x 64) int matrix (integer adds — order-free)."""
+    per-item pass; the ±1 bit accumulation runs in bounded token chunks
+    (reduceat per contiguous doc run + scatter-add of the tiny per-run
+    partials), so peak memory is ~64 MB regardless of batch text volume and
+    arbitrarily large single docs are handled. Integer adds — order-free,
+    bit-identical to the scalar simhash64."""
     counts = np.zeros(len(texts), dtype=np.int64)
     flat: list[int] = []
     for i, txt in enumerate(texts):
@@ -362,11 +392,18 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
     if not flat:
         return out
     h = np.array(flat, dtype=np.uint64)
-    pm = 2 * ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64) - 1
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    acc = np.zeros((len(texts), 64), dtype=np.int64)
+    for s in range(0, h.size, _SIMHASH_CHUNK_TOKENS):
+        sl = slice(s, s + _SIMHASH_CHUNK_TOKENS)
+        pm = 2 * ((h[sl, None] >> shifts) & np.uint64(1)).astype(np.int32) - 1
+        di = doc_idx[sl]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(di)) + 1))
+        part = np.add.reduceat(pm, starts, axis=0)  # per contiguous doc run
+        np.add.at(acc, di[starts], part)
     nz = np.flatnonzero(counts)
-    starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nz]
-    acc = np.add.reduceat(pm, starts, axis=0)
-    out[nz] = ((acc > 0).astype(np.uint64) * _BIT_WEIGHTS[None, :]).sum(axis=1)
+    out[nz] = ((acc[nz] > 0).astype(np.uint64) * _BIT_WEIGHTS[None, :]).sum(axis=1)
     return out
 
 
@@ -501,17 +538,27 @@ def embedding_dup_pairs(
     scale path."""
     from math import ceil
 
-    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Count, Max, Min
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     mm = ray.data.read_parquet(path, columns=["vec_id"]).aggregate(
-        Min("vec_id", alias_name="lo"), Max("vec_id", alias_name="hi")
+        Count(alias_name="n"), Min("vec_id", alias_name="lo"), Max("vec_id", alias_name="hi")
     )
+    if not mm["n"]:
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+             "cosine": pa.array([], type=pa.float64())}
+        )
     lo, hi = int(mm["lo"]), int(mm["hi"])
-    nb = max(1, ceil((hi - lo + 1) / block_rows))
+    # number of blocks derives from the ROW count (id VALUES may be sparse —
+    # value-derived block counts would explode the task grid); block
+    # boundaries split the id VALUE range evenly into that many pieces
+    nb = max(1, ceil(int(mm["n"]) / block_rows))
+    span = hi - lo + 1
+    bounds = [lo + (span * i) // nb for i in range(nb)] + [hi + 1]
 
     def rng(i: int) -> tuple[int, int]:
-        return lo + i * block_rows, min(lo + (i + 1) * block_rows, hi + 1)
+        return bounds[i], bounds[i + 1]
 
     tasks = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
 

@@ -186,19 +186,24 @@ def train_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS, iters: int = IV
     return cents
 
 
-_IVF_CACHE: dict[tuple[str, int], tuple[str, np.ndarray]] = {}
+_IVF_CACHE: dict[tuple[str, int], tuple["IndexFS", np.ndarray]] = {}
 
 
 def build_ivf_index(
-    sf_dir: str, out_dir: str | None = None, n_clusters: int = IVF_CLUSTERS
-) -> tuple[str, np.ndarray]:
+    sf_dir: str, out_dir=None, n_clusters: int = IVF_CLUSTERS
+) -> tuple["IndexFS", np.ndarray]:
     """Train centroids and write the vectors HIVE-PARTITIONED BY ASSIGNED
     CLUSTER — the storage layout that makes IVF actually prune: a query
-    probing p of c clusters reads p/c of the data. Returns
-    (layout_dir, centroids). Cached per (sf_dir, n_clusters) per process."""
+    probing p of c clusters reads p/c of the data. Returns (layout IndexFS,
+    centroids); all layout I/O goes through state/fs.IndexFS (works against
+    any pyarrow.fs location). Cached per (sf_dir, n_clusters) per process."""
+    import posixpath
+
+    from smse_backend_ray.state.fs import IndexFS, resolve
+
     key = (os.path.normpath(sf_dir), n_clusters)
     hit = _IVF_CACHE.get(key)
-    if hit and os.path.isdir(hit[0]):
+    if hit and hit[0].exists():
         return hit
     cents = train_centroids(sf_dir, n_clusters)
     cents_ref = ray.put(cents)
@@ -216,24 +221,27 @@ def build_ivf_index(
 
     if out_dir is None:
         out_dir = f"/tmp/smse_ivf_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}_{n_clusters}"
-    import shutil
-
-    tmp = out_dir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
+    layout = resolve(out_dir)
+    # the parent-rooted view drives the atomic dir swap and keeps the
+    # centroids sidecar NEXT TO the layout dir (a foreign file inside a
+    # hive-partitioned dir breaks parquet dataset discovery)
+    parent = IndexFS((layout.fs, posixpath.dirname(layout.root)))
+    name = posixpath.basename(layout.root)
+    assigned = (
         ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
         .repartition(_parallel_blocks())
         .map_batches(assign_batch, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(max(4, _parallel_blocks() // 8))  # bound files per cluster
-        .write_parquet(tmp, partition_cols=["cluster"])
     )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.replace(tmp, out_dir)
-    # centroids live NEXT TO the layout dir (a foreign file inside a
-    # hive-partitioned dir breaks parquet dataset discovery)
-    np.save(out_dir + ".centroids.npy", cents)
-    _IVF_CACHE[key] = (out_dir, cents)
-    return out_dir, cents
+    parent.atomic_write_dataset(assigned, name, partition_cols=["cluster"])
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, cents)
+    with parent.open_output(name + ".centroids.npy") as f:
+        f.write(buf.getvalue())
+    _IVF_CACHE[key] = (layout, cents)
+    return layout, cents
 
 
 def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_CLUSTERS) -> pa.Table:
@@ -242,7 +250,7 @@ def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_CLUSTERS) -> pa.Table
     (partition-filter pushdown), and scores for a batch are masked to the
     queries that probed that batch's clusters. nprobe == n_clusters
     reproduces brute force exactly."""
-    layout_dir, cents = build_ivf_index(sf_dir)
+    layout, cents = build_ivf_index(sf_dir)
     qids, Q = _load_queries(sf_dir)
     qnorms = np.sqrt((Q * Q).sum(axis=1))
     qd = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -278,13 +286,13 @@ def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_CLUSTERS) -> pa.Table
     # partition pruning by PATH: only the probed cluster directories are
     # listed/read (Ray's per-fragment filter cannot bind partition fields,
     # so pruning happens at path selection, the stronger form anyway)
-    import glob
-
     paths = sorted(
         f
         for c in probed_union
-        for f in glob.glob(os.path.join(layout_dir, f"cluster={c}", "*.parquet"))
+        for f in layout.list_files(f"cluster={c}", suffix=".parquet")
     )
-    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding", "cluster_id"])
+    ds = ray.data.read_parquet(
+        paths, columns=["vec_id", "embedding", "cluster_id"], **layout._ray_fs_kwargs()
+    )
     cands = collect_table(ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True))
     return _topk_merge([cands], k)

@@ -307,9 +307,12 @@ class ExtractFeatures:
             f = s.astype(np.float64) / 32768.0
             rms = float(np.sqrt((f * f).mean())) if f.size else 0.0
             zcr = float((np.diff(np.signbit(f)) != 0).mean()) if f.size > 1 else 0.0
-            # 4 coarse band energies via strided fold (cheap spectral proxy)
+            # 4 coarse band energies via strided fold (cheap spectral proxy);
+            # empty slices (clips < 4 samples) yield 0.0, not NaN —
+            # `np.mean(empty) or 0.0` would pass NaN through (NaN is truthy)
             k = max(1, f.size // 4)
-            bands = [float(np.abs(f[i * k : (i + 1) * k]).mean() or 0.0) for i in range(4)]
+            segs = [f[i * k : (i + 1) * k] for i in range(4)]
+            bands = [float(np.abs(sg).mean()) if sg.size else 0.0 for sg in segs]
             return np.array([rms, zcr, float(np.abs(f).max(initial=0.0)), len(f) / rate, *bands])
         fps, frames = decode_smv(payload)
         if not frames:

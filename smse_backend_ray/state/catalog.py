@@ -60,6 +60,10 @@ class Catalog:
     def _load(self) -> dict:
         if self.ifs.exists(self.MANIFEST):
             return self.ifs.read_json(self.MANIFEST)
+        # non-atomic-move filesystems park the live manifest at .bak while
+        # swapping (fs.write_json_atomic); recover it after a mid-swap crash
+        if self.ifs.exists(self.MANIFEST + ".bak"):
+            return self.ifs.read_json(self.MANIFEST + ".bak")
         return {"stages": {}, "partitions": {}, "config": {}, "stats": {}, "prefs": {}}
 
     def _commit(self) -> None:

@@ -28,8 +28,6 @@ from typing import Any, Iterable
 
 import pyarrow.fs as pafs
 
-Location = "str | tuple[pafs.FileSystem, str] | IndexFS"
-
 
 class IndexFS:
     """One index location: (filesystem, root path) + the I/O helpers the
@@ -60,9 +58,6 @@ class IndexFS:
     def join(self, *parts: str) -> str:
         return posixpath.join(self.root, *parts) if parts else self.root
 
-    def subfs(self, *parts: str) -> "IndexFS":
-        return IndexFS((self.fs, self.join(*parts)))
-
     # -- metadata ops ------------------------------------------------------
     def info(self, rel: str = "") -> pafs.FileInfo:
         return self.fs.get_file_info(self.join(rel))
@@ -81,12 +76,6 @@ class IndexFS:
 
     def delete_dir(self, rel: str = "") -> None:
         self.fs.delete_dir(self.join(rel))
-
-    def delete_any(self, rel: str) -> None:
-        if self.is_dir(rel):
-            self.delete_dir(rel)
-        else:
-            self.delete_file(rel)
 
     def move(self, src_rel: str, dst_rel: str) -> None:
         """Rename within this filesystem (atomic on local FS)."""
@@ -107,13 +96,6 @@ class IndexFS:
         ]
         return sorted(out)
 
-    def dir_bytes(self, rel: str = "", suffix: str = ".parquet") -> int:
-        return sum(
-            i.size
-            for i in self.list_infos(rel, recursive=True)
-            if i.is_file and i.path.endswith(suffix)
-        )
-
     # -- streams / JSON ----------------------------------------------------
     def open_input(self, path: str):
         """``path`` may be relative to root or a full path from list_files."""
@@ -133,9 +115,22 @@ class IndexFS:
         tmp = rel + ".tmp"
         with self.open_output(tmp) as f:
             f.write(json.dumps(obj, indent=1, sort_keys=True).encode())
-        if self.exists(rel):
-            self.delete_file(rel)  # no-op overwrite guard for object stores
-        self.move(tmp, rel)
+        try:
+            # POSIX rename overwrites: atomic replace, no crash window
+            self.move(tmp, rel)
+        except OSError:
+            # filesystems whose move cannot overwrite an existing dest:
+            # rename the live file ASIDE first (never delete the only good
+            # copy — if the cause is persistent, <rel>.bak still holds it),
+            # then move the new one in and drop the backup
+            bak = rel + ".bak"
+            if self.exists(bak):
+                self.delete_file(bak)
+            if self.exists(rel):
+                self.move(rel, bak)
+            self.move(tmp, rel)
+            if self.exists(bak):
+                self.delete_file(bak)
 
     # -- parquet -----------------------------------------------------------
     def pads_dataset(self, rel: str = "", **kwargs):
