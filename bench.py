@@ -180,8 +180,10 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     # scaling runs use a larger corpus than the default bench so parallel
-    # compute dominates fixed per-stage costs (overridable via GRAFT_REPL)
-    scaling_repl = os.environ.get("GRAFT_REPL", "80")
+    # compute dominates fixed per-stage costs (stage barriers, docs
+    # write/read, manifest commits are ~constant; at 80x the hi-CPU build is
+    # ~30% fixed cost, at 200x ~12%) — overridable via GRAFT_REPL
+    scaling_repl = os.environ.get("GRAFT_REPL", "200")
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_REPL=scaling_repl)
