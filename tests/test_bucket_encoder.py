@@ -1,5 +1,8 @@
 """BucketEncoder (whole-bucket vectorized path) must produce byte-identical
-segments to the per-term reference codec path."""
+segments to the per-term reference codec path. Since round 2 the shuffle
+payload itself is varint-compressed (encode_runs/decode_runs), so the raw
+runs tables here route through encode_runs first — exercising the
+compressed map->reduce path end to end."""
 
 from __future__ import annotations
 
@@ -9,7 +12,7 @@ import pytest
 
 from smse_backend_ray.config import EngineConfig
 from smse_backend_ray.functions.codec import decode_postings, encode_postings
-from smse_backend_ray.stages.ingest import BucketEncoder
+from smse_backend_ray.stages.ingest import BucketEncoder, decode_runs, encode_runs
 
 
 def _runs_table(rng, n_terms=40, n_runs=200, max_run=60):
@@ -28,14 +31,40 @@ def _runs_table(rng, n_terms=40, n_runs=200, max_run=60):
         rows["doc_ids"].append(ids)
         rows["tfs"].append(rng.integers(1, 30, size=len(ids)).tolist())
         rows["dls"].append(rng.integers(1, 900, size=len(ids)).tolist())
-    return pa.table(
-        {
-            "term": pa.array(rows["term"]),
-            "doc_ids": pa.array(rows["doc_ids"], type=pa.list_(pa.int64())),
-            "tfs": pa.array(rows["tfs"], type=pa.list_(pa.int32())),
-            "dls": pa.array(rows["dls"], type=pa.list_(pa.int32())),
-        }
+    encoded = encode_runs(
+        pa.array(rows["term"]),
+        pa.array(rows["doc_ids"], type=pa.list_(pa.int64())),
+        pa.array(rows["tfs"], type=pa.list_(pa.int32())),
+        pa.array(rows["dls"], type=pa.list_(pa.int32())),
+        n_buckets=64,
     )
+    return rows, encoded
+
+
+def test_encode_decode_runs_roundtrip():
+    rng = np.random.default_rng(11)
+    terms = ["alpha", "beta", "alpha"]
+    ids = [sorted(rng.choice(10**12, size=5, replace=False).tolist()), [7], [1, 10**14]]
+    tfs = [[1, 2, 3, 4, 5], [9], [2, 2]]
+    dls = [[10, 20, 30, 40, 50], [7], [100, 200]]
+    runs = encode_runs(
+        pa.array(terms),
+        pa.array(ids, type=pa.list_(pa.int64())),
+        pa.array(tfs, type=pa.list_(pa.int32())),
+        pa.array(dls, type=pa.list_(pa.int32())),
+        n_buckets=8,
+    )
+    r_terms, r_lens, f_ids, f_tfs, f_dls = decode_runs(runs)
+    assert r_terms == terms
+    assert r_lens.tolist() == [5, 1, 2]
+    off = 0
+    for i in range(3):
+        sl = slice(off, off + len(ids[i]))
+        order = np.argsort(np.array(ids[i], dtype=np.int64), kind="stable")
+        assert f_ids[sl].tolist() == np.array(ids[i])[order].tolist()
+        assert f_tfs[sl].tolist() == np.array(tfs[i])[order].tolist()
+        assert f_dls[sl].tolist() == np.array(dls[i])[order].tolist()
+        off += len(ids[i])
 
 
 @pytest.mark.parametrize("block_size", [4, 128])
@@ -43,14 +72,16 @@ def test_vectorized_equals_per_term(block_size):
     rng = np.random.default_rng(5)
     cfg = EngineConfig(n_shards=4, block_size=block_size)
     avgdl = 123.75
-    group = _runs_table(rng)
+    raw, group = _runs_table(rng)
     out = BucketEncoder(avgdl, cfg)(group)
 
-    # reference: gather + per-(term, shard) codec encode
+    # reference: gather + per-(term, shard) codec encode, from the RAW runs
     gathered: dict[str, dict[int, list]] = {}
-    for row in group.to_pylist():
-        g = gathered.setdefault(row["term"], {})
-        for d, tf, dl in zip(row["doc_ids"], row["tfs"], row["dls"]):
+    for term, ids_l, tfs_l, dls_l in zip(
+        raw["term"], raw["doc_ids"], raw["tfs"], raw["dls"]
+    ):
+        g = gathered.setdefault(term, {})
+        for d, tf, dl in zip(ids_l, tfs_l, dls_l):
             g[d] = [tf, dl]
     expected = {}
     for term, posts in gathered.items():
@@ -83,13 +114,12 @@ def test_vectorized_equals_per_term(block_size):
 
 def test_empty_group():
     cfg = EngineConfig(n_shards=4)
-    empty = pa.table(
-        {
-            "term": pa.array([], type=pa.string()),
-            "doc_ids": pa.array([], type=pa.list_(pa.int64())),
-            "tfs": pa.array([], type=pa.list_(pa.int32())),
-            "dls": pa.array([], type=pa.list_(pa.int32())),
-        }
+    empty = encode_runs(
+        pa.array([], type=pa.string()),
+        pa.array([], type=pa.list_(pa.int64())),
+        pa.array([], type=pa.list_(pa.int32())),
+        pa.array([], type=pa.list_(pa.int32())),
+        n_buckets=64,
     )
     out = BucketEncoder(100.0, cfg)(empty)
     assert out.num_rows == 0
