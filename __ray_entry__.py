@@ -262,7 +262,7 @@ def _q_multimodal(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from smse_backend_ray.pipelines import dedup, events, simsearch, textstats
+    from smse_backend_ray.pipelines import dedup, events, sampling, simsearch, textstats
     from smse_backend_ray.queryset import (
         BASE_QUERIES,
         MULTIPART_QUERIES,
@@ -300,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_full_probe": lambda sf: simsearch.knn_ivf(sf, nprobe=16),
         "events_hourly_agg": events.hourly_window_agg,
         "events_sessions": events.user_sessions,
+        "events_recent": events.recent_events,
+        "doc_sample": sampling.doc_sample,
+        "doc_sample_stratified": sampling.doc_sample_stratified,
     }
 
 
@@ -308,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_ray.functions import sqlgen
     from smse_backend_ray.pipelines import dedup as dedup_mod
     from smse_backend_ray.pipelines import events as events_mod
+    from smse_backend_ray.pipelines import sampling as sampling_mod
     from smse_backend_ray.pipelines import simsearch as simsearch_mod
     from smse_backend_ray.queryset import (
         BASE_QUERIES,
@@ -348,4 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "events_hourly_agg": events_mod.hourly_window_agg_sql(),
         "events_sessions": events_mod.user_sessions_sql(),
+        "events_recent": events_mod.recent_events_sql(),
+        "doc_sample": sampling_mod.doc_sample_sql(),
+        "doc_sample_stratified": sampling_mod.doc_sample_stratified_sql(),
     }

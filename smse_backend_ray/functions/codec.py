@@ -49,6 +49,8 @@ def varint_encode_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
     nbytes = _varint_lens(v)
+    if nbytes[0] == 1 and int(nbytes.max()) == 1:  # all < 128: bytes ARE the stream
+        return v.astype(np.uint8).tobytes(), nbytes
     offsets = np.zeros(v.size, dtype=np.int64)
     np.cumsum(nbytes[:-1], out=offsets[1:])
     out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
@@ -70,6 +72,8 @@ def varint_decode(buf: bytes | memoryview) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (b & 0x80) == 0
+    if is_last.all():  # all single-byte varints: the stream IS the values
+        return b.astype(np.uint64)
     ends = np.flatnonzero(is_last)
     starts = np.empty(ends.size, dtype=np.int64)
     starts[0] = 0

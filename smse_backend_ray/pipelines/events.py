@@ -128,6 +128,73 @@ def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> pa.Table:
     return t.take(pc.sort_indices(t["user_id"]))
 
 
+RECENT_HOURS = 24
+
+
+def _max_ts_us(path: str) -> int:
+    """Global max(ts) in epoch-microseconds via a tiny distributed aggregate
+    (one row per batch -> driver max); never a driver-side column scan."""
+    ds = ray.data.read_parquet(path, columns=["ts"])
+
+    def bmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        m = pc.max(pc.cast(t["ts"], pa.int64())).as_py()
+        return pa.table({"m": pa.array([m], type=pa.int64())})
+
+    t = collect_table(ds.map_batches(bmax, batch_format="pyarrow", zero_copy_batch=True))
+    return max(t["m"].to_pylist())
+
+
+def recent_events(sf_dir: str, hours: int = RECENT_HOURS) -> pa.Table:
+    """Age-threshold filter + strftime row formatting (reference F7/F8:
+    ``now() - timedelta(hours=24)`` cleanup threshold
+    smse_backend/services/file_storage.py:687 and history-row
+    ``strftime("%Y-%m-%d %H:%M:%S")`` smse_backend/routes/user.py:24).
+
+    The threshold anchors on max(ts) in the data, not wall clock, so the
+    result is deterministic. The filter pushes down to the parquet read
+    (row-group pruning — at stream scale only the recent tail is scanned);
+    formatting is a vectorized per-batch kernel. Timestamps are truncated to
+    whole seconds before formatting: Arrow's %S emits fractional seconds,
+    DuckDB's does not."""
+    path = os.path.join(sf_dir, "events.parquet")
+    thresh = _max_ts_us(path) - hours * 3600 * 1_000_000
+    thresh_scalar = pa.scalar(thresh, type=pa.int64()).cast(pa.timestamp("us"))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        # floor THEN cast to second resolution: %S on a sub-second type
+        # prints fractional digits, which DuckDB's %S never does
+        secs = pc.cast(pc.floor_temporal(t["ts"], unit="second"), pa.timestamp("s"))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_str": pc.strftime(secs, format="%Y-%m-%d %H:%M:%S"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        path,
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pc.field("ts") >= thresh_scalar,
+    ).map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+    t = collect_table(ds)
+    return t.take(pc.sort_indices(t["event_id"]))
+
+
+def recent_events_sql(hours: int = RECENT_HOURS) -> str:
+    return f"""
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT event_id, user_id, event_type,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events, mx
+WHERE ts >= m - INTERVAL {hours} HOUR
+ORDER BY event_id
+"""
+
+
 def user_sessions_sql(gap_min: int = SESSION_GAP_MIN) -> str:
     return f"""
 WITH ordered AS (

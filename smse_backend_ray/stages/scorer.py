@@ -105,14 +105,17 @@ class ShardIndex:
                 for f in meta_files
             )
             order = pa.compute.sort_indices(m["doc_id"])
-            m = m.take(order)
+            m = m.take(order).combine_chunks()
             self.meta_ids = m["doc_id"].to_numpy()
-            self.meta_repo = np.asarray(m["repo"].to_pylist(), dtype=object)
-            self.meta_path = np.asarray(m["path"].to_pylist(), dtype=object)
-            self.meta_lang = np.asarray(m["lang"].to_pylist(), dtype=object)
+            # metadata stays COMPACT Arrow at rest (no per-row Python strings
+            # for the whole shard); rows become Python only for the <=k
+            # survivors of each query (_finalize)
+            self.meta = m.select(["repo", "path", "lang"])
         else:
             self.meta_ids = np.empty(0, dtype=np.int64)
-            self.meta_repo = self.meta_path = self.meta_lang = np.empty(0, dtype=object)
+            self.meta = pa.table(
+                {c: pa.array([], type=pa.string()) for c in ("repo", "path", "lang")}
+            )
 
     # -- lazy per-term state ----------------------------------------------
 
@@ -184,10 +187,11 @@ class ShardIndex:
             doc_ids, scores = doc_ids[m], scores[m]
         pos = np.searchsorted(self.meta_ids, doc_ids)
         # all candidate doc_ids exist in meta by construction
-        repo = self.meta_repo[pos]
         if scope:
-            m = repo == scope
-            doc_ids, scores, pos, repo = doc_ids[m], scores[m], pos[m], repo[m]
+            # Arrow-side compare: candidates' repo never round-trips Python
+            repo_c = self.meta["repo"].take(pa.array(pos))
+            m = pa.compute.equal(repo_c, scope).to_numpy(zero_copy_only=False)
+            doc_ids, scores, pos = doc_ids[m], scores[m], pos[m]
         rscore = round_half_away(scores, SCORE_DECIMALS)
         order = np.lexsort((doc_ids, -rscore))[:k]
         doc_ids, scores, rscore, pos = (
@@ -196,13 +200,14 @@ class ShardIndex:
             rscore[order],
             pos[order],
         )
+        idx = pa.array(pos)  # <=k survivors materialize as Python strings
         return {
             "doc_id": doc_ids,
             "score": scores,
             "rscore": rscore,
-            "repo": self.meta_repo[pos],
-            "path": self.meta_path[pos],
-            "lang": self.meta_lang[pos],
+            "repo": np.asarray(self.meta["repo"].take(idx).to_pylist(), dtype=object),
+            "path": np.asarray(self.meta["path"].take(idx).to_pylist(), dtype=object),
+            "lang": np.asarray(self.meta["lang"].take(idx).to_pylist(), dtype=object),
         }
 
     def _empty(self) -> dict:

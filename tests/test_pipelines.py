@@ -164,6 +164,37 @@ def test_winnow_pipeline(ray_session, sf_dir):
     )
 
 
+def test_recent_events_matches_sql(ray_session, sf_dir, duck):
+    t = events.recent_events(sf_dir)
+    want = duck.sql(events.recent_events_sql()).arrow()
+    assert t.num_rows == want.num_rows
+    assert t.column_names == want.column_names
+    assert t.to_pylist() == want.to_pylist()
+
+
+def test_doc_sample_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines import sampling
+
+    t = sampling.doc_sample(sf_dir)
+    want = duck.sql(sampling.doc_sample_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # roughly pct percent kept
+    n_docs = duck.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < t.num_rows < n_docs
+
+
+def test_doc_sample_stratified_nests(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines import sampling
+
+    t = sampling.doc_sample_stratified(sf_dir)
+    want = duck.sql(sampling.doc_sample_stratified_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # nesting: every doc kept at rate r is kept at any rate >= r
+    lo = set(sampling.doc_sample(sf_dir, pct=10)["doc_id"].to_pylist())
+    hi = set(sampling.doc_sample(sf_dir, pct=30)["doc_id"].to_pylist())
+    assert lo <= hi
+
+
 def test_sessions_vs_events_totals(ray_session, sf_dir, duck):
     t = events.user_sessions(sf_dir)
     total_events = duck.sql("SELECT count(*) FROM events").fetchone()[0]
