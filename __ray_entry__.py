@@ -232,6 +232,27 @@ def _q_repo_sizes(sf_dir: str) -> Any:
     return t.take(pa.compute.sort_indices(t["repo"]))
 
 
+def _q_top_docs_per_repo(sf_dir: str, k: int = 3) -> Any:
+    """Grouped top-k over the index docs table (combiner-then-shuffle; see
+    pipelines/grouped_topk.py for the scale shape)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from smse_backend_ray.functions.collect import collect_table
+    from smse_backend_ray.pipelines.grouped_topk import grouped_topk
+
+    idx = _index_for(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(idx, "docs"), columns=["repo", "doc_id", "n_bytes"]
+    )
+    t = collect_table(grouped_topk(ds, "repo", "n_bytes", k))
+    t = t.select(["repo", "rank", "doc_id", "n_bytes"])
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("repo", "ascending"), ("rank", "ascending")])
+    )
+
+
 def _q_bm25(queries) -> Callable[[str], Any]:
     def run(sf_dir: str) -> Any:
         return _search_result(sf_dir, queries)
@@ -278,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "path_parse": _q_path_parse,
         "repo_sizes": _q_repo_sizes,
+        "top_docs_per_repo": _q_top_docs_per_repo,
         "bm25_topk": _q_bm25(BASE_QUERIES),
         "bm25_bulk": _q_bm25_bulk,
         "bm25_topk_scoped": _q_bm25(SCOPED_QUERIES),
@@ -329,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": sqlgen.lang_counts_sql(),
         "path_parse": sqlgen.path_parse_sql(),
         "repo_sizes": sqlgen.repo_sizes_sql(),
+        "top_docs_per_repo": sqlgen.top_docs_per_repo_sql(3),
         "bm25_topk": sqlgen.bm25_topk_sql(BASE_QUERIES, p),
         "bm25_bulk": sqlgen.bm25_topk_sql(BASE_QUERIES, p, meta_cols=False),
         "bm25_topk_scoped": sqlgen.bm25_topk_sql(SCOPED_QUERIES, p),

@@ -1,6 +1,6 @@
 """Simulate the driver's correctness gate: run every queries() entry and its
 oracle_sql() twin on the same sf dir, compare row count + schema + sorted
-values. Usage: python scripts/driver_sim.py [sf_dir]"""
+values. Usage: python scripts/driver_sim.py [sf_dir] [entry_name ...]"""
 
 from __future__ import annotations
 
@@ -81,6 +81,9 @@ def main():
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    only = set(sys.argv[2:])  # optional entry-name filter (skips entry() smoke)
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     n_bad = 0
     for name, fn in qs.items():
         mine = to_pandas(fn(sf_dir))
@@ -96,8 +99,9 @@ def main():
         for p in problems[:4]:
             print(f"    - {p}")
     # entry smoke
-    e = to_pandas(entrymod.entry())
-    print(f"entry() -> {len(e)} rows, cols {list(e.columns)}")
+    if not only:
+        e = to_pandas(entrymod.entry())
+        print(f"entry() -> {len(e)} rows, cols {list(e.columns)}")
     print("BAD:", n_bad)
     return n_bad
 

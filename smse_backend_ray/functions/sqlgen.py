@@ -210,6 +210,17 @@ def repo_sizes_sql() -> str:
     )
 
 
+def top_docs_per_repo_sql(k: int) -> str:
+    """Grouped top-k twin (pipelines/grouped_topk.py): largest k docs per
+    repo by (n_bytes DESC, doc_id ASC)."""
+    return with_corpus_docs(
+        "SELECT repo, CAST(rank AS BIGINT) AS rank, doc_id, n_bytes FROM ("
+        "SELECT repo, doc_id, n_bytes, row_number() OVER "
+        "(PARTITION BY repo ORDER BY n_bytes DESC, doc_id) AS rank FROM docs) "
+        f"WHERE rank <= {k} ORDER BY repo, rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # textstats oracles (pipelines/textstats.py twins; operate on `documents`)
 # ---------------------------------------------------------------------------

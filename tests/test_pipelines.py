@@ -195,6 +195,50 @@ def test_doc_sample_stratified_nests(ray_session, sf_dir, duck):
     assert lo <= hi
 
 
+def test_grouped_topk_partition_invariant(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from smse_backend_ray.functions.collect import collect_table
+    from smse_backend_ray.pipelines.grouped_topk import grouped_topk
+
+    n = 100
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i % 5}" for i in range(n)]),
+            "doc_id": pa.array(list(range(n)), type=pa.int64()),
+            "n_bytes": pa.array([(i * 37) % 101 for i in range(n)], type=pa.int64()),
+        }
+    )
+
+    def run(n_parts):
+        out = collect_table(
+            grouped_topk(ray.data.from_arrow(t).repartition(n_parts), "repo", "n_bytes", 3)
+        ).select(["repo", "rank", "doc_id", "n_bytes"])
+        return out.take(
+            pc.sort_indices(out, sort_keys=[("repo", "ascending"), ("rank", "ascending")])
+        )
+
+    a, b = run(1), run(7)
+    assert a.to_pylist() == b.to_pylist()
+    # python reference
+    rows = sorted(t.to_pylist(), key=lambda r: (r["repo"], -r["n_bytes"], r["doc_id"]))
+    want = []
+    seen: dict[str, int] = {}
+    for r in rows:
+        c = seen.get(r["repo"], 0)
+        if c < 3:
+            want.append({**r, "rank": c + 1})
+            seen[r["repo"]] = c + 1
+    want = [
+        {"repo": w["repo"], "rank": w["rank"], "doc_id": w["doc_id"], "n_bytes": w["n_bytes"]}
+        for w in want
+    ]
+    assert a.to_pylist() == want
+
+
 def test_sessions_vs_events_totals(ray_session, sf_dir, duck):
     t = events.user_sessions(sf_dir)
     total_events = duck.sql("SELECT count(*) FROM events").fetchone()[0]
