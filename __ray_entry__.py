@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_agg": events.hourly_window_agg,
         "events_sessions": events.user_sessions,
         "events_recent": events.recent_events,
+        "events_props_agg": events.props_agg,
         "doc_sample": sampling.doc_sample,
         "doc_sample_stratified": sampling.doc_sample_stratified,
     }
@@ -376,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_agg": events_mod.hourly_window_agg_sql(),
         "events_sessions": events_mod.user_sessions_sql(),
         "events_recent": events_mod.recent_events_sql(),
+        "events_props_agg": events_mod.props_agg_sql(),
         "doc_sample": sampling_mod.doc_sample_sql(),
         "doc_sample_stratified": sampling_mod.doc_sample_stratified_sql(),
     }

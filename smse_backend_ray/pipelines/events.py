@@ -195,6 +195,59 @@ ORDER BY event_id
 """
 
 
+def props_agg(sf_dir: str) -> pa.Table:
+    """Semi-structured props extraction + rollup: pull the integer ``k``
+    field out of the JSON-string ``props`` column (vectorized
+    ``pc.extract_regex`` — no per-row json.loads) and aggregate per
+    event_type with the map-side combiner pattern. Reference analog: the
+    free-form ``User.preferences JSON`` column (smse_backend/models/
+    user.py:18) — applied data-side at stream scale."""
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())  # null when no match
+        g = (
+            pa.table({"event_type": t["event_type"], "k": k})
+            .group_by("event_type")
+            .aggregate([("k", "sum"), ("k", "count")])  # count skips nulls
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "sum_k": g["k_sum"],
+                "n": pc.cast(g["k_count"], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(path, columns=["event_type", "props"])
+    ds = ds.repartition(_parallel_blocks(_parquet_rows(path)))
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+    )
+    t = collect_table(agg)
+    t = pa.table(
+        {
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_k": pc.cast(t["sum_k"], pa.int64()),
+        }
+    )
+    return t.take(pc.sort_indices(t["event_type"]))
+
+
+def props_agg_sql() -> str:
+    return r"""
+SELECT event_type, CAST(count(k) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+FROM (SELECT event_type,
+             CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def user_sessions_sql(gap_min: int = SESSION_GAP_MIN) -> str:
     return f"""
 WITH ordered AS (

@@ -164,6 +164,12 @@ def test_winnow_pipeline(ray_session, sf_dir):
     )
 
 
+def test_props_agg_matches_sql(ray_session, sf_dir, duck):
+    t = events.props_agg(sf_dir)
+    want = duck.sql(events.props_agg_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+
+
 def test_recent_events_matches_sql(ray_session, sf_dir, duck):
     t = events.recent_events(sf_dir)
     want = duck.sql(events.recent_events_sql()).arrow()
