@@ -308,7 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": textstats.quality,
         "doc_lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.fingerprint,
-        "doc_winnow": textstats.winnow_fingerprints,  # rows-only (rolling hash)
+        "doc_winnow": textstats.winnow_rows,
         "doc_preview": textstats.preview,
         "doc_validate": lambda sf: textstats.validate(_index_for(sf)),
         "multimodal_pipeline": _q_multimodal,  # rows-only (synth media, real codecs)
@@ -335,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_ray.pipelines import dedup as dedup_mod
     from smse_backend_ray.pipelines import events as events_mod
     from smse_backend_ray.pipelines import sampling as sampling_mod
+    from smse_backend_ray.pipelines import textstats as textstats_mod
     from smse_backend_ray.pipelines import simsearch as simsearch_mod
     from smse_backend_ray.queryset import (
         BASE_QUERIES,
@@ -361,6 +362,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": sqlgen.quality_sql(),
         "doc_lang_id": sqlgen.lang_id_sql(),
         "doc_fingerprint": sqlgen.fingerprint_sql(),
+        "doc_winnow": sqlgen.winnow_sql(
+            textstats_mod.WINNOW_K, textstats_mod.WINNOW_W
+        ),
         "doc_preview": sqlgen.preview_sql(),
         "doc_validate": sqlgen.validate_sql(),
         "dedup_exact": sqlgen.exact_dedup_sql(),

@@ -210,6 +210,60 @@ def repo_sizes_sql() -> str:
     )
 
 
+def winnow_sql(k: int, w: int) -> str:
+    """Winnowing fingerprints twin (pipelines/textstats.py winnow_rows):
+    ordered subtoken stream -> k-gram strings via lead() -> md5-digit gram
+    hash -> windowed min -> first-seen dedup, exploded to
+    (doc_id, fp_rank, fingerprint) rows. The engine's window tie rule is
+    irrelevant to the output (dedup is by value), so a plain min() OVER
+    reproduces it exactly."""
+    toks_expr = subtoken_expr("src.text")
+    leads = " || chr(1) || ".join(
+        ["term"] + [f"lead(term,{j}) OVER w" for j in range(1, k)]
+    )
+    ghash = (
+        "CAST(substr(regexp_replace(md5(gram), '[a-f]', '', 'g'), 1, 15) AS BIGINT)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT src.doc_id, t.term, t.pos
+  FROM documents src,
+  LATERAL (SELECT unnest({toks_expr}) AS term,
+                  generate_subscripts({toks_expr}, 1) AS pos) t
+  WHERE t.term <> ''
+),
+ordered AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM toks
+),
+gram_str AS (
+  SELECT doc_id, p, {leads} AS gram,
+         lead(term,{k - 1}) OVER w IS NOT NULL AS full_gram
+  FROM ordered WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+grams AS (
+  SELECT doc_id, p, {ghash} AS g, count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM (SELECT doc_id, p, gram FROM gram_str WHERE full_gram)
+),
+wmins AS (
+  SELECT doc_id, p,
+    min(g) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin,
+    n_grams
+  FROM grams
+),
+firsts AS (
+  SELECT doc_id, wmin, min(p) AS fp
+  FROM wmins WHERE p <= GREATEST(n_grams - {w} + 1, 1)
+  GROUP BY doc_id, wmin
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS BIGINT) AS fp_rank,
+  wmin AS fingerprint
+FROM firsts ORDER BY doc_id, fp_rank
+"""
+
+
 def top_docs_per_repo_sql(k: int) -> str:
     """Grouped top-k twin (pipelines/grouped_topk.py): largest k docs per
     repo by (n_bytes DESC, doc_id ASC)."""

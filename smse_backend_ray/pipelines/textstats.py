@@ -123,52 +123,50 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-WINNOW_K = 5      # k-gram length (in subtokens) for the rolling hash
+WINNOW_K = 5      # k-gram length (in subtokens)
 WINNOW_W = 4      # winnowing window (Schleimer/Wilkerson/Aiken MOSS scheme)
-_ROLL_BASE = np.uint64(1000003)
+_GRAM_SEP = "\x01"
+
+
+def _gram_hash(gram: str) -> int:
+    """Stable gram hash: first 15 decimal digits of md5 hex — the same
+    SQL-reproducible digit trick as sqlgen.doc_id_expr, so the DuckDB
+    oracle computes the identical value."""
+    h = hashlib.md5(gram.encode()).hexdigest()
+    return int("".join(c for c in h if c.isdigit())[:15])
 
 
 def winnow_fingerprints_one(text: str) -> list[int]:
-    """Document fingerprint via winnowing: rolling (polynomial) hash over
-    subtoken k-grams, keep the minimum hash of every window of W k-grams
-    (rightmost-min rule), dedup preserving order. Robust to local edits —
-    the near-dup fingerprint the north_star's 'document fingerprinting
-    (rolling hash)' asks for."""
+    """Document fingerprint via winnowing: hash every k-gram of subtokens,
+    keep the minimum hash of each window of W consecutive grams, dedup
+    preserving first-seen order. Robust to local edits (MOSS scheme).
+
+    The selection tie rule (leftmost vs rightmost min) provably cannot
+    change the output: dedup is by VALUE, and consecutive windows sharing a
+    min value collapse to one fingerprint either way — so only min VALUES
+    per window matter, which is what the SQL twin (sqlgen.winnow_sql)
+    computes with a plain windowed min()."""
     toks = split_subtokens(text or "")
     if len(toks) < WINNOW_K:
         return []
-    # token -> stable 64-bit value; rolling polynomial hash over k-grams
-    vals = np.array(
-        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in toks],
-        dtype=np.uint64,
-    )
     n_grams = len(toks) - WINNOW_K + 1
-    powers = _ROLL_BASE ** np.arange(WINNOW_K, dtype=np.uint64)
-    grams = np.zeros(n_grams, dtype=np.uint64)
-    # vectorized polynomial hash: sum vals[i+j] * base^(K-1-j)
-    for j in range(WINNOW_K):
-        grams += vals[j : j + n_grams] * powers[WINNOW_K - 1 - j]
+    grams = [
+        _gram_hash(_GRAM_SEP.join(toks[i : i + WINNOW_K])) for i in range(n_grams)
+    ]
     if n_grams <= WINNOW_W:
-        return [int(grams.min())]
-    # sliding-window minimum (rightmost min on ties)
-    from numpy.lib.stride_tricks import sliding_window_view
+        mins = [min(grams)]
+    else:
+        g = np.asarray(grams, dtype=np.int64)
+        from numpy.lib.stride_tricks import sliding_window_view
 
-    win = sliding_window_view(grams, WINNOW_W)
-    rev_arg = WINNOW_W - 1 - np.argmin(win[:, ::-1], axis=1)  # rightmost min
-    mins = win[np.arange(win.shape[0]), rev_arg]
-    out: list[int] = []
-    seen_last = None
-    for v in mins.tolist():
-        if v != seen_last:
-            out.append(int(v))
-            seen_last = v
-    # dedup globally, preserve first-seen order
+        mins = sliding_window_view(g, WINNOW_W).min(axis=1).tolist()
+    # dedup, preserve first-seen order
     seen: set[int] = set()
     uniq = []
-    for v in out:
+    for v in mins:
         if v not in seen:
             seen.add(v)
-            uniq.append(v)
+            uniq.append(int(v))
     return uniq
 
 
@@ -179,14 +177,46 @@ def winnow_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "fingerprints": pa.array(fps, type=pa.list_(pa.uint64())),
+            "fingerprints": pa.array(fps, type=pa.list_(pa.int64())),
             "n_fingerprints": pa.array([len(f) for f in fps], type=pa.int64()),
+        }
+    )
+
+
+def winnow_rows_batch(batch: pa.Table) -> pa.Table:
+    """Exploded winnow form for the driver gate: one row per
+    (doc_id, fp_rank, fingerprint) — scalar columns hash cleanly in the
+    driver's comparator, unlike list-valued cells."""
+    doc_ids, ranks, fps = [], [], []
+    for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        for r, v in enumerate(winnow_fingerprints_one(text), start=1):
+            doc_ids.append(did)
+            ranks.append(r)
+            fps.append(v)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "fp_rank": pa.array(ranks, type=pa.int64()),
+            "fingerprint": pa.array(fps, type=pa.int64()),
         }
     )
 
 
 def winnow_fingerprints(sf_dir: str) -> pa.Table:
     return _run(sf_dir, winnow_batch)
+
+
+def winnow_rows(sf_dir: str) -> pa.Table:
+    out = collect_table(
+        _read_documents(sf_dir).map_batches(
+            winnow_rows_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return out.take(
+        pa.compute.sort_indices(
+            out, sort_keys=[("doc_id", "ascending"), ("fp_rank", "ascending")]
+        )
+    )
 
 
 def _run(sf_dir: str, fn) -> pa.Table:

@@ -160,8 +160,17 @@ def test_winnow_pipeline(ray_session, sf_dir):
     t = textstats.winnow_fingerprints(sf_dir)
     assert t.num_rows == 500
     assert t.schema.field("fingerprints").type == __import__("pyarrow").list_(
-        __import__("pyarrow").uint64()
+        __import__("pyarrow").int64()
     )
+
+
+def test_winnow_rows_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions.sqlgen import winnow_sql
+
+    t = textstats.winnow_rows(sf_dir)
+    want = duck.sql(winnow_sql(textstats.WINNOW_K, textstats.WINNOW_W)).arrow()
+    assert t.num_rows == want.num_rows
+    assert t.to_pylist() == want.to_pylist()
 
 
 def test_props_agg_matches_sql(ray_session, sf_dir, duck):
