@@ -83,6 +83,10 @@ def main():
     sqls = entrymod.oracle_sql()
     only = set(sys.argv[2:])  # optional entry-name filter (skips entry() smoke)
     if only:
+        unknown = only - qs.keys()
+        if unknown:
+            print(f"unknown entry names: {sorted(unknown)}")
+            return 1
         qs = {k: v for k, v in qs.items() if k in only}
     n_bad = 0
     for name, fn in qs.items():

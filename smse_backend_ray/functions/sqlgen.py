@@ -221,8 +221,10 @@ def winnow_sql(k: int, w: int) -> str:
     leads = " || chr(1) || ".join(
         ["term"] + [f"lead(term,{j}) OVER w" for j in range(1, k)]
     )
+    # COALESCE 0 mirrors the engine's all-letter-md5 fallback (_gram_hash)
     ghash = (
-        "CAST(substr(regexp_replace(md5(gram), '[a-f]', '', 'g'), 1, 15) AS BIGINT)"
+        "COALESCE(CAST(NULLIF(substr(regexp_replace(md5(gram), '[a-f]', '', 'g'),"
+        " 1, 15), '') AS BIGINT), 0)"
     )
     return f"""
 WITH toks AS (

@@ -131,19 +131,21 @@ def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> pa.Table:
 RECENT_HOURS = 24
 
 
-def _max_ts_us(path: str) -> int:
+def _max_ts_us(path: str) -> int | None:
     """Global max(ts) in epoch-microseconds via a tiny distributed aggregate
-    (one row per batch -> driver max); never a driver-side column scan."""
+    (one row per batch -> driver max); never a driver-side column scan.
+    None when the table is empty or ts is entirely null (the SQL twin
+    degrades to zero rows in both cases)."""
     ds = ray.data.read_parquet(path, columns=["ts"])
 
     def bmax(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"m": pa.array([], type=pa.int64())})
-        m = pc.max(pc.cast(t["ts"], pa.int64())).as_py()
-        return pa.table({"m": pa.array([m], type=pa.int64())})
+        m = pc.max(pc.cast(t["ts"], pa.int64())).as_py() if t.num_rows else None
+        vals = [] if m is None else [m]
+        return pa.table({"m": pa.array(vals, type=pa.int64())})
 
     t = collect_table(ds.map_batches(bmax, batch_format="pyarrow", zero_copy_batch=True))
-    return max(t["m"].to_pylist())
+    vals = t["m"].to_pylist()
+    return max(vals) if vals else None
 
 
 def recent_events(sf_dir: str, hours: int = RECENT_HOURS) -> pa.Table:
@@ -159,7 +161,17 @@ def recent_events(sf_dir: str, hours: int = RECENT_HOURS) -> pa.Table:
     whole seconds before formatting: Arrow's %S emits fractional seconds,
     DuckDB's does not."""
     path = os.path.join(sf_dir, "events.parquet")
-    thresh = _max_ts_us(path) - hours * 3600 * 1_000_000
+    mx = _max_ts_us(path)
+    if mx is None:  # empty table / all-null ts: zero rows, like the oracle
+        return pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "ts_str": pa.array([], type=pa.string()),
+            }
+        )
+    thresh = mx - hours * 3600 * 1_000_000
     thresh_scalar = pa.scalar(thresh, type=pa.int64()).cast(pa.timestamp("us"))
 
     def fmt(t: pa.Table) -> pa.Table:

@@ -19,8 +19,10 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def _topk_batch(t: pa.Table, key: str, by: str, k: int, with_rank: bool) -> pa.Table:
-    """Keep the first k rows per ``key`` under (by DESC, doc_id ASC) order.
+def _topk_batch(
+    t: pa.Table, key: str, by: str, k: int, tiebreak: str, with_rank: bool
+) -> pa.Table:
+    """Keep the first k rows per ``key`` under (by DESC, tiebreak ASC) order.
     Fully vectorized: one sort + one run-boundary scan."""
     if t.num_rows == 0:
         return (
@@ -28,7 +30,7 @@ def _topk_batch(t: pa.Table, key: str, by: str, k: int, with_rank: bool) -> pa.T
         )
     order = pc.sort_indices(
         t,
-        sort_keys=[(key, "ascending"), (by, "descending"), ("doc_id", "ascending")],
+        sort_keys=[(key, "ascending"), (by, "descending"), (tiebreak, "ascending")],
     )
     t = t.take(order)
     keys = t[key].to_numpy(zero_copy_only=False)
@@ -44,17 +46,17 @@ def _topk_batch(t: pa.Table, key: str, by: str, k: int, with_rank: bool) -> pa.T
 
 
 def grouped_topk(
-    ds: "ray.data.Dataset", key: str, by: str, k: int
+    ds: "ray.data.Dataset", key: str, by: str, k: int, tiebreak: str = "doc_id"
 ) -> "ray.data.Dataset":
-    """Top-k rows per ``key`` ordered by (``by`` DESC, doc_id ASC), with a
-    1-based ``rank`` column. Ties beyond doc_id cannot occur (doc_id is
-    unique per table)."""
+    """Top-k rows per ``key`` ordered by (``by`` DESC, ``tiebreak`` ASC),
+    with a 1-based ``rank`` column. ``tiebreak`` must be unique per row for
+    the rank order to be deterministic."""
     combined = ds.map_batches(
-        lambda t: _topk_batch(t, key, by, k, with_rank=False),
+        lambda t: _topk_batch(t, key, by, k, tiebreak, with_rank=False),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     return combined.groupby(key).map_groups(
-        lambda g: _topk_batch(g, key, by, k, with_rank=True),
+        lambda g: _topk_batch(g, key, by, k, tiebreak, with_rank=True),
         batch_format="pyarrow",
     )

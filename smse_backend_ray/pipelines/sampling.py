@@ -48,9 +48,22 @@ def _threshold(pct: int) -> int:
     return (SAMPLE_MOD * pct) // 100
 
 
+def _read_docs(sf_dir: str) -> "ray.data.Dataset":
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["doc_id", "lang"])
+    return ds.repartition(_parallel_blocks(_parquet_rows(path)))
+
+
+def _key_sql() -> str:
+    """SQL twin of ``sample_key`` (HUGEINT-widened exact modular arithmetic)."""
+    return (
+        f"CAST(((CAST(doc_id % {SAMPLE_MOD} AS HUGEINT) * {SAMPLE_MULT})"
+        f" % {SAMPLE_MOD}) AS BIGINT)"
+    )
+
+
 def doc_sample(sf_dir: str, pct: int = SAMPLE_PCT) -> pa.Table:
     """Uniform ``pct``-percent Bernoulli sample of the documents table."""
-    path = os.path.join(sf_dir, "documents.parquet")
     thr = _threshold(pct)
 
     def keep(t: pa.Table) -> pa.Table:
@@ -64,22 +77,17 @@ def doc_sample(sf_dir: str, pct: int = SAMPLE_PCT) -> pa.Table:
             }
         )
 
-    ds = ray.data.read_parquet(path, columns=["doc_id", "lang"])
-    ds = ds.repartition(_parallel_blocks(_parquet_rows(path)))
-    t = collect_table(ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True))
+    t = collect_table(
+        _read_docs(sf_dir).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    )
     return t.take(pa.compute.sort_indices(t["doc_id"]))
 
 
 def doc_sample_sql(pct: int = SAMPLE_PCT) -> str:
-    thr = _threshold(pct)
-    key = (
-        f"CAST(((CAST(doc_id % {SAMPLE_MOD} AS HUGEINT) * {SAMPLE_MULT})"
-        f" % {SAMPLE_MOD}) AS BIGINT)"
-    )
     return f"""
-SELECT doc_id, lang, {key} AS sample_key
+SELECT doc_id, lang, {_key_sql()} AS sample_key
 FROM documents
-WHERE {key} < {thr}
+WHERE {_key_sql()} < {_threshold(pct)}
 ORDER BY doc_id
 """
 
@@ -91,7 +99,6 @@ def doc_sample_stratified(
     ``STRATA_DEFAULT_PCT``. Same decision key as ``doc_sample`` so strata
     nest: a doc kept at 10% is kept at every higher rate."""
     rates = dict(STRATA_PCT if rates is None else rates)
-    path = os.path.join(sf_dir, "documents.parquet")
 
     def keep(t: pa.Table) -> pa.Table:
         key = sample_key(t["doc_id"].to_numpy())
@@ -107,18 +114,14 @@ def doc_sample_stratified(
             }
         )
 
-    ds = ray.data.read_parquet(path, columns=["doc_id", "lang"])
-    ds = ds.repartition(_parallel_blocks(_parquet_rows(path)))
-    t = collect_table(ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True))
+    t = collect_table(
+        _read_docs(sf_dir).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    )
     return t.take(pa.compute.sort_indices(t["doc_id"]))
 
 
 def doc_sample_stratified_sql(rates: dict[str, int] | None = None) -> str:
     rates = dict(STRATA_PCT if rates is None else rates)
-    key = (
-        f"CAST(((CAST(doc_id % {SAMPLE_MOD} AS HUGEINT) * {SAMPLE_MULT})"
-        f" % {SAMPLE_MOD}) AS BIGINT)"
-    )
     branches = " ".join(
         f"WHEN '{lang}' THEN {_threshold(pct)}" for lang, pct in sorted(rates.items())
     )
@@ -126,6 +129,6 @@ def doc_sample_stratified_sql(rates: dict[str, int] | None = None) -> str:
     return f"""
 SELECT doc_id, lang
 FROM documents
-WHERE {key} < {thr}
+WHERE {_key_sql()} < {thr}
 ORDER BY doc_id
 """

@@ -133,7 +133,9 @@ def _gram_hash(gram: str) -> int:
     SQL-reproducible digit trick as sqlgen.doc_id_expr, so the DuckDB
     oracle computes the identical value."""
     h = hashlib.md5(gram.encode()).hexdigest()
-    return int("".join(c for c in h if c.isdigit())[:15])
+    # "or 0": an all-letter md5 hex (p ~ 2e-14/gram, expected O(1) times at
+    # 1e14 grams) maps to 0 instead of crashing; SQL twin COALESCEs to 0
+    return int("".join(c for c in h if c.isdigit())[:15] or "0")
 
 
 def winnow_fingerprints_one(text: str) -> list[int]:
