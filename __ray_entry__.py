@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_pipeline": _q_multimodal,  # rows-only (synth media, real codecs)
         "dedup_exact": dedup.exact_dedup,
         "dedup_jaccard": dedup.jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,   # rows-only (LSH recall)
         "dedup_simhash": dedup.simhash_pairs,           # rows-only (hash fn)
         "dedup_embedding": dedup.embedding_dup_pairs,
@@ -369,6 +370,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_validate": sqlgen.validate_sql(),
         "dedup_exact": sqlgen.exact_dedup_sql(),
         "dedup_jaccard": sqlgen.jaccard_pairs_sql(
+            dedup_mod.JACCARD_THRESHOLD,
+            dedup_mod.SHINGLE_K,
+            dedup_mod.JACCARD_SHINGLE_DF_CAP,
+        ),
+        "dedup_clusters": sqlgen.dedup_clusters_sql(
             dedup_mod.JACCARD_THRESHOLD,
             dedup_mod.SHINGLE_K,
             dedup_mod.JACCARD_SHINGLE_DF_CAP,

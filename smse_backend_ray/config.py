@@ -45,6 +45,12 @@ CODE_KEYWORDS = (
 )
 STOPWORDS = frozenset(ENGLISH_STOPWORDS) | frozenset(CODE_KEYWORDS)
 
+# shingles shared by more than this many docs are excluded from every
+# Jaccard shingle set (engine pipelines/dedup.py AND the DuckDB oracle
+# functions/sqlgen.py mirror this — single-sourced here per the lockstep
+# rule). Bounds per-shingle pair emission at cap^2/2.
+JACCARD_SHINGLE_DF_CAP = 256
+
 
 # Language-ID marker words (textstats pipeline; frozen — the SQL oracle
 # inlines the same lists). Prediction: no ASCII tokens -> "zh"; zero marker

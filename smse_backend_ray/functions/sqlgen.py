@@ -13,6 +13,7 @@ is only about SQL equivalence.
 from __future__ import annotations
 
 from smse_backend_ray.config import (
+    JACCARD_SHINGLE_DF_CAP,
     MAX_TOKEN_LEN,
     MIN_TOKEN_LEN,
     SCORE_DECIMALS,
@@ -425,7 +426,9 @@ grams AS (
 shingles AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE rn <= n - {k - 1})"""
 
 
-def jaccard_pairs_sql(threshold: float, k: int, df_cap: int = 256) -> str:
+def jaccard_pairs_sql(
+    threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
+) -> str:
     """Exact-Jaccard twin. ``df_cap`` mirrors the engine's
     JACCARD_SHINGLE_DF_CAP: shingles shared by more than df_cap docs are
     excluded from every shingle set (sizes AND intersections)."""
@@ -445,6 +448,29 @@ SELECT inter.a, inter.b,
 FROM inter JOIN sizes za ON za.doc_id = inter.a JOIN sizes zb ON zb.doc_id = inter.b
 WHERE CAST(inter.i AS DOUBLE) / (za.n + zb.n - inter.i) >= {threshold}
 ORDER BY inter.a, inter.b
+"""
+
+
+def dedup_clusters_sql(
+    threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
+) -> str:
+    """Connected-components twin (pipelines/dedup.py dedup_clusters):
+    transitive closure over the verified Jaccard pairs via a recursive CTE,
+    cluster_id = min doc_id reachable."""
+    inner = jaccard_pairs_sql(threshold, k, df_cap)
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+),
+lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lbl ORDER BY doc_id
 """
 
 

@@ -246,10 +246,10 @@ def _run_segments(ifs: IndexFS, cfg: EngineConfig, avgdl: float) -> None:
         # shuffle volume
         batch_size=max(cfg.batch_size, 8192),
     )
-    # coalesce pre-aggregated runs before the wide exchange: fewer map
-    # fragments -> far less shuffle fixed cost (M x R block fragments)
-    n_coalesce = max(8, min(64, _cluster_cpus()))
-    runs = runs.repartition(n_coalesce)
+    # NO coalesce before the exchange: a plain repartition here funnels its
+    # reduce through ONE task (822 MB serialized point, measured on the 1M
+    # corpus) and leaves the sort-shuffle only a handful of giant map
+    # blocks; the raw map fragments parallelize strictly better.
     enc = BucketEncoder(avgdl, cfg)
 
     def encode_bucket(group: pa.Table) -> pa.Table:

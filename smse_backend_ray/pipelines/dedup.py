@@ -37,6 +37,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from smse_backend_ray.config import JACCARD_SHINGLE_DF_CAP
 from smse_backend_ray.functions.analyzer import split_subtokens
 from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.functions.rounding import round_half_away
@@ -110,11 +111,9 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
     )
 
 
-# shingles shared by more than this many docs are excluded from Jaccard sets
-# (engine AND DuckDB oracle share the cap; sqlgen.jaccard_pairs_sql mirrors
-# it). Bounds the all-pairs emission per shingle group at cap^2/2 — without
-# it one ubiquitous shingle emits d^2/2 rows and kills the job at scale.
-JACCARD_SHINGLE_DF_CAP = 256
+# JACCARD_SHINGLE_DF_CAP (imported from config.py — single-sourced with the
+# DuckDB oracle defaults): without it one ubiquitous shingle emits d^2/2
+# candidate rows and kills the job at scale.
 
 
 def _emit_pairs_group(g: pa.Table) -> pa.Table:
@@ -200,7 +199,13 @@ def jaccard_pairs(
     """Exact shingle-Jaccard pairs via a distributed inverted shingle index.
     Shingles with global df > ``df_cap`` are dropped from every shingle set
     (sizes AND intersections; the SQL oracle AND the minhash verifier apply
-    the identical cap), and the drop is logged — never silent."""
+    the identical cap), and the drop is logged — never silent.
+
+    Deliberate 2-pass design: the corpus is shingled twice (once for the
+    global hot-shingle df pass, once for sizes/intersections). Both passes
+    STREAM with bounded memory; the 1-pass alternative — materializing the
+    full (doc_id, shingle) row set to feed both consumers — pins tokens x
+    docs rows in the object store, which is the wrong trade at 100 TB."""
     from ray.data.aggregate import Count
 
     docs = _read_documents(sf_dir)
@@ -316,7 +321,7 @@ def minhash_lsh_pairs(
             columns=["doc_id", "text"],
             filter=pc.field("doc_id").isin(need),
         )
-        .repartition(_parallel_blocks())
+        .repartition(_parallel_blocks(len(need)))
         .map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True),
         _global_hot_shingles(sf_dir, df_cap, "minhash_lsh_pairs"),
     ).materialize()
@@ -679,7 +684,9 @@ def embedding_dup_pairs_ivf(
         ray.data.read_parquet(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
         )
-        .repartition(_parallel_blocks())
+        .repartition(
+            _parallel_blocks(_parquet_rows(os.path.join(sf_dir, "embeddings.parquet")))
+        )
         .map_batches(assign_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cluster")
         .map_groups(pair_group, batch_format="pyarrow")
@@ -688,3 +695,147 @@ def embedding_dup_pairs_ivf(
     )
     t = collect_table(out)
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over verified pairs
+# ---------------------------------------------------------------------------
+
+CLUSTER_MAX_ITERS = 64
+
+
+def _cc_emit_msgs(g: pa.Table) -> pa.Table:
+    """One key group = a node's label row (dst null) + its outgoing edges.
+    Emit the node's label as a candidate to itself and every neighbor."""
+    dst = g["dst"]
+    is_lbl = pc.is_null(dst).to_numpy(zero_copy_only=False)
+    lbl = int(pc.min(g["lbl"].filter(pa.array(is_lbl))).as_py())
+    key = int(g["key"][0].as_py())
+    neigh = g["dst"].filter(pa.array(~is_lbl)).to_pylist()
+    nodes = [key] + neigh
+    return pa.table(
+        {
+            "node": pa.array(nodes, type=pa.int64()),
+            "cand": pa.array([lbl] * len(nodes), type=pa.int64()),
+            "own": pa.array([True] + [False] * len(neigh)),
+        }
+    )
+
+
+def _cc_min_reduce(g: pa.Table) -> pa.Table:
+    """One node group: new label = min candidate; changed vs own label."""
+    node = int(g["node"][0].as_py())
+    cands = g["cand"].to_numpy()
+    old = int(pc.min(g["cand"].filter(g["own"])).as_py())
+    new = int(cands.min())
+    return pa.table(
+        {
+            "node": pa.array([node], type=pa.int64()),
+            "label": pa.array([new], type=pa.int64()),
+            "changed": pa.array([1 if new < old else 0], type=pa.int64()),
+        }
+    )
+
+
+def dedup_clusters(
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iters: int = CLUSTER_MAX_ITERS,
+) -> pa.Table:
+    """Connected components over the verified Jaccard pairs -> per-doc
+    cluster assignment (cluster_id = min doc_id in the component) and
+    cluster size. The canonical 'pick one representative per near-dup
+    group' step a training pipeline runs after pair generation.
+
+    Scale shape: iterative distributed min-label propagation — each round
+    is two bounded groupbys over (label ∪ edge) rows, state lives in a
+    materialized label Dataset (one row per CANDIDATE doc, not per corpus
+    doc), and convergence is checked with a scalar aggregate. Rounds ~=
+    component diameter (near-dup components are shallow); capped at
+    ``max_iters`` with a logged warning, never a silent stop. The DuckDB
+    twin computes the same closure with a recursive CTE."""
+    pairs = jaccard_pairs(sf_dir, threshold)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "cluster_id": pa.array([], type=pa.int64()),
+            "cluster_size": pa.array([], type=pa.int64()),
+        }
+    )
+    if pairs.num_rows == 0:
+        return empty
+
+    a, b = pairs["a"], pairs["b"]
+    edges_t = pa.table(
+        {
+            "u": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+            "v": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+        }
+    )
+    nodes = pc.unique(edges_t["u"])
+    edges = ray.data.from_arrow(edges_t).materialize()
+    labels = ray.data.from_arrow(
+        pa.table({"node": nodes, "label": nodes})
+    ).materialize()
+
+    def lbl_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["node"],
+                "dst": pa.nulls(t.num_rows, type=pa.int64()),
+                "lbl": t["label"],
+            }
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["u"],
+                "dst": t["v"],
+                "lbl": pa.nulls(t.num_rows, type=pa.int64()),
+            }
+        )
+
+    for it in range(max_iters):
+        msgs = (
+            labels.map_batches(lbl_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .union(
+                edges.map_batches(
+                    edge_rows, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("key")
+            .map_groups(_cc_emit_msgs, batch_format="pyarrow")
+        )
+        new = (
+            msgs.groupby("node")
+            .map_groups(_cc_min_reduce, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = new.sum("changed")
+        labels = new.drop_columns(["changed"]).materialize()
+        if not changed:
+            break
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_clusters: label propagation hit max_iters=%d before "
+            "convergence — labels may span partial components", max_iters
+        )
+
+    t = collect_table(labels)  # one row per candidate doc (bounded, like pairs)
+    sz = t.group_by("label").aggregate([("label", "count")])
+    size_of = dict(
+        zip(sz["label"].to_pylist(), pc.cast(sz["label_count"], pa.int64()).to_pylist())
+    )
+    out = pa.table(
+        {
+            "doc_id": t["node"],
+            "cluster_id": t["label"],
+            "cluster_size": pa.array(
+                [size_of[x] for x in t["label"].to_pylist()], type=pa.int64()
+            ),
+        }
+    )
+    return out.take(pc.sort_indices(out["doc_id"]))

@@ -108,6 +108,11 @@ class SearchEngine:
     def _load_tombstones(self) -> set[int]:
         if self.ifs.exists(self.TOMBSTONES):
             return set(self.ifs.read_json(self.TOMBSTONES))
+        # non-atomic-move filesystems park the live file at .bak while
+        # swapping (fs.write_json_atomic); recover after a mid-swap crash —
+        # losing tombstones would silently resurrect deleted docs
+        if self.ifs.exists(self.TOMBSTONES + ".bak"):
+            return set(self.ifs.read_json(self.TOMBSTONES + ".bak"))
         return set()
 
     def delete_doc(self, doc_id: int) -> None:

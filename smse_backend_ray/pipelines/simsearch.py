@@ -34,7 +34,7 @@ import ray.data
 
 from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.functions.rounding import round_half_away
-from smse_backend_ray.sources.corpus import _parallel_blocks
+from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
 
 N_QUERIES = 5   # frozen: query vectors are vec_id < 5
 TOP_K = 10
@@ -124,7 +124,7 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K) -> pa.Table:
 
     ds = ray.data.read_parquet(
         _emb_path(sf_dir), columns=["vec_id", "embedding"]
-    ).repartition(_parallel_blocks())
+    ).repartition(_parallel_blocks(_parquet_rows(_emb_path(sf_dir))))
     cands = collect_table(ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True))
     return _topk_merge([cands], k)
 
@@ -150,7 +150,7 @@ def train_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS, iters: int = IV
 
     ds = ray.data.read_parquet(
         _emb_path(sf_dir), columns=["embedding"]
-    ).repartition(_parallel_blocks())
+    ).repartition(_parallel_blocks(_parquet_rows(_emb_path(sf_dir))))
 
     for _ in range(iters):
         ref = ray.put(cents)
@@ -186,7 +186,7 @@ def train_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS, iters: int = IV
     return cents
 
 
-_IVF_CACHE: dict[tuple[str, int], tuple["IndexFS", np.ndarray]] = {}
+_IVF_CACHE: dict[tuple[str, int, str], tuple["IndexFS", np.ndarray]] = {}
 
 
 def build_ivf_index(
@@ -196,15 +196,32 @@ def build_ivf_index(
     CLUSTER — the storage layout that makes IVF actually prune: a query
     probing p of c clusters reads p/c of the data. Returns (layout IndexFS,
     centroids); all layout I/O goes through state/fs.IndexFS (works against
-    any pyarrow.fs location). Cached per (sf_dir, n_clusters) per process."""
+    any pyarrow.fs location). Cached per (sf_dir, out_dir, n_clusters) per
+    process; a pre-existing layout at ``out_dir`` is RESUMED (centroids
+    loaded from the sidecar, no retrain) — delete the layout dir to force a
+    rebuild after changing the embeddings table."""
+    import io
     import posixpath
 
     from smse_backend_ray.state.fs import IndexFS, resolve
 
-    key = (os.path.normpath(sf_dir), n_clusters)
+    if out_dir is None:
+        out_dir = f"/tmp/smse_ivf_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}_{n_clusters}"
+    key = (os.path.normpath(sf_dir), n_clusters, str(out_dir))
     hit = _IVF_CACHE.get(key)
     if hit and hit[0].exists():
         return hit
+    layout0 = resolve(out_dir)
+    parent0 = IndexFS((layout0.fs, posixpath.dirname(layout0.root)))
+    name0 = posixpath.basename(layout0.root)
+    sidecar = name0 + ".centroids.npy"
+    if layout0.exists() and parent0.exists(sidecar):
+        # cross-process resume: the layout already exists — load the
+        # centroids sidecar instead of retraining + rewriting
+        with parent0.open_input(sidecar) as f:
+            cents = np.load(io.BytesIO(f.read()))
+        _IVF_CACHE[key] = (layout0, cents)
+        return layout0, cents
     cents = train_centroids(sf_dir, n_clusters)
     cents_ref = ray.put(cents)
 
@@ -219,29 +236,22 @@ def build_ivf_index(
         t = t.append_column("cluster", pa.array(assign, type=pa.int32()))
         return t.append_column("cluster_id", pa.array(assign, type=pa.int32()))
 
-    if out_dir is None:
-        out_dir = f"/tmp/smse_ivf_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}_{n_clusters}"
-    layout = resolve(out_dir)
-    # the parent-rooted view drives the atomic dir swap and keeps the
-    # centroids sidecar NEXT TO the layout dir (a foreign file inside a
-    # hive-partitioned dir breaks parquet dataset discovery)
-    parent = IndexFS((layout.fs, posixpath.dirname(layout.root)))
-    name = posixpath.basename(layout.root)
+    # layout0/parent0/name0 from above; parent-rooted view drives the atomic
+    # dir swap and keeps the centroids sidecar NEXT TO the layout dir (a
+    # foreign file inside a hive-partitioned dir breaks dataset discovery)
     assigned = (
         ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
-        .repartition(_parallel_blocks())
+        .repartition(_parallel_blocks(_parquet_rows(_emb_path(sf_dir))))
         .map_batches(assign_batch, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(max(4, _parallel_blocks() // 8))  # bound files per cluster
     )
-    parent.atomic_write_dataset(assigned, name, partition_cols=["cluster"])
-    import io
-
+    parent0.atomic_write_dataset(assigned, name0, partition_cols=["cluster"])
     buf = io.BytesIO()
     np.save(buf, cents)
-    with parent.open_output(name + ".centroids.npy") as f:
+    with parent0.open_output(sidecar) as f:
         f.write(buf.getvalue())
-    _IVF_CACHE[key] = (layout, cents)
-    return layout, cents
+    _IVF_CACHE[key] = (layout0, cents)
+    return layout0, cents
 
 
 def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_CLUSTERS) -> pa.Table:

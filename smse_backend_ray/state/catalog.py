@@ -174,8 +174,12 @@ class Catalog:
             for info in self.ifs.list_infos(sub):
                 if not info.is_file:
                     continue
-                mtime = info.mtime.timestamp() if info.mtime else 0.0
-                if mtime < cutoff:
+                if info.mtime is None:
+                    # unknown age (some pyarrow.fs backends omit mtimes):
+                    # never treat as expired — deleting fresh query logs is
+                    # worse than retaining stale ones
+                    continue
+                if info.mtime.timestamp() < cutoff:
                     self.ifs.fs.delete_file(info.path)
                     removed["query_files"] += 1
         for info in self.ifs.list_infos():

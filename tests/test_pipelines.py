@@ -56,6 +56,23 @@ def test_simhash_batch_matches_scalar():
     assert dedup.simhash_batch(texts).tolist() == [dedup.simhash64(t) for t in texts]
 
 
+def test_dedup_clusters_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+
+    t = dedup.dedup_clusters(sf_dir)
+    want = duck.sql(
+        sqlgen.dedup_clusters_sql(
+            dedup.JACCARD_THRESHOLD, dedup.SHINGLE_K, dedup.JACCARD_SHINGLE_DF_CAP
+        )
+    ).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # consistency: both endpoints of every verified pair share a cluster
+    pairs = dedup.jaccard_pairs(sf_dir)
+    lbl = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    for x, y in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        assert lbl[x] == lbl[y]
+
+
 def test_embedding_dedup_block_invariant(ray_session, sf_dir):
     """The block-pair sweep's output is independent of block size (and the
     upper-triangle handling of diagonal blocks is exercised at tiny blocks)."""
@@ -278,3 +295,17 @@ def test_validate_batch_flags():
     assert [r["valid_commit"] for r in out] == [True, True, False, True]
     assert [r["valid_lang"] for r in out] == [True, False, False, True]
     assert [r["non_empty"] for r in out] == [True, True, False, False]
+
+
+def test_ivf_layout_resume(ray_session, sf_dir, tmp_path, monkeypatch):
+    """A pre-existing layout dir + centroids sidecar is resumed without
+    retraining (cross-process cache-miss path)."""
+    out = str(tmp_path / "ivf_layout")
+    l1, c1 = simsearch.build_ivf_index(sf_dir, out_dir=out)
+    simsearch._IVF_CACHE.clear()  # simulate a fresh process
+    monkeypatch.setattr(
+        simsearch, "train_centroids",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("retrained")),
+    )
+    l2, c2 = simsearch.build_ivf_index(sf_dir, out_dir=out)
+    assert np.array_equal(c1, c2)

@@ -52,3 +52,19 @@ def test_tombstones_persist_and_wand_parity(tomb_idx):
         assert exact == wand
         assert eng._tombstones  # loaded from disk
         assert all(r["doc_id"] not in eng._tombstones for r in exact)
+
+
+def test_tombstones_bak_recovery(tomb_idx):
+    """A crash mid-swap on a non-atomic-move fs leaves only tombstones.json.bak;
+    the engine must recover it instead of resurrecting deleted docs."""
+    live = os.path.join(tomb_idx, "tombstones.json")
+    bak = live + ".bak"
+    with SearchEngine(tomb_idx) as eng:
+        tombs = sorted(eng._tombstones)
+    assert tombs  # earlier tests deleted docs
+    os.replace(live, bak)  # simulate the mid-swap crash window
+    try:
+        with SearchEngine(tomb_idx) as eng:
+            assert sorted(eng._tombstones) == tombs
+    finally:
+        os.replace(bak, live)
