@@ -234,8 +234,9 @@ def _run_stats(ifs: IndexFS, cfg: EngineConfig) -> dict:
     }
 
 
-def _run_segments(ifs: IndexFS, cfg: EngineConfig, avgdl: float) -> None:
-    nb = cfg_buckets(cfg)
+def _run_segments(ifs: IndexFS, cfg: EngineConfig, stats: dict) -> None:
+    avgdl = stats["avgdl"]
+    nb = cfg_buckets(cfg, n_docs=int(stats.get("n_docs") or 0) or None)
     ds = ifs.ray_read_parquet(DOCS_DIR, columns=["doc_id", "dl", "terms", "tfs"])
     runs = ds.map_batches(
         functools.partial(explode_preagg_batch, n_buckets=nb),
@@ -250,7 +251,7 @@ def _run_segments(ifs: IndexFS, cfg: EngineConfig, avgdl: float) -> None:
     # reduce through ONE task (822 MB serialized point, measured on the 1M
     # corpus) and leaves the sort-shuffle only a handful of giant map
     # blocks; the raw map fragments parallelize strictly better.
-    enc = BucketEncoder(avgdl, cfg)
+    enc = BucketEncoder(avgdl, cfg, n_buckets=nb)
 
     def encode_bucket(group: pa.Table) -> pa.Table:
         return enc(group)
@@ -330,7 +331,7 @@ def build_index(
 
     if not cat.stage_done("segments"):
         cat.mark_stage("segments", "running")
-        _run_segments(ifs, cfg, cat.get_stats()["avgdl"])
+        _run_segments(ifs, cfg, cat.get_stats())
         cat.mark_stage("segments", "done")
 
     if not cat.stage_done("df"):

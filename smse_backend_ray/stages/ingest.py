@@ -250,9 +250,12 @@ class BucketEncoder:
     needs no second shuffle.
     """
 
-    def __init__(self, avgdl: float, cfg: EngineConfig):
+    def __init__(self, avgdl: float, cfg: EngineConfig, n_buckets: int | None = None):
         self.avgdl = avgdl
         self.cfg = cfg
+        # must equal the explode stage's bucket count (same build), else the
+        # output `bucket` column would disagree with the shuffle key
+        self.n_buckets = n_buckets if n_buckets is not None else cfg_buckets(cfg)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         """Whole-bucket vectorized merge+encode.
@@ -271,7 +274,7 @@ class BucketEncoder:
         cfg = self.cfg
         ns = cfg.n_shards
         bs = cfg.block_size
-        nb = cfg_buckets(cfg)
+        nb = self.n_buckets
 
         run_terms, run_lens, flat_docs, flat_tfs, flat_dls = decode_runs(group)
         n = flat_docs.size
@@ -390,12 +393,22 @@ def _empty_segment_table() -> pa.Table:
     )
 
 
-def cfg_buckets(cfg: EngineConfig) -> int:
+def cfg_buckets(cfg: EngineConfig, n_docs: int | None = None) -> int:
     """Shuffle-bucket count: enough reduce tasks to spread hot terms but
     bounded (SURVEY.md §4 skew row). Scales with cluster CPUs — at 64
     buckets the encode stage's hottest bucket was a 23 s straggler gating
     a 1M-doc build (measured; mean task 4.3 s); 8 buckets/CPU keeps the
-    tail short and per-task heap bounded without exploding fixed costs."""
+    tail short without exploding fixed costs.
+
+    When ``n_docs`` is known (the stats stage precedes segments) the count
+    also scales with DATA size, both ways:
+      - small corpora cap at ~1k docs/bucket so a 32-CPU session doesn't
+        shred a 10k-doc build into 256 near-empty map_groups tasks (fixed
+        per-task cost dominated the driver's 100k-doc bench config);
+      - huge corpora get a floor of ~50k docs/bucket (≈60 MB decoded
+        postings at avgdl~115) so per-reduce-task heap stays bounded even
+        when 8*cpus would make buckets arbitrarily fat.
+    """
     try:
         import ray
 
@@ -406,4 +419,9 @@ def cfg_buckets(cfg: EngineConfig) -> int:
         )
     except Exception:  # pragma: no cover - resource query is best-effort
         cpus = 32
-    return max(64, cfg.n_shards * 8, 8 * cpus)
+    cpu_scaled = max(64, cfg.n_shards * 8, 8 * cpus)
+    if n_docs is None:
+        return cpu_scaled
+    data_cap = -(-n_docs // 1_000)  # ceil; small data -> few buckets
+    heap_floor = -(-n_docs // 50_000)  # huge data -> enough buckets
+    return max(cfg.n_shards, min(cpu_scaled, data_cap), heap_floor)
