@@ -123,3 +123,25 @@ def test_empty_group():
     )
     out = BucketEncoder(100.0, cfg)(empty)
     assert out.num_rows == 0
+
+
+def test_cfg_buckets_scales_with_data():
+    """Bucket count tracks corpus size: small builds don't over-fragment,
+    huge builds keep per-reduce-task heap bounded, and the encoder's bucket
+    column always uses the count it was constructed with."""
+    from smse_backend_ray.stages.ingest import cfg_buckets
+
+    cfg = EngineConfig(n_shards=8)
+    cpu_scaled = cfg_buckets(cfg)  # no n_docs -> legacy CPU-scaled count
+    assert cpu_scaled >= 64
+    # tiny corpus: ~1k docs/bucket, never below n_shards
+    assert cfg_buckets(cfg, n_docs=500) == cfg.n_shards
+    assert cfg_buckets(cfg, n_docs=20_000) == max(cfg.n_shards, min(cpu_scaled, 20))
+    # medium corpus: capped by the CPU-scaled count (unless the ~50k
+    # docs/bucket heap floor already exceeds it)
+    assert cfg_buckets(cfg, n_docs=10_000_000) == max(cpu_scaled, 200)
+    # huge corpus: heap floor kicks in past 50k docs/bucket
+    huge = cfg_buckets(cfg, n_docs=1_000_000_000)
+    assert huge == max(cpu_scaled, 20_000)
+    # encoder honors an explicit count regardless of session CPUs
+    assert BucketEncoder(100.0, cfg, n_buckets=7).n_buckets == 7
