@@ -1,0 +1,84 @@
+"""Search job entrypoint for ``ray job submit`` (north_rule deployment path;
+reference analog: POST /api/search, smse_backend/routes/search.py).
+
+On a real cluster:
+
+    ray job submit --working-dir . -- \
+        python scripts/search_job.py --index-dir s3://bucket/index/v1 \
+        --query "hash join table" --limit 10
+
+Locally:
+
+    python scripts/search_job.py --index-dir /tmp/idx -q "binary search tree"
+
+Accepts repeated -q/--query flags or --queries-file (one query per line);
+prints one JSON line per result row. --bulk routes through the offline
+Dataset pipeline (pipelines/bulk_search.py) instead of the serving actors —
+right for millions of queries, identical results (tested).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("-q", "--query", action="append", default=[], help="query text (repeatable)")
+    ap.add_argument("--queries-file", help="file with one query per line")
+    ap.add_argument("--limit", type=int, default=10)
+    ap.add_argument("--scope", default="", help="repo/path prefix filter")
+    ap.add_argument("--threshold", type=float, default=None, help="minimum rounded score")
+    ap.add_argument("--strategy", choices=["exact", "wand"], default="exact")
+    ap.add_argument("--bulk", action="store_true", help="use the offline Dataset pipeline")
+    args = ap.parse_args(argv)
+
+    queries = list(args.query)
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            queries += [ln.strip() for ln in f if ln.strip()]
+    if not queries:
+        ap.error("no queries given (use -q or --queries-file)")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+    if args.bulk:
+        from smse_backend_ray.pipelines.bulk_search import bulk_search
+        from smse_backend_ray.queryset import QuerySpec
+
+        specs = [
+            QuerySpec(query_id=i, parts=(q,), scope=args.scope, limit=args.limit)
+            for i, q in enumerate(queries)
+        ]
+        out = bulk_search(args.index_dir, specs, limit=args.limit)
+        for row in out.to_pylist():
+            print(json.dumps({"query": queries[row["query_id"]], **row}, default=str))
+    else:
+        from smse_backend_ray.pipelines.search import SearchEngine
+
+        with SearchEngine(args.index_dir, strategy=args.strategy) as eng:
+            for i, q in enumerate(queries):
+                res = eng.search(
+                    q,
+                    scope=args.scope,
+                    limit=args.limit,
+                    threshold=args.threshold,
+                    query_id=i,
+                )
+                for row in res.to_pylist():
+                    print(json.dumps({"query": q, **row}, default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

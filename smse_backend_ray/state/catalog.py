@@ -69,6 +69,10 @@ class Catalog:
     def _commit(self) -> None:
         self.ifs.write_json_atomic(self.MANIFEST, self._state)
 
+    def manifest(self) -> dict:
+        """Read-only snapshot of the full manifest (stages/partitions/..)."""
+        return dict(self._state)
+
     # -- config / stats ----------------------------------------------------
     def set_config(self, cfg_dict: dict) -> None:
         self._state["config"] = cfg_dict
