@@ -41,21 +41,37 @@ def hourly_window_agg(sf_dir: str) -> pa.Table:
     """Tumbling 1h windows per event_type: count + sum(value).
 
     Pre-aggregates inside map_batches (one row per (window, type) per batch)
-    before the small groupby — the combiner pattern (SURVEY.md A5/A6)."""
+    before the small groupby — the combiner pattern (SURVEY.md A5/A6).
+
+    Float determinism: values are rounded to 4 decimals as SCALED int64
+    BEFORE summation (engine<->SQL lockstep pair with
+    ``hourly_window_agg_sql``), so the sum is exact-integer and therefore
+    independent of batch/partition order — unlike a double sum, whose
+    result depends on Ray's re-reduce order (README float policy)."""
 
     def partial(t: pa.Table) -> pa.Table:
         win = pc.floor_temporal(t["ts"], unit="hour")
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # floor(|v|*1e4 + 0.5): same half-away formula as rounding.py, kept
+        # in the scaled-integer domain (SQL twin: round(value*10000, 0))
+        iv = (np.sign(v) * np.floor(np.abs(v) * 10000.0 + 0.5)).astype(np.int64)
         g = (
-            pa.table({"window": win, "event_type": t["event_type"], "value": t["value"]})
+            pa.table(
+                {
+                    "window": win,
+                    "event_type": t["event_type"],
+                    "sum_iv": pa.array(iv, type=pa.int64()),
+                }
+            )
             .group_by(["window", "event_type"])
-            .aggregate([("value", "sum"), ("value", "count")])
+            .aggregate([("sum_iv", "sum"), ("sum_iv", "count")])
         )
         return pa.table(
             {
                 "window": g["window"],
                 "event_type": g["event_type"],
-                "sum_value": g["value_sum"],
-                "n": pc.cast(g["value_count"], pa.int64()),
+                "sum_iv": g["sum_iv_sum"],
+                "n": pc.cast(g["sum_iv_count"], pa.int64()),
             }
         )
 
@@ -63,15 +79,16 @@ def hourly_window_agg(sf_dir: str) -> pa.Table:
         _read_events(sf_dir)
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["window", "event_type"])
-        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n"))
+        .aggregate(Sum("sum_iv", alias_name="sum_iv"), Sum("n", alias_name="n"))
     )
     t = collect_table(agg)
+    sum_value = t["sum_iv"].to_numpy().astype(np.float64) / 10000.0
     t = pa.table(
         {
             "window": pc.cast(t["window"], pa.timestamp("us")),
             "event_type": t["event_type"],
             "n": pc.cast(t["n"], pa.int64()),
-            "sum_value": pa.array(round_half_away(t["sum_value"].to_numpy(), 4), type=pa.float64()),
+            "sum_value": pa.array(round_half_away(sum_value, 4), type=pa.float64()),
         }
     )
     return t.take(
@@ -82,9 +99,12 @@ def hourly_window_agg(sf_dir: str) -> pa.Table:
 
 
 def hourly_window_agg_sql() -> str:
+    # sum over 4-decimal-scaled BIGINTs (exact, order-free), then back to
+    # double — MUST stay in lockstep with hourly_window_agg's partial()
     return """
 SELECT date_trunc('hour', ts) AS window, event_type,
-       CAST(count(*) AS BIGINT) AS n, round(SUM(value), 4) AS sum_value
+       CAST(count(*) AS BIGINT) AS n,
+       round(SUM(CAST(round(value * 10000, 0) AS BIGINT)) / 10000.0, 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 

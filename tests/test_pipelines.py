@@ -309,3 +309,37 @@ def test_ivf_layout_resume(ray_session, sf_dir, tmp_path, monkeypatch):
     )
     l2, c2 = simsearch.build_ivf_index(sf_dir, out_dir=out)
     assert np.array_equal(c1, c2)
+
+
+def test_hourly_agg_matches_sql(ray_session, sf_dir, duck):
+    t = events.hourly_window_agg(sf_dir)
+    want = duck.sql(events.hourly_window_agg_sql()).arrow()
+    assert t.num_rows == want.num_rows
+    assert t.to_pylist() == want.to_pylist()
+
+
+def test_scaled_round_matches_duckdb_on_boundaries():
+    """The hourly-agg lockstep pair (CLAUDE.md): engine's
+    floor(|v|*1e4+0.5)::int64 must equal DuckDB's
+    CAST(round(value*10000, 0) AS BIGINT) bit-for-bit, including .00005
+    ties, negative ties, and values just under a representable half."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1000, 1000, 500),
+            np.round(rng.uniform(-10, 10, 200), 4) + 0.00005,  # exact ties
+            -(np.round(rng.uniform(0, 10, 100), 4) + 0.00005),
+            np.array([0.0, -0.0, 0.49999999999999994, -0.49999999999999994]),
+        ]
+    )
+    con = duckdb.connect()
+    con.register("v_tbl", __import__("pyarrow").table({"v": vals}))
+    sql = con.sql(
+        "SELECT CAST(round(v * 10000, 0) AS BIGINT) FROM v_tbl"
+    ).fetchnumpy()
+    got_sql = next(iter(sql.values()))
+    eng = (np.sign(vals) * np.floor(np.abs(vals) * 10000.0 + 0.5)).astype(np.int64)
+    assert (got_sql == eng).all()
