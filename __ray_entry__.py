@@ -41,12 +41,49 @@ def _index_for(sf_dir: str) -> str:
     return idx_dir
 
 
-def _search_result(sf_dir: str, queries) -> Any:
+_INCR_INDEX_CACHE: dict[str, str] = {}
+
+
+def _incr_index_for(sf_dir: str) -> str:
+    """Index built in TWO generations — base build over the even corpus rows
+    + ``append_index`` of the odd rows — so the incremental-append path runs
+    inside the driver gate. Its oracle is the SAME SQL as bm25_topk: an
+    appended index is bitwise-equivalent to a full rebuild of the union
+    corpus (pipelines/build.py append_index; tests/test_append.py)."""
+    if sf_dir in _INCR_INDEX_CACHE:
+        return _INCR_INDEX_CACHE[sf_dir]
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from smse_backend_ray.config import EngineConfig
+    from smse_backend_ray.pipelines.build import append_index, build_index
+    from smse_backend_ray.sources.corpus import corpus_table_from_documents
+
+    t = corpus_table_from_documents(sf_dir)
+    parity = pc.bit_wise_and(pa.array(range(len(t))), 1)
+    idx_dir = (
+        f"/tmp/smse_entry_incr_index_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(
+        corpus=ray.data.from_arrow(t.filter(pc.equal(parity, 0))),
+        index_dir=idx_dir,
+        cfg=EngineConfig(n_shards=8),
+    )
+    append_index(ray.data.from_arrow(t.filter(pc.equal(parity, 1))), idx_dir)
+    _INCR_INDEX_CACHE[sf_dir] = idx_dir
+    return idx_dir
+
+
+def _search_result(sf_dir: str, queries, index_for=None) -> Any:
     import pyarrow as pa
 
     from smse_backend_ray.pipelines.search import SearchEngine
 
-    idx = _index_for(sf_dir)
+    idx = (index_for or _index_for)(sf_dir)
     with SearchEngine(idx) as eng:
         t = eng.search_batch(queries)
     # driver-comparable projection: rounded score, oracle column order
@@ -253,9 +290,9 @@ def _q_top_docs_per_repo(sf_dir: str, k: int = 3) -> Any:
     )
 
 
-def _q_bm25(queries) -> Callable[[str], Any]:
+def _q_bm25(queries, index_for=None) -> Callable[[str], Any]:
     def run(sf_dir: str) -> Any:
-        return _search_result(sf_dir, queries)
+        return _search_result(sf_dir, queries, index_for)
 
     return run
 
@@ -301,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_sizes": _q_repo_sizes,
         "top_docs_per_repo": _q_top_docs_per_repo,
         "bm25_topk": _q_bm25(BASE_QUERIES),
+        "bm25_topk_incremental": _q_bm25(BASE_QUERIES, _incr_index_for),
         "bm25_bulk": _q_bm25_bulk,
         "bm25_topk_scoped": _q_bm25(SCOPED_QUERIES),
         "bm25_topk_multipart": _q_bm25(MULTIPART_QUERIES),
@@ -356,6 +394,9 @@ def oracle_sql() -> dict[str, str]:
         "repo_sizes": sqlgen.repo_sizes_sql(),
         "top_docs_per_repo": sqlgen.top_docs_per_repo_sql(3),
         "bm25_topk": sqlgen.bm25_topk_sql(BASE_QUERIES, p),
+        # append == rebuild (bitwise), so the incremental index shares the
+        # full-build oracle
+        "bm25_topk_incremental": sqlgen.bm25_topk_sql(BASE_QUERIES, p),
         "bm25_bulk": sqlgen.bm25_topk_sql(BASE_QUERIES, p, meta_cols=False),
         "bm25_topk_scoped": sqlgen.bm25_topk_sql(SCOPED_QUERIES, p),
         "bm25_topk_multipart": sqlgen.bm25_topk_sql(MULTIPART_QUERIES, p),

@@ -112,6 +112,21 @@ class EngineConfig:
         if self.block_size < 1:
             raise ValueError("block_size must be >= 1")
 
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        """Rebuild the config pinned in an index manifest (appends MUST reuse
+        the frozen analyzer/shard/block parameters of the base build)."""
+        return cls(
+            n_shards=int(d["n_shards"]),
+            block_size=int(d.get("block_size", 128)),
+            bm25=BM25Params(**d["bm25"]) if isinstance(d.get("bm25"), dict) else BM25Params(),
+            allowed_langs=tuple(d["allowed_langs"]) if d.get("allowed_langs") else None,
+            dedup=bool(d.get("dedup", True)),
+            batch_size=int(d.get("batch_size", 1024)),
+            wave_size=int(d.get("wave_size", 16)),
+            driver_agg_max_bytes=int(d.get("driver_agg_max_bytes", 256 * 1024 * 1024)),
+        )
+
 
 # Default per-query limits (reference: per-modality candidate k=30,
 # smse_backend/services/search.py:78; final top-k=10, :139)

@@ -39,12 +39,15 @@ from __future__ import annotations
 import functools
 import time
 
+import posixpath
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Sum
 
 from smse_backend_ray.config import EngineConfig
 from smse_backend_ray.stages.ingest import (
@@ -261,12 +264,16 @@ def _run_segments(ifs: IndexFS, cfg: EngineConfig, stats: dict) -> None:
 
 
 def _run_df(ifs: IndexFS, cfg: EngineConfig) -> None:
-    if ifs.column_bytes(SEGMENTS_DIR, ["term", "df"]) <= cfg.driver_agg_max_bytes:
-        t = ifs.pads_dataset(SEGMENTS_DIR).to_table(columns=["term", "df"])
-        g = t.group_by("term").aggregate([("df", "max")])
+    # df(term) = sum of per-(generation, shard) posting counts: each segment
+    # row covers a disjoint doc set, so integer sum == global df. (A plain
+    # base build is one generation; sum(df_shard) == the replicated df
+    # column exactly.)
+    if ifs.column_bytes(SEGMENTS_DIR, ["term", "df_shard"]) <= cfg.driver_agg_max_bytes:
+        t = ifs.pads_dataset(SEGMENTS_DIR).to_table(columns=["term", "df_shard"])
+        g = t.group_by("term").aggregate([("df_shard", "sum")])
         # select by NAME: pyarrow group_by column order has differed across
         # versions; a positional rename would silently swap term/df
-        g = pa.table({"term": g["term"], "df": g["df_max"]}).sort_by("term")
+        g = pa.table({"term": g["term"], "df": g["df_shard_sum"]}).sort_by("term")
         tmp = DF_DIR + ".tmp"
         if ifs.exists(tmp):
             ifs.delete_dir(tmp)
@@ -276,8 +283,8 @@ def _run_df(ifs: IndexFS, cfg: EngineConfig) -> None:
             ifs.delete_dir(DF_DIR)
         ifs.move(tmp, DF_DIR)
         return
-    ds = ifs.ray_read_parquet(SEGMENTS_DIR, columns=["term", "df"])
-    df_tbl = ds.groupby("term").aggregate(Max("df", alias_name="df")).sort("term")
+    ds = ifs.ray_read_parquet(SEGMENTS_DIR, columns=["term", "df_shard"])
+    df_tbl = ds.groupby("term").aggregate(Sum("df_shard", alias_name="df")).sort("term")
     ifs.atomic_write_dataset(df_tbl, DF_DIR)
 
 
@@ -339,4 +346,199 @@ def build_index(
         _run_df(ifs, cfg)
         cat.mark_stage("df", "done")
 
+    return cat
+
+
+# ---------------------------------------------------------------------------
+# incremental append (segment generations)
+# ---------------------------------------------------------------------------
+#
+# Reference analog: uploading new files into the LIVE index (POST
+# /api/contents -> embedding task inserts rows beside the existing ones,
+# smse_backend/routes/content.py + services/embedding.py) — the reference
+# never rebuilds its pgvector table to add a document. Here an append builds
+# a new segment GENERATION with the same staged pipeline as a base build and
+# merges it in: generations hold disjoint doc sets, so N/sum_dl/df merge as
+# exact integer sums and search over the appended index is BITWISE equal to
+# a full rebuild of the union corpus (tests/test_append.py).
+
+
+def _gen_docs_rel(gen: int) -> str:
+    return f"{DOCS_DIR}/gen_{gen:06d}"
+
+
+def _gen_seg_prefix(gen: int) -> str:
+    return f"gen{gen:06d}_"
+
+
+def _rollback_generation(ifs: IndexFS, cfg: EngineConfig, cat: Catalog, gen: int) -> None:
+    """Remove every trace of an uncommitted generation (crash mid-append),
+    then restore the df rollup to the surviving segments."""
+    ws = f"_append_gen_{gen:06d}.tmp"
+    if ifs.exists(ws):
+        ifs.delete_dir(ws)
+    rel = _gen_docs_rel(gen)
+    if ifs.exists(rel):
+        ifs.delete_dir(rel)
+    pre = _gen_seg_prefix(gen)
+    removed = False
+    for f in ifs.list_files(SEGMENTS_DIR, recursive=True, suffix=".parquet"):
+        if posixpath.basename(f).startswith(pre):
+            ifs.fs.delete_file(f)
+            removed = True
+    if removed:
+        _run_df(ifs, cfg)  # df may already include the dead generation
+    cat.drop_generation(gen)
+
+
+def _append_collisions(ifs: IndexFS, wfs: IndexFS, cfg: EngineConfig) -> set[int]:
+    """doc_ids of the new generation already present in the index
+    (existence-check first-wins, SURVEY.md D3: the OLD document survives —
+    the reference's unique content_path constraint keeps the first upload,
+    smse_backend/models/content.py:11)."""
+    small = (
+        ifs.column_bytes(DOCS_DIR, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes
+        and wfs.column_bytes(DOCS_DIR, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes
+    )
+    if small:
+        existing = _docs_meta_table(ifs)["doc_id"].combine_chunks()
+        new_ids = wfs.pads_dataset(DOCS_DIR).to_table(columns=["doc_id"])["doc_id"]
+        mask = pc.is_in(new_ids, value_set=existing)
+        return set(pc.filter(new_ids, mask).to_pylist())
+    # scale path: flag-union -> per-id integer sum; ids are unique per side
+    # (both sides deduped), so sum == 3 <=> present on both. Only the
+    # collision set — bounded by the smaller side, normally tiny — reaches
+    # the driver. Docs are read as explicit FILE lists: generations nest at
+    # different depths, which would break hive partition inference.
+
+    def _tag(flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "flag": pa.array(np.full(len(t), flag, dtype=np.int8)),
+                }
+            )
+
+        return f
+
+    old = ifs.ray_read_parquet_files(
+        ifs.list_files(DOCS_DIR, recursive=True, suffix=".parquet"),
+        columns=["doc_id"],
+    ).map_batches(_tag(1), batch_format="pyarrow")
+    new = wfs.ray_read_parquet_files(
+        wfs.list_files(DOCS_DIR, recursive=True, suffix=".parquet"),
+        columns=["doc_id"],
+    ).map_batches(_tag(2), batch_format="pyarrow")
+    both = old.union(new).groupby("doc_id").aggregate(Sum("flag", alias_name="s"))
+    coll = both.filter(expr="s == 3").to_pandas()
+    return set() if coll.empty else set(coll["doc_id"].tolist())
+
+
+def append_index(
+    corpus: "ray.data.Dataset",
+    index_dir="",
+    cfg: EngineConfig | None = None,
+) -> Catalog:
+    """Add documents to an EXISTING index without rebuilding it.
+
+    The new docs run the same staged pipeline as a base build (ingest ->
+    within-batch dedup -> stats -> SPIMI segments) inside a workspace dir,
+    then commit as generation G: doc parquet at ``docs/gen_{G}/shard_id=*``,
+    segment files moved into the live ``segments/shard_id=*/`` dirs under a
+    ``gen{G}_`` prefix (uniform directory depth — shard discovery, bulk
+    search and parquet pushdown keep working unchanged), df/ rollup
+    recomputed (exact integer sums), stats merged last.
+
+    Docs whose doc_id already exists are dropped (D3 existence-check
+    first-wins). WAND block-max bounds are encoded at the post-append global
+    avgdl and rescaled at query time if later appends shift avgdl again
+    (stages/scorer.py _bmax_scale), so results stay exactly equal to a full
+    rebuild. Crash safety: an uncommitted generation is rolled back on the
+    next append (manifest status gate); workspace dirs are ``*.tmp`` so
+    Catalog.gc also collects orphans. Engines open mid-commit may see the
+    new postings before the new stats — (re)open engines after append, the
+    same eventual-visibility contract as tombstones (SURVEY.md §2.9).
+    """
+    cat = Catalog(index_dir)
+    ifs = cat.ifs
+    for s in STAGE_ORDER:
+        if not cat.stage_done(s):
+            raise RuntimeError(f"append requires a completed base build (stage {s!r} not done)")
+    cfg = cfg or EngineConfig.from_dict(cat.get_config())
+    cfg.validate()
+
+    gens = cat.generations()
+    for g_str, rec in sorted(gens.items(), key=lambda kv: int(kv[0])):
+        if rec.get("status") != "done":
+            _rollback_generation(ifs, cfg, cat, int(g_str))
+    gens = cat.generations()
+    gen = max((int(g) for g in gens), default=0) + 1
+
+    ws = f"_append_gen_{gen:06d}.tmp"
+    if ifs.exists(ws):
+        ifs.delete_dir(ws)
+    wfs = IndexFS((ifs.fs, ifs.join(ws)))
+    wfs.mkdirs()
+
+    _run_docs_from_dataset(corpus, wfs, cfg)
+    if cfg.dedup:
+        _run_dedup(wfs, cfg)
+    pre_stats = _run_stats(wfs, cfg)
+    coll = _append_collisions(ifs, wfs, cfg)
+    if pre_stats["n_docs"] == 0 or len(coll) == pre_stats["n_docs"]:
+        # nothing new (empty input, or every doc already indexed): no-op
+        ifs.delete_dir(ws)
+        return cat
+    if coll:
+        dup_ref = ray.put(np.fromiter(sorted(coll), dtype=np.int64, count=len(coll)))
+
+        def drop_existing(t: pa.Table) -> pa.Table:
+            ids = ray.get(dup_ref)
+            return t.filter(
+                pc.invert(pc.is_in(t["doc_id"], value_set=pa.array(ids)))
+            )
+
+        filt = wfs.ray_read_parquet(DOCS_DIR).map_batches(
+            drop_existing, batch_format="pyarrow"
+        )
+        tmp_rel = DOCS_DIR + "_filtered"
+        wfs.atomic_write_dataset(filt, tmp_rel, partition_cols=["shard_id"])
+        wfs.delete_dir(DOCS_DIR)
+        wfs.move(tmp_rel, DOCS_DIR)
+
+    gen_stats = _run_stats(wfs, cfg) if coll else pre_stats
+    base = cat.get_stats()
+    n_docs = int(base["n_docs"]) + int(gen_stats["n_docs"])
+    sum_dl = int(base["sum_dl"]) + int(gen_stats["sum_dl"])
+    merged = {"n_docs": n_docs, "sum_dl": sum_dl, "avgdl": sum_dl / n_docs}
+
+    # encode the generation's postings at the POST-append global avgdl
+    _run_segments(wfs, cfg, {"avgdl": merged["avgdl"], "n_docs": gen_stats["n_docs"]})
+
+    cat.set_generation(
+        gen,
+        {
+            "status": "committing",
+            "n_docs": int(gen_stats["n_docs"]),
+            "sum_dl": int(gen_stats["sum_dl"]),
+            "enc_avgdl": merged["avgdl"],
+            "dropped_existing": len(coll),
+        },
+    )
+    ifs.move(f"{ws}/{DOCS_DIR}", _gen_docs_rel(gen))
+    pre = _gen_seg_prefix(gen)
+    for f in wfs.list_files(SEGMENTS_DIR, recursive=True, suffix=".parquet"):
+        rel = f[len(wfs.root) + 1 :]  # segments/shard_id=S/<name>.parquet
+        parts = rel.split("/")
+        ifs.mkdirs(f"{SEGMENTS_DIR}/{parts[1]}")
+        ifs.fs.move(f, ifs.join(f"{SEGMENTS_DIR}/{parts[1]}/{pre}{parts[-1]}"))
+    ifs.delete_dir(ws)
+
+    _run_df(ifs, cfg)  # exact integer re-rollup across all generations
+    cat.set_stats(merged)
+    rec = cat.generations()[str(gen)]
+    rec["status"] = "done"
+    rec["committed_at"] = time.time()
+    cat.set_generation(gen, rec)
     return cat

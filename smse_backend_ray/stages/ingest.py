@@ -359,8 +359,17 @@ class BucketEncoder:
                 "shard_id": pa.array(seg_shard, type=pa.int32()),
                 "term": term_arr,
                 "bucket": bucket_arr,
+                # df is GENERATION-local (postings in this encode run); the
+                # df/ rollup sums df_shard across generations (build._run_df)
                 "df": pa.array(df_by_term[seg_term_code], type=pa.int64()),
                 "df_shard": pa.array(seg_sizes, type=pa.int64()),
+                # avgdl the block_max bounds were computed with; incremental
+                # appends shift the global avgdl, and WAND rescales stored
+                # bounds by max(1, avgdl_now/enc_avgdl) to stay conservative
+                # (tfnorm(a') <= tfnorm(a) * a'/a for a' > a)
+                "enc_avgdl": pa.array(
+                    np.full(n_segs, self.avgdl), type=pa.float64()
+                ),
                 "docs_bytes": pa.array(seg_docs, type=pa.binary()),
                 "tfs_bytes": pa.array(seg_tfs, type=pa.binary()),
                 "dls_bytes": pa.array(seg_dls, type=pa.binary()),
@@ -381,6 +390,7 @@ def _empty_segment_table() -> pa.Table:
             "bucket": pa.array([], type=pa.int32()),
             "df": pa.array([], type=pa.int64()),
             "df_shard": pa.array([], type=pa.int64()),
+            "enc_avgdl": pa.array([], type=pa.float64()),
             "docs_bytes": pa.array([], type=pa.binary()),
             "tfs_bytes": pa.array([], type=pa.binary()),
             "dls_bytes": pa.array([], type=pa.binary()),

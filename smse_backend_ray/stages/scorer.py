@@ -55,6 +55,7 @@ def _accumulate(
 SEGMENT_COLS = [
     "term", "docs_bytes", "tfs_bytes", "dls_bytes",
     "block_doc_off", "block_tf_off", "block_dl_off", "block_last", "block_max",
+    "enc_avgdl",
 ]
 _ENTRY_COLS = SEGMENT_COLS[1:]
 
@@ -81,16 +82,20 @@ class ShardIndex:
         )
         if seg_files:
             seg = pa.concat_tables(
-                ifs.read_table(f, columns=SEGMENT_COLS) for f in seg_files
+                self._read_segment_file(ifs, f) for f in seg_files
             ).combine_chunks()
         else:
             seg = None
         self._seg = seg
-        # the only full-vocabulary pass: one string column -> row index
-        self._term_row: dict[str, int] = (
-            {t: i for i, t in enumerate(seg["term"].to_pylist())} if seg is not None else {}
-        )
-        self._ent_cache: dict[str, dict] = {}
+        # the only full-vocabulary pass: one string column -> row index.
+        # A term has ONE row per generation (base build = one generation;
+        # incremental appends add more, with disjoint doc sets).
+        self._term_rows: dict[str, list[int]] = {}
+        if seg is not None:
+            for i, t in enumerate(seg["term"].to_pylist()):
+                self._term_rows.setdefault(t, []).append(i)
+        self._ent_cache: dict[str, list[dict]] = {}
+        self._dec_cache: dict[str, tuple] = {}
 
         # docs are hive-partitioned by shard_id (optionally nested under
         # wave_* dirs in file-mode builds); read only this shard's meta cols
@@ -117,28 +122,64 @@ class ShardIndex:
                 {c: pa.array([], type=pa.string()) for c in ("repo", "path", "lang")}
             )
 
+    def _read_segment_file(self, ifs, f: str) -> pa.Table:
+        try:
+            return ifs.read_table(f, columns=SEGMENT_COLS)
+        except (KeyError, pa.ArrowInvalid):
+            # pre-enc_avgdl segment files: encoded at the index's build-time
+            # avgdl == the current global avgdl (no appends existed)
+            t = ifs.read_table(f, columns=[c for c in SEGMENT_COLS if c != "enc_avgdl"])
+            return t.append_column(
+                "enc_avgdl", pa.array([self.avgdl] * len(t), type=pa.float64())
+            )
+
     # -- lazy per-term state ----------------------------------------------
 
-    def _entry(self, term: str) -> dict | None:
-        """Materialize one term's segment row from the columnar table
-        (cached); decode state attaches to the same dict lazily."""
-        ent = self._ent_cache.get(term)
-        if ent is not None:
-            return ent
-        i = self._term_row.get(term)
-        if i is None:
+    def _entries(self, term: str) -> list[dict] | None:
+        """Materialize a term's segment rows (one per generation) from the
+        columnar table (cached); decode state attaches to the dicts lazily."""
+        ents = self._ent_cache.get(term)
+        if ents is not None:
+            return ents
+        rows = self._term_rows.get(term)
+        if rows is None:
             return None
-        ent = {c: self._seg[c][i].as_py() for c in _ENTRY_COLS}
-        self._ent_cache[term] = ent
-        return ent
+        ents = [{c: self._seg[c][i].as_py() for c in _ENTRY_COLS} for i in rows]
+        self._ent_cache[term] = ents
+        return ents
 
-    def _decoded(self, term: str):
-        ent = self._entry(term)
-        if ent is None:
-            return None
+    def _ent_decoded(self, ent: dict):
         if "dec" not in ent:
             ent["dec"] = decode_postings(ent, self.block_size)
         return ent["dec"]
+
+    def _decoded(self, term: str):
+        """Full posting arrays for a term: the single generation's decode, or
+        the concatenation across generations (doc sets are disjoint, so the
+        per-(doc, term) contribution set — and therefore the accumulation
+        result — is independent of concatenation order)."""
+        ents = self._entries(term)
+        if ents is None:
+            return None
+        if len(ents) == 1:
+            return self._ent_decoded(ents[0])
+        dec = self._dec_cache.get(term)
+        if dec is None:
+            parts = [self._ent_decoded(e) for e in ents]
+            dec = tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+            self._dec_cache[term] = dec
+        return dec
+
+    def _bmax_scale(self, ent: dict) -> float:
+        """Conservative rescale of encode-time block_max bounds to the
+        CURRENT avgdl: tfnorm is increasing in avgdl and
+        tfnorm(a') <= tfnorm(a) * a'/a for a' > a, so stored bounds stay
+        valid upper bounds when multiplied by max(1, avgdl_now/enc_avgdl).
+        Single-generation indexes have enc_avgdl == avgdl -> exact 1.0."""
+        enc = ent.get("enc_avgdl")
+        if not enc or enc <= 0 or enc == self.avgdl:
+            return 1.0
+        return max(1.0, self.avgdl / enc)
 
     # -- scoring -----------------------------------------------------------
 
@@ -242,17 +283,21 @@ class ShardIndex:
             return self.score_query(terms, weights, scope, k, strategy="exact", tombstones=tombstones)
         infos = []
         for term, w in zip(terms, weights):
-            ent = self._entry(term)
-            if ent is None:
+            ents = self._entries(term)
+            if ents is None:
                 continue
-            bmax = np.asarray(ent["block_max"], dtype=np.float64)
-            infos.append((term, w, ent, float(w * bmax.max()) if bmax.size else 0.0))
+            ub = 0.0
+            for ent in ents:
+                bmax = np.asarray(ent["block_max"], dtype=np.float64)
+                if bmax.size:
+                    ub = max(ub, float(w * bmax.max() * self._bmax_scale(ent)))
+            infos.append((term, w, ents, ub))
         if not infos:
             return self._empty()
         # seed theta from the highest-upper-bound term (tombstoned docs must
         # not inflate theta — a too-high threshold would over-prune)
-        seed_term, seed_w, seed_ent, _ = max(infos, key=lambda x: x[3])
-        s_ids, s_tfs, s_dls = decode_postings(seed_ent, self.block_size)
+        seed_term, seed_w, _seed_ents, _ = max(infos, key=lambda x: x[3])
+        s_ids, s_tfs, s_dls = self._decoded(seed_term)
         if tombstones is not None and np.asarray(tombstones).size:
             alive = ~np.isin(s_ids, tombstones)
             s_tfs, s_dls = s_tfs[alive], s_dls[alive]
@@ -264,13 +309,17 @@ class ShardIndex:
         theta -= 2 * 10.0 ** (-SCORE_DECIMALS)  # rounding-tie slack
         total_ub = sum(ub for _, _, _, ub in infos)
         cand_ids: list[np.ndarray] = []
-        for term, w, ent, ub in infos:
+        for term, w, ents, ub in infos:
             others_ub = total_ub - ub
-            bmax = np.asarray(ent["block_max"], dtype=np.float64)
-            keep = np.flatnonzero(w * bmax + others_ub >= theta)
-            for bi in keep:
-                ids, _, _ = decode_block(ent, int(bi), self.block_size)
-                cand_ids.append(ids)
+            for ent in ents:
+                bmax = np.asarray(ent["block_max"], dtype=np.float64)
+                scale = self._bmax_scale(ent)
+                if scale != 1.0:
+                    bmax = bmax * scale
+                keep = np.flatnonzero(w * bmax + others_ub >= theta)
+                for bi in keep:
+                    ids, _, _ = decode_block(ent, int(bi), self.block_size)
+                    cand_ids.append(ids)
         if not cand_ids:
             return self._empty()
         cand = np.unique(np.concatenate(cand_ids))

@@ -123,6 +123,19 @@ class Catalog:
             self._state["stages"].pop(s, None)
         self._commit()
 
+    # -- segment generations (incremental appends; pipelines/build.py
+    #    append_index) -----------------------------------------------------
+    def generations(self) -> dict[str, dict]:
+        return dict(self._state.get("generations", {}))
+
+    def set_generation(self, gen: int, rec: dict) -> None:
+        self._state.setdefault("generations", {})[str(gen)] = rec
+        self._commit()
+
+    def drop_generation(self, gen: int) -> None:
+        self._state.get("generations", {}).pop(str(gen), None)
+        self._commit()
+
     # -- partition-level lineage ------------------------------------------
     def plan_partitions(
         self, partitions: dict[int, list[str]]

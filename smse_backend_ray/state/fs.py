@@ -184,6 +184,15 @@ class IndexFS:
 
         return ray.data.read_parquet(self.join(rel), **self._ray_fs_kwargs(), **kwargs)
 
+    def ray_read_parquet_files(self, files: list[str], **kwargs):
+        """Read an explicit FILE list (full paths, e.g. from list_files).
+        No directory discovery -> no hive partition inference, which makes
+        this the safe reader for trees whose partition dirs nest at mixed
+        depths (docs/shard_id=* beside docs/gen_*/shard_id=*)."""
+        import ray.data
+
+        return ray.data.read_parquet(list(files), **self._ray_fs_kwargs(), **kwargs)
+
     def atomic_write_dataset(self, ds, rel: str, **kwargs) -> None:
         """write_parquet to ``rel``.tmp then swap into place (idempotent
         commit; SURVEY.md §4 retries row)."""

@@ -102,6 +102,7 @@ def test_vectorized_equals_per_term(block_size):
         enc, df_global = expected[(row["term"], row["shard_id"])]
         assert row["df"] == df_global
         assert row["df_shard"] == enc["df"]
+        assert row["enc_avgdl"] == avgdl  # WAND bound-rescale anchor
         for k in ("docs_bytes", "tfs_bytes", "dls_bytes"):
             assert row[k] == enc[k], (row["term"], k)
         for k in ("block_doc_off", "block_tf_off", "block_dl_off", "block_last", "block_max"):
