@@ -542,3 +542,87 @@ def append_index(
     rec["committed_at"] = time.time()
     cat.set_generation(gen, rec)
     return cat
+
+
+# ---------------------------------------------------------------------------
+# compaction / vacuum
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA_COLS = [
+    "doc_id", "repo", "path", "commit", "lang",
+    "content_sha256", "n_bytes", "dl", "terms", "tfs",
+]
+
+
+def compact_index(index_dir, cfg: EngineConfig | None = None, vacuum: bool = True) -> Catalog:
+    """Merge all segment generations back into one (and, with ``vacuum``,
+    physically drop tombstoned docs).
+
+    Appends leave one segment row per (term, shard, generation) and deletes
+    leave tombstone filtering on the query path; both stay exact but cost
+    per-query work that grows with every append/delete. Compaction rewrites
+    the doc store flat (``docs/shard_id=*``), re-encodes ONE segment
+    generation at the post-vacuum global avgdl, re-rolls df, resets
+    tombstones — bitwise-identical search results to a full rebuild of the
+    surviving corpus (tests/test_compact.py). Reference analog: the
+    reference's delete semantics refresh corpus statistics "at the next
+    rebuild" (DELETE /api/contents, smse_backend/routes/content.py) — this
+    IS that rebuild, without re-ingesting content.
+
+    Crash-safe ordering: docs swap -> segments swap -> df -> stats ->
+    tombstones reset -> generation records collapsed. Until the tombstone
+    reset commits, stale state keeps filtering on the query path, so a
+    reader never sees a deleted doc mid-compaction.
+    """
+    cat = Catalog(index_dir)
+    ifs = cat.ifs
+    for s in STAGE_ORDER:
+        if not cat.stage_done(s):
+            raise RuntimeError(f"compact requires a completed base build (stage {s!r} not done)")
+    cfg = cfg or EngineConfig.from_dict(cat.get_config())
+    cfg.validate()
+    for g_str, rec in sorted(cat.generations().items(), key=lambda kv: int(kv[0])):
+        if rec.get("status") != "done":
+            _rollback_generation(ifs, cfg, cat, int(g_str))
+
+    tomb_rel = "tombstones.json"
+    tombs: list[int] = sorted(ifs.read_json(tomb_rel)) if (vacuum and ifs.exists(tomb_rel)) else []
+    if not tombs and not cat.generations():
+        return cat  # single generation, nothing tombstoned: no-op
+
+    cat.mark_stage("compact", "running")
+
+    # 1. flatten the doc store: explicit FILE list (generation/wave dirs nest
+    # at mixed depths and file-mode files carry an extra partition_id column
+    # — projecting the frozen doc schema unifies both), drop tombstoned rows,
+    # re-derive shard_id (doc_id scheme is frozen: shard = doc_id % n_shards)
+    tomb_ref = ray.put(np.asarray(tombs, dtype=np.int64))
+    n_shards = cfg.n_shards
+
+    def reshard(t: pa.Table) -> pa.Table:
+        dead = ray.get(tomb_ref)
+        if dead.size:
+            t = t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=pa.array(dead))))
+        shard = t["doc_id"].to_numpy() % n_shards  # same numpy mod as ingest_batch
+        return t.append_column("shard_id", pa.array(shard, type=pa.int32()))
+
+    docs = ifs.ray_read_parquet_files(
+        ifs.list_files(DOCS_DIR, recursive=True, suffix=".parquet"),
+        columns=DOC_SCHEMA_COLS,
+    ).map_batches(reshard, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    docs = docs.repartition(max(8, _cluster_cpus()))
+    ifs.atomic_write_dataset(docs, DOCS_DIR, partition_cols=["shard_id"])
+
+    # 2. stats over the surviving corpus, then one fresh segment generation
+    stats = _run_stats(ifs, cfg)
+    _run_segments(ifs, cfg, stats)
+    _run_df(ifs, cfg)
+    cat.set_stats(stats)
+
+    # 3. visibility cleanup: tombstones are now physical; generations merged
+    if ifs.exists(tomb_rel):
+        ifs.write_json_atomic(tomb_rel, [])
+    for g_str in list(cat.generations()):
+        cat.drop_generation(int(g_str))
+    cat.mark_stage("compact", "done", {"vacuumed": len(tombs)})
+    return cat
