@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true", help="rebuild from scratch, ignore prior lineage")
     ap.add_argument(
+        "--append",
+        action="store_true",
+        help="incrementally append the input to an EXISTING index as a new "
+        "segment generation (pipelines/build.py append_index) instead of "
+        "building from scratch; already-indexed doc_ids are skipped",
+    )
+    ap.add_argument(
         "--from-documents",
         action="store_true",
         help="input is a testdata documents table (doc_id/path/text/...) "
@@ -65,7 +72,22 @@ def main(argv: list[str] | None = None) -> int:
     cfg = EngineConfig(**cfg_kwargs)
 
     t0 = time.time()
-    if args.from_documents:
+    if args.append:
+        from smse_backend_ray.pipelines.build import append_index
+
+        if args.from_documents:
+            from smse_backend_ray.sources.corpus import corpus_from_documents
+
+            sf_dir = args.input
+            if os.path.isfile(sf_dir):
+                sf_dir = os.path.dirname(sf_dir)
+            corpus = corpus_from_documents(sf_dir)
+        else:
+            files = sorted(globmod.glob(args.input)) or [args.input]
+            corpus = ray.data.read_parquet(files)
+        # cfg is pinned by the existing index manifest; CLI overrides ignored
+        cat = append_index(corpus, args.index_dir)
+    elif args.from_documents:
         from smse_backend_ray.sources.corpus import corpus_from_documents
 
         sf_dir = args.input
@@ -92,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
         "n_docs": stats.get("n_docs"),
         "avgdl": stats.get("avgdl"),
         "stages": {s: m.get("status") for s, m in cat.manifest().get("stages", {}).items()},
+        "generations": sorted(int(g) for g in cat.generations()),
     }
     print(json.dumps(out))
     ray.shutdown()
