@@ -116,7 +116,10 @@ def run_bench() -> dict:
     from smse_backend_ray.pipelines.search import SearchEngine
 
     t1 = time.time()
-    eng = SearchEngine(idx_dir)
+    # num_actors=num_cpus: below n_shards this packs shards into fewer
+    # actors (honest parallelism at small levels); above it spawns replica
+    # sets so batch-serve qps scales past the shard count
+    eng = SearchEngine(idx_dir, num_actors=num_cpus)
     load_sec = time.time() - t1
 
     t2 = time.time()

@@ -64,21 +64,30 @@ class SearchEngine:
         self.n_shards = cfg["n_shards"]
         self.params = BM25Params(**cfg["bm25"])
         self.strategy = strategy
-        n_actors = min(num_actors or self.n_shards, self.n_shards)
-        groups: list[list[int]] = [[] for _ in range(n_actors)]
+        # Actor layout: num_actors <= n_shards packs shards into fewer
+        # actors; num_actors > n_shards spawns FULL REPLICA SETS (each set
+        # covers every shard) and search_batch round-robins query sub-batches
+        # across sets — the serve-path throughput scale-out (on a cluster,
+        # sets land on different nodes; qps scales with sets until CPUs run
+        # out, at the cost of one copy of shard state per set). Results are
+        # identical regardless of layout: every query is scored on every
+        # shard exactly once.
+        n = num_actors or self.n_shards
+        n_sets = max(1, n // self.n_shards)
+        per_set = min(n, self.n_shards)
+        mk = lambda g: ShardSearcher.remote(  # noqa: E731
+            self.ifs,
+            g,
+            self.avgdl,
+            {"k1": self.params.k1, "b": self.params.b},
+            cfg.get("block_size", 128),
+        )
+        groups: list[list[int]] = [[] for _ in range(per_set)]
         for s in range(self.n_shards):
-            groups[s % n_actors].append(s)
-        self.actors = [
-            ShardSearcher.remote(
-                self.ifs,
-                g,
-                self.avgdl,
-                {"k1": self.params.k1, "b": self.params.b},
-                cfg.get("block_size", 128),
-            )
-            for g in groups
-        ]
-        ray.get([a.ping.remote() for a in self.actors])
+            groups[s % per_set].append(s)
+        self.actor_sets = [[mk(g) for g in groups] for _ in range(n_sets)]
+        self.actors = self.actor_sets[0]
+        ray.get([a.ping.remote() for st in self.actor_sets for a in st])
         self._df_ds = self.ifs.pads_dataset("df")
         self._df_cache: dict[str, int] = {}  # term -> df (0 = known absent)
         self._tombstones = self._load_tombstones()
@@ -86,8 +95,10 @@ class SearchEngine:
 
     # ------------------------------------------------------------------
     def close(self) -> None:
-        for a in self.actors:
-            ray.kill(a)
+        for st in self.actor_sets:
+            for a in st:
+                ray.kill(a)
+        self.actor_sets = []
         self.actors = []
 
     def __enter__(self):
@@ -198,9 +209,37 @@ class SearchEngine:
                 )
         results = [RESULT_SCHEMA.empty_table()]
         if jobs:
-            cands = pa.concat_tables(
-                ray.get([a.search.remote(jobs, strategy) for a in self.actors])
-            )
+            # split the query batch across replica sets (one scatter/gather;
+            # each set scores its sub-batch on every shard). Query cost is
+            # skewed — a hot-term query scans ~N rows while an identifier
+            # query scans a handful — so balance by estimated cost (total df
+            # of the job's terms = rows scanned), heaviest-first to the
+            # least-loaded set (LPT). Which replica scores a query never
+            # changes the result, only the wall balance.
+            sets = self.actor_sets
+            if len(sets) > 1 and len(jobs) > 1:
+                order = sorted(
+                    range(len(jobs)),
+                    key=lambda i: (
+                        -sum(self._df_cache.get(t, 0) for t in jobs[i]["terms"]),
+                        i,
+                    ),
+                )
+                loads = [0] * len(sets)
+                chunks: list[list[dict]] = [[] for _ in sets]
+                for i in order:
+                    s = loads.index(min(loads))
+                    chunks[s].append(jobs[i])
+                    loads[s] += sum(self._df_cache.get(t, 0) for t in jobs[i]["terms"])
+            else:
+                chunks = [jobs]
+            futs = [
+                a.search.remote(chunk, strategy)
+                for chunk, st in zip(chunks, sets)
+                if chunk
+                for a in st
+            ]
+            cands = pa.concat_tables(ray.get(futs))
             for qid, qs in metas.items():
                 sub = cands.filter(pa.compute.equal(cands["query_id"], qid))
                 results.append(

@@ -175,3 +175,15 @@ def test_ingest_sha256_invariant(built_index, sf_dir):
         (r["repo"], r["path"]): r["content_sha256"] for r in docs.to_pylist()
     }
     assert got == expected
+
+
+def test_replica_sets_identical_results(built_index, engine):
+    """num_actors > n_shards spawns full replica sets; the round-robin
+    batch split must return exactly the default layout's results. Also
+    covers num_actors < n_shards (shards packed into fewer actors)."""
+    base = engine.search_batch(ALL_QUERIES).to_pylist()
+    for n in (2, 9):  # 2 -> one set of 2 actors x 2 shards; 9 -> 2 full sets
+        with SearchEngine(IDX_DIR, num_actors=n) as eng:
+            n_sets = len(eng.actor_sets)
+            assert n_sets == (2 if n == 9 else 1)
+            assert eng.search_batch(ALL_QUERIES).to_pylist() == base
