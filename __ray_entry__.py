@@ -78,6 +78,50 @@ def _incr_index_for(sf_dir: str) -> str:
     return idx_dir
 
 
+# deterministic tombstone set for the compaction entry: doc_id % 17 == 3
+# (SQL twin: docs_where="doc_id % 17 != 3" — both sides share the literal)
+_VACUUM_MOD, _VACUUM_RESIDUE = 17, 3
+_COMPACT_INDEX_CACHE: dict[str, str] = {}
+
+
+def _compacted_index_for(sf_dir: str) -> str:
+    """Index that went through the full maintenance lifecycle inside the
+    driver gate: full build -> tombstone every doc with
+    doc_id % 17 == 3 (the DELETE /api/contents analog,
+    smse_backend/routes/content.py) -> ``compact_index(vacuum=True)``.
+    Compaction is bitwise-equal to a rebuild of the surviving corpus
+    (tests/test_compact.py), so its oracle is bm25_topk SQL over the
+    filtered docs CTE (stats/df re-derive from the survivors)."""
+    if sf_dir in _COMPACT_INDEX_CACHE:
+        return _COMPACT_INDEX_CACHE[sf_dir]
+    import pyarrow.dataset as pads
+
+    from smse_backend_ray.config import EngineConfig
+    from smse_backend_ray.pipelines.build import compact_index, build_index
+    from smse_backend_ray.sources.corpus import corpus_from_documents
+    from smse_backend_ray.state.catalog import Catalog
+
+    idx_dir = (
+        f"/tmp/smse_entry_compact_index_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(
+        corpus=corpus_from_documents(sf_dir),
+        index_dir=idx_dir,
+        cfg=EngineConfig(n_shards=8),
+    )
+    cat = Catalog(idx_dir)
+    ids = pads.dataset(cat.ifs.join("docs"), partitioning="hive").to_table(
+        columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    dead = sorted(d for d in ids if d % _VACUUM_MOD == _VACUUM_RESIDUE)
+    cat.ifs.write_json_atomic("tombstones.json", dead)
+    compact_index(idx_dir)
+    _COMPACT_INDEX_CACHE[sf_dir] = idx_dir
+    return idx_dir
+
+
 def _search_result(sf_dir: str, queries, index_for=None) -> Any:
     import pyarrow as pa
 
@@ -339,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_repo": _q_top_docs_per_repo,
         "bm25_topk": _q_bm25(BASE_QUERIES),
         "bm25_topk_incremental": _q_bm25(BASE_QUERIES, _incr_index_for),
+        "bm25_topk_compacted": _q_bm25(BASE_QUERIES, _compacted_index_for),
         "bm25_bulk": _q_bm25_bulk,
         "bm25_topk_scoped": _q_bm25(SCOPED_QUERIES),
         "bm25_topk_multipart": _q_bm25(MULTIPART_QUERIES),
@@ -397,6 +442,11 @@ def oracle_sql() -> dict[str, str]:
         # append == rebuild (bitwise), so the incremental index shares the
         # full-build oracle
         "bm25_topk_incremental": sqlgen.bm25_topk_sql(BASE_QUERIES, p),
+        "bm25_topk_compacted": sqlgen.bm25_topk_sql(
+            BASE_QUERIES,
+            p,
+            docs_where=f"doc_id % {_VACUUM_MOD} != {_VACUUM_RESIDUE}",
+        ),
         "bm25_bulk": sqlgen.bm25_topk_sql(BASE_QUERIES, p, meta_cols=False),
         "bm25_topk_scoped": sqlgen.bm25_topk_sql(SCOPED_QUERIES, p),
         "bm25_topk_multipart": sqlgen.bm25_topk_sql(MULTIPART_QUERIES, p),

@@ -108,9 +108,18 @@ DOCS_CTE = (
 )
 
 
-def with_corpus_docs(body: str) -> str:
-    """Wrap an oracle query body with the corpus+docs CTE prologue."""
-    return f"WITH corpus AS ({CORPUS_CTE}), docs AS ({DOCS_CTE}) {body}"
+def with_corpus_docs(body: str, docs_where: str | None = None) -> str:
+    """Wrap an oracle query body with the corpus+docs CTE prologue.
+
+    ``docs_where`` filters the docs CTE (e.g. the vacuumed-tombstones oracle:
+    compaction == rebuild of the surviving corpus, so its oracle is the same
+    query over the filtered docs — N/avgdl/df all derive from docs)."""
+    docs_cte = (
+        DOCS_CTE
+        if docs_where is None
+        else f"SELECT * FROM ({DOCS_CTE}) WHERE {docs_where}"
+    )
+    return f"WITH corpus AS ({CORPUS_CTE}), docs AS ({docs_cte}) {body}"
 
 
 # ---------------------------------------------------------------------------
@@ -572,7 +581,12 @@ scored AS (
 )"""
 
 
-def bm25_topk_sql(queries, params: BM25Params, meta_cols: bool = True) -> str:
+def bm25_topk_sql(
+    queries,
+    params: BM25Params,
+    meta_cols: bool = True,
+    docs_where: str | None = None,
+) -> str:
     """Full oracle for the flagship pipeline: top-k BM25 per QuerySpec.
 
     ``queries`` is a sequence of queryset.QuerySpec (per-query parts, scope,
@@ -621,5 +635,6 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank,
        doc_id, {"path, repo, lang, " if meta_cols else ""}rscore AS score
 FROM topk WHERE rnk <= lim
 ORDER BY query_id, rank
-"""
+""",
+        docs_where=docs_where,
     )
