@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
         "rather than a raw (repo,path,commit,lang,content) corpus",
     )
     args = ap.parse_args(argv)
+    if args.append and (
+        args.n_shards is not None or args.batch_size is not None or args.no_resume
+    ):
+        # append inherits cfg from the existing index manifest; silently
+        # ignoring these would let an operator believe they resharded
+        ap.error("--append is incompatible with --n-shards/--batch-size/--no-resume")
 
     import ray
 
@@ -71,38 +77,41 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["batch_size"] = args.batch_size
     cfg = EngineConfig(**cfg_kwargs)
 
-    t0 = time.time()
-    if args.append:
-        from smse_backend_ray.pipelines.build import append_index
-
-        if args.from_documents:
-            from smse_backend_ray.sources.corpus import corpus_from_documents
-
-            sf_dir = args.input
-            if os.path.isfile(sf_dir):
-                sf_dir = os.path.dirname(sf_dir)
-            corpus = corpus_from_documents(sf_dir)
-        else:
-            files = sorted(globmod.glob(args.input)) or [args.input]
-            corpus = ray.data.read_parquet(files)
-        # cfg is pinned by the existing index manifest; CLI overrides ignored
-        cat = append_index(corpus, args.index_dir)
-    elif args.from_documents:
+    # corpus construction is shared by build and append: either a documents
+    # sf-dir (derived corpus) or a parquet file/dir/glob of raw corpus files
+    files: list[str] | None = None
+    if args.from_documents:
         from smse_backend_ray.sources.corpus import corpus_from_documents
 
         sf_dir = args.input
         if os.path.isfile(sf_dir):
             sf_dir = os.path.dirname(sf_dir)
+
+        def make_corpus():
+            return corpus_from_documents(sf_dir)
+
+    else:
+        files = sorted(globmod.glob(args.input)) or [args.input]
+
+        def make_corpus():
+            return ray.data.read_parquet(files)
+
+    t0 = time.time()
+    if args.append:
+        from smse_backend_ray.pipelines.build import append_index
+
+        cat = append_index(make_corpus(), args.index_dir)
+    elif files is not None:
+        # file mode keeps per-partition lineage (resume skips finished files)
         cat = build_index(
-            corpus=corpus_from_documents(sf_dir),
+            input_files=files,
             index_dir=args.index_dir,
             cfg=cfg,
             resume=not args.no_resume,
         )
     else:
-        files = sorted(globmod.glob(args.input)) or [args.input]
         cat = build_index(
-            input_files=files,
+            corpus=make_corpus(),
             index_dir=args.index_dir,
             cfg=cfg,
             resume=not args.no_resume,

@@ -37,7 +37,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--no-vacuum",
         action="store_true",
-        help="merge generations only; keep tombstones as query-time filters",
+        help="merge generations only; tombstoned docs stay in the index and "
+        "tombstones keep filtering them at query time",
     )
     args = ap.parse_args(argv)
 

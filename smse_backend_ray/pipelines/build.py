@@ -51,12 +51,13 @@ from ray.data.aggregate import Count, Sum
 
 from smse_backend_ray.config import EngineConfig
 from smse_backend_ray.stages.ingest import (
+    DOC_SCHEMA_COLS,
     BucketEncoder,
     cfg_buckets,
     explode_preagg_batch,
     ingest_batch,
 )
-from smse_backend_ray.state.catalog import Catalog
+from smse_backend_ray.state.catalog import TOMBSTONES_REL, Catalog, read_tombstones
 from smse_backend_ray.state.fs import IndexFS
 
 DOCS_DIR = "docs"
@@ -548,12 +549,6 @@ def append_index(
 # compaction / vacuum
 # ---------------------------------------------------------------------------
 
-DOC_SCHEMA_COLS = [
-    "doc_id", "repo", "path", "commit", "lang",
-    "content_sha256", "n_bytes", "dl", "terms", "tfs",
-]
-
-
 def compact_index(index_dir, cfg: EngineConfig | None = None, vacuum: bool = True) -> Catalog:
     """Merge all segment generations back into one (and, with ``vacuum``,
     physically drop tombstoned docs).
@@ -569,13 +564,20 @@ def compact_index(index_dir, cfg: EngineConfig | None = None, vacuum: bool = Tru
     rebuild" (DELETE /api/contents, smse_backend/routes/content.py) — this
     IS that rebuild, without re-ingesting content.
 
-    Crash-safe ordering: docs swap -> segments swap -> df -> stats ->
-    tombstones reset -> generation records collapsed. Until the tombstone
-    reset commits, stale state keeps filtering on the query path, so a
-    reader never sees a deleted doc mid-compaction.
+    Crash-safe ordering: docs .bak-swap (the old doc store — the ONLY copy
+    of the corpus — survives until the new one is in place; a crash mid-swap
+    is recovered by restore_swap_backup on the next run) -> segments swap
+    (re-derivable from docs, plain swap suffices) -> df -> stats ->
+    tombstone subtraction -> generation records collapsed. Until the
+    tombstone update commits, stale state keeps filtering on the query path,
+    so a reader never sees a deleted doc mid-compaction; deletes issued
+    WHILE compaction runs are preserved (only the vacuumed set is
+    subtracted, never a blind reset). With ``vacuum=False`` (merge
+    generations only) tombstones are left untouched and keep filtering.
     """
     cat = Catalog(index_dir)
     ifs = cat.ifs
+    ifs.restore_swap_backup(DOCS_DIR)  # prior compaction died mid doc swap
     for s in STAGE_ORDER:
         if not cat.stage_done(s):
             raise RuntimeError(f"compact requires a completed base build (stage {s!r} not done)")
@@ -585,8 +587,7 @@ def compact_index(index_dir, cfg: EngineConfig | None = None, vacuum: bool = Tru
         if rec.get("status") != "done":
             _rollback_generation(ifs, cfg, cat, int(g_str))
 
-    tomb_rel = "tombstones.json"
-    tombs: list[int] = sorted(ifs.read_json(tomb_rel)) if (vacuum and ifs.exists(tomb_rel)) else []
+    tombs: list[int] = sorted(read_tombstones(ifs)) if vacuum else []
     if not tombs and not cat.generations():
         return cat  # single generation, nothing tombstoned: no-op
 
@@ -611,7 +612,7 @@ def compact_index(index_dir, cfg: EngineConfig | None = None, vacuum: bool = Tru
         columns=DOC_SCHEMA_COLS,
     ).map_batches(reshard, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     docs = docs.repartition(max(8, _cluster_cpus()))
-    ifs.atomic_write_dataset(docs, DOCS_DIR, partition_cols=["shard_id"])
+    ifs.atomic_swap_dataset(docs, DOCS_DIR, partition_cols=["shard_id"])
 
     # 2. stats over the surviving corpus, then one fresh segment generation
     stats = _run_stats(ifs, cfg)
@@ -619,9 +620,13 @@ def compact_index(index_dir, cfg: EngineConfig | None = None, vacuum: bool = Tru
     _run_df(ifs, cfg)
     cat.set_stats(stats)
 
-    # 3. visibility cleanup: tombstones are now physical; generations merged
-    if ifs.exists(tomb_rel):
-        ifs.write_json_atomic(tomb_rel, [])
+    # 3. visibility cleanup: the vacuumed ids are now physically gone —
+    # subtract exactly them, preserving any tombstones added while this
+    # compaction ran (those docs survive in the new docs/segments and must
+    # keep filtering); generations merged
+    if vacuum and tombs:
+        live = read_tombstones(ifs)
+        ifs.write_json_atomic(TOMBSTONES_REL, sorted(live - set(tombs)))
     for g_str in list(cat.generations()):
         cat.drop_generation(int(g_str))
     cat.mark_stage("compact", "done", {"vacuumed": len(tombs)})

@@ -117,14 +117,11 @@ class SearchEngine:
     TOMBSTONES = "tombstones.json"
 
     def _load_tombstones(self) -> set[int]:
-        if self.ifs.exists(self.TOMBSTONES):
-            return set(self.ifs.read_json(self.TOMBSTONES))
-        # non-atomic-move filesystems park the live file at .bak while
-        # swapping (fs.write_json_atomic); recover after a mid-swap crash —
-        # losing tombstones would silently resurrect deleted docs
-        if self.ifs.exists(self.TOMBSTONES + ".bak"):
-            return set(self.ifs.read_json(self.TOMBSTONES + ".bak"))
-        return set()
+        # shared reader (with .bak crash recovery) in state/catalog.py —
+        # the same set compact_index vacuums
+        from smse_backend_ray.state.catalog import read_tombstones
+
+        return read_tombstones(self.ifs)
 
     def delete_doc(self, doc_id: int) -> None:
         """Remove a doc from all future results (persisted; atomic write)."""
@@ -218,19 +215,16 @@ class SearchEngine:
             # changes the result, only the wall balance.
             sets = self.actor_sets
             if len(sets) > 1 and len(jobs) > 1:
-                order = sorted(
-                    range(len(jobs)),
-                    key=lambda i: (
-                        -sum(self._df_cache.get(t, 0) for t in jobs[i]["terms"]),
-                        i,
-                    ),
-                )
+                costs = [
+                    sum(self._df_cache.get(t, 0) for t in j["terms"]) for j in jobs
+                ]
+                order = sorted(range(len(jobs)), key=lambda i: (-costs[i], i))
                 loads = [0] * len(sets)
                 chunks: list[list[dict]] = [[] for _ in sets]
                 for i in order:
                     s = loads.index(min(loads))
                     chunks[s].append(jobs[i])
-                    loads[s] += sum(self._df_cache.get(t, 0) for t in jobs[i]["terms"])
+                    loads[s] += costs[i]
             else:
                 chunks = [jobs]
             futs = [

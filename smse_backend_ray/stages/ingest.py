@@ -26,6 +26,16 @@ from smse_backend_ray.config import EngineConfig
 from smse_backend_ray.functions.analyzer import term_counts
 from smse_backend_ray.sources.corpus import doc_id_from_key
 
+# ingest_batch's frozen output columns, MINUS the two per-build tags
+# (partition_id: file-mode lineage; shard_id: re-derivable as
+# doc_id % n_shards). The canonical projection for jobs that rewrite the doc
+# store (compaction) — defined here, next to the function that owns the
+# schema, so the two cannot drift.
+DOC_SCHEMA_COLS = [
+    "doc_id", "repo", "path", "commit", "lang",
+    "content_sha256", "n_bytes", "dl", "terms", "tfs",
+]
+
 
 def ingest_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     """corpus batch -> analyzed docs batch.

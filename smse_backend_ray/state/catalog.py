@@ -36,6 +36,22 @@ class PartitionRecord:
     output_path: str = ""
 
 
+TOMBSTONES_REL = "tombstones.json"
+
+
+def read_tombstones(ifs: IndexFS) -> set[int]:
+    """The live tombstone set (deleted doc_ids pending vacuum). Recovers
+    from ``tombstones.json.bak`` when a non-overwriting-move filesystem
+    crashed mid write_json_atomic swap — losing tombstones would silently
+    resurrect deleted docs. Shared by the query path (SearchEngine) and
+    maintenance (compact_index) so the two can never read differently."""
+    if ifs.exists(TOMBSTONES_REL):
+        return set(ifs.read_json(TOMBSTONES_REL))
+    if ifs.exists(TOMBSTONES_REL + ".bak"):
+        return set(ifs.read_json(TOMBSTONES_REL + ".bak"))
+    return set()
+
+
 def fingerprint_files(files: list[str]) -> str:
     """Deterministic partition fingerprint: path + size + mtime per file.
     (Input corpus files, not index state — local paths in file-mode builds.)"""

@@ -195,7 +195,9 @@ class IndexFS:
 
     def atomic_write_dataset(self, ds, rel: str, **kwargs) -> None:
         """write_parquet to ``rel``.tmp then swap into place (idempotent
-        commit; SURVEY.md §4 retries row)."""
+        commit; SURVEY.md §4 retries row). The PREVIOUS ``rel`` is deleted
+        before the move — callers for whom the existing dir is the ONLY copy
+        of the data must use ``atomic_swap_dataset`` instead."""
         tmp = rel + ".tmp"
         if self.exists(tmp):
             self.delete_dir(tmp)
@@ -203,6 +205,38 @@ class IndexFS:
         if self.exists(rel):
             self.delete_dir(rel)
         self.move(tmp, rel)
+
+    def atomic_swap_dataset(self, ds, rel: str, **kwargs) -> None:
+        """Like atomic_write_dataset, but parks the previous ``rel`` at
+        ``rel``.bak until the new dir is in place (the write_json_atomic
+        .bak protocol) — for rewrites where the existing dir is the only
+        copy of the data (doc-store compaction: the original corpus input
+        may no longer exist). A crash between the two moves leaves the data
+        at .bak; the rewriting job must restore it on its next run
+        (``restore_swap_backup``). Never leaves a window where the sole
+        copy is a *.tmp dir that Catalog.gc would collect."""
+        tmp = rel + ".tmp"
+        bak = rel + ".bak"
+        if self.exists(tmp):
+            self.delete_dir(tmp)
+        ds.write_parquet(self.join(tmp), **self._ray_fs_kwargs(), **kwargs)
+        if self.exists(bak):
+            self.delete_dir(bak)
+        if self.exists(rel):
+            self.move(rel, bak)
+        self.move(tmp, rel)
+        if self.exists(bak):
+            self.delete_dir(bak)
+
+    def restore_swap_backup(self, rel: str) -> bool:
+        """Recover a dir parked at ``rel``.bak by a crashed
+        atomic_swap_dataset (rel missing, .bak present). Returns True if a
+        restore happened."""
+        bak = rel + ".bak"
+        if not self.exists(rel) and self.exists(bak):
+            self.move(bak, rel)
+            return True
+        return False
 
 
 def resolve(location: Any) -> IndexFS:
