@@ -198,14 +198,16 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_REPL=scaling_repl)
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])  # surface the child's error
+            raise RuntimeError(f"bench child at {ncpu} cpus failed (rc={proc.returncode})")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # INTERLEAVE the levels (lo, hi, lo, hi, ...): the host is shared and
     # noisy, and running all lo trials then all hi trials lets one noise
