@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--threshold", type=float, default=None, help="minimum rounded score")
     ap.add_argument("--strategy", choices=["exact", "wand"], default="exact")
     ap.add_argument("--bulk", action="store_true", help="use the offline Dataset pipeline")
+    ap.add_argument(
+        "--num-actors",
+        type=int,
+        default=None,
+        help="scorer actor count; > n_shards spawns full replica sets for "
+        "batch-serve throughput (default: one actor per shard)",
+    )
     args = ap.parse_args(argv)
 
     queries = list(args.query)
@@ -64,18 +71,24 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"query": queries[row["query_id"]], **row}, default=str))
     else:
         from smse_backend_ray.pipelines.search import SearchEngine
+        from smse_backend_ray.queryset import QuerySpec
 
-        with SearchEngine(args.index_dir, strategy=args.strategy) as eng:
-            for i, q in enumerate(queries):
-                res = eng.search(
-                    q,
-                    scope=args.scope,
-                    limit=args.limit,
-                    threshold=args.threshold,
-                    query_id=i,
-                )
-                for row in res.to_pylist():
-                    print(json.dumps({"query": q, **row}, default=str))
+        specs = [
+            QuerySpec(
+                query_id=i,
+                parts=(q,),
+                scope=args.scope,
+                limit=args.limit,
+                threshold=args.threshold,
+            )
+            for i, q in enumerate(queries)
+        ]
+        with SearchEngine(
+            args.index_dir, num_actors=args.num_actors, strategy=args.strategy
+        ) as eng:
+            res = eng.search_batch(specs)  # one scatter/gather for the batch
+            for row in res.to_pylist():
+                print(json.dumps({"query": queries[row["query_id"]], **row}, default=str))
     ray.shutdown()
     return 0
 
