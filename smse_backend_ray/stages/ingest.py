@@ -111,18 +111,22 @@ def encode_runs(
     dls: "pa.Array | pa.ChunkedArray",
     n_buckets: int,
 ) -> pa.Table:
-    """Per-term posting runs (list columns) -> varint-compressed shuffle rows.
+    """Per-term posting runs (list columns) -> compact shuffle rows.
 
     The posting shuffle's payload is the dominant exchange of the whole
-    build (~16 raw bytes/posting as int64/int32 lists); encoding runs
-    map-side (doc-id delta varints + tf/dl varints, the SAME streams the
-    final segment format uses) cuts the shuffled volume ~40% and turns the
-    exchange-bound stage proportionally more CPU-bound — CPU scales with the
-    cluster, the object store does not.
+    build (~16 raw bytes/posting as int64/int32 lists). Rows ship as raw
+    little-endian int64 doc_ids + int32 dls + varint tfs (~13 bytes/posting)
+    — only the compression that is FREE to decode. An earlier version
+    delta-varinted the doc_ids too: the sha-derived 15-digit ids are sparse,
+    so the "deltas" still cost 7-8 varint bytes (no volume win over raw
+    int64) while the multi-byte vectorized varint decode burned ~130 s CPU
+    per 1M docs in numpy temporaries — a measured ~1.7x single-node build
+    slowdown at 32 CPUs (BASELINE.md, "shuffle payload format"). tf is
+    almost always < 128, so its varint stream hits the single-byte fast
+    path (an astype) on both sides.
 
     Output: bucket:int32, term:string, n:int32 (run length),
-    docs_b/tfs_b/dls_b:binary (self-contained varint streams per run;
-    doc-id deltas are absolute at the run start).
+    docs_b (int64-LE bytes) / tfs_b (varint) / dls_b (int32-LE bytes).
     """
     from smse_backend_ray.functions.codec import varint_encode_with_lens
 
@@ -137,31 +141,20 @@ def encode_runs(
         return _empty_runs_table()
     flat_tfs = np.asarray(tf_col.values, dtype=np.int64)
     flat_dls = np.asarray(dl_col.values, dtype=np.int64)
+    # no per-run doc sort: the reduce side lexsorts (segment, doc_id)
+    # globally, and fixed-width streams gain nothing from ordering
 
-    # sort postings by doc_id WITHIN each run (delta-friendly; the reduce
-    # side re-sorts globally anyway, so order here only affects compression)
-    run_idx = np.repeat(np.arange(n_runs, dtype=np.int64), run_lens)
-    order = np.lexsort((flat_docs, run_idx))
-    ids_s = flat_docs[order]
-    tfs_s = flat_tfs[order]
-    dls_s = flat_dls[order]
-    starts = offsets[:-1]
-    deltas = ids_s.astype(np.uint64).copy()
-    deltas[1:] -= ids_s[:-1].astype(np.uint64)
-    deltas[starts] = ids_s[starts].astype(np.uint64)  # absolute per run start
+    docs_b = flat_docs.astype("<i8", copy=False).tobytes()
+    dls_b = flat_dls.astype("<i4").tobytes()
+    tfs_b, t_lens = varint_encode_with_lens(flat_tfs.astype(np.uint64))
 
-    docs_b, d_lens = varint_encode_with_lens(deltas)
-    tfs_b, t_lens = varint_encode_with_lens(tfs_s.astype(np.uint64))
-    dls_b, l_lens = varint_encode_with_lens(dls_s.astype(np.uint64))
-
-    def bin_col(data: bytes, lens: np.ndarray) -> pa.Array:
-        c = np.concatenate(([0], np.cumsum(lens)))
-        run_bounds = c[offsets].astype(np.int32)
+    def bin_col(data: bytes, run_bounds: np.ndarray) -> pa.Array:
         return pa.Array.from_buffers(
             pa.binary(), n_runs,
-            [None, pa.py_buffer(run_bounds.tobytes()), pa.py_buffer(data)],
+            [None, pa.py_buffer(run_bounds.astype(np.int32).tobytes()), pa.py_buffer(data)],
         )
 
+    tf_cum = np.concatenate(([0], np.cumsum(t_lens)))
     uterms = terms.to_pylist()
     return pa.table(
         {
@@ -170,9 +163,9 @@ def encode_runs(
             ),
             "term": terms,
             "n": pa.array(run_lens, type=pa.int32()),
-            "docs_b": bin_col(docs_b, d_lens),
-            "tfs_b": bin_col(tfs_b, t_lens),
-            "dls_b": bin_col(dls_b, l_lens),
+            "docs_b": bin_col(docs_b, offsets * 8),
+            "tfs_b": bin_col(tfs_b, tf_cum[offsets]),
+            "dls_b": bin_col(dls_b, offsets * 4),
         }
     )
 
@@ -192,13 +185,13 @@ def _empty_runs_table() -> pa.Table:
 
 def decode_runs(group: pa.Table) -> tuple[list, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Shuffle rows -> (run_terms, run_lens, flat_docs, flat_tfs, flat_dls).
-    One vectorized varint decode per stream (runs concatenate into a single
-    valid stream; per-run boundaries come from the ``n`` column)."""
+    doc/dl streams are fixed-width (a frombuffer view each); tf is one
+    vectorized varint decode (runs concatenate into a single valid
+    stream — per-run boundaries come from the ``n`` column)."""
     from smse_backend_ray.functions.codec import varint_decode
 
     run_terms = group["term"].to_pylist()
     run_lens = np.asarray(group["n"], dtype=np.int64)
-    offsets = np.concatenate(([0], np.cumsum(run_lens)))
 
     def stream(col: str) -> np.ndarray:
         arr = group[col].combine_chunks()
@@ -207,14 +200,9 @@ def decode_runs(group: pa.Table) -> tuple[list, np.ndarray, np.ndarray, np.ndarr
         data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
         return data[off[0] : off[-1]]
 
-    deltas = varint_decode(stream("docs_b"))
+    flat_docs = np.frombuffer(stream("docs_b").tobytes(), dtype="<i8").astype(np.int64, copy=False)
     flat_tfs = varint_decode(stream("tfs_b")).astype(np.int64)
-    flat_dls = varint_decode(stream("dls_b")).astype(np.int64)
-    # absolute ids within runs: cumsum with a per-run correction
-    c = np.cumsum(deltas.astype(np.int64))
-    starts = offsets[:-1]
-    corr = c[starts] - deltas[starts].astype(np.int64)
-    flat_docs = c - np.repeat(corr, run_lens)
+    flat_dls = np.frombuffer(stream("dls_b").tobytes(), dtype="<i4").astype(np.int64)
     return run_terms, run_lens, flat_docs, flat_tfs, flat_dls
 
 
@@ -227,8 +215,8 @@ def explode_preagg_batch(batch: pa.Table, n_buckets: int) -> pa.Table:
     n_batches shuffle rows instead of df(term) rows. The shuffle key is a
     crc32 term bucket, NOT the raw term, so the wide merge runs over
     n_buckets groups (bounded task count, hot terms spread by hashing)
-    rather than |vocab| groups. Payloads ship varint-compressed
-    (``encode_runs``).
+    rather than |vocab| groups. Payloads ship in the compact decode-free
+    layout of ``encode_runs``.
     """
     terms = batch["terms"]
     flat_terms = pc.list_flatten(terms)
