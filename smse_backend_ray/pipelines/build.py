@@ -179,8 +179,10 @@ def _find_dup_ids(ifs: IndexFS, cfg: EngineConfig) -> set[int]:
         .groupby("doc_id")
         .aggregate(Count(alias_name="n"))
     )
-    dup_tbl = counts.filter(expr="n > 1").to_pandas()
-    return set() if dup_tbl.empty else set(dup_tbl["doc_id"].tolist())
+    from smse_backend_ray.functions.collect import collect_table
+
+    dup_tbl = collect_table(counts.filter(expr="n > 1"))
+    return set(dup_tbl["doc_id"].to_pylist()) if dup_tbl.num_rows else set()
 
 
 def _run_dedup(ifs: IndexFS, cfg: EngineConfig) -> dict:
@@ -364,6 +366,24 @@ def build_index(
 # a full rebuild of the union corpus (tests/test_append.py).
 
 
+def _require_enc_avgdl(ifs: IndexFS) -> None:
+    """Refuse appends onto pre-enc_avgdl ("legacy") segment files.
+
+    The scorer's legacy fallback stamps enc_avgdl = current global avgdl,
+    which is EXACT only while the index has never been appended to (avgdl
+    unchanged since encode). Appending would shift avgdl and turn the
+    fallback into an under-estimating WAND bound (silently dropped top-k
+    docs), so legacy indexes must be compacted/rebuilt first — after which
+    every segment file carries enc_avgdl and the fallback never fires on a
+    multi-generation index. One parquet-footer read."""
+    files = ifs.list_files(SEGMENTS_DIR, recursive=True, suffix=".parquet")
+    if files and "enc_avgdl" not in ifs.parquet_file(files[0]).schema_arrow.names:
+        raise RuntimeError(
+            "append onto a pre-enc_avgdl index is unsafe (WAND block bounds "
+            "could not be rescaled); run compact_index or rebuild first"
+        )
+
+
 def _gen_docs_rel(gen: int) -> str:
     return f"{DOCS_DIR}/gen_{gen:06d}"
 
@@ -432,8 +452,10 @@ def _append_collisions(ifs: IndexFS, wfs: IndexFS, cfg: EngineConfig) -> set[int
         columns=["doc_id"],
     ).map_batches(_tag(2), batch_format="pyarrow")
     both = old.union(new).groupby("doc_id").aggregate(Sum("flag", alias_name="s"))
-    coll = both.filter(expr="s == 3").to_pandas()
-    return set() if coll.empty else set(coll["doc_id"].tolist())
+    from smse_backend_ray.functions.collect import collect_table
+
+    coll = collect_table(both.filter(expr="s == 3"))
+    return set(coll["doc_id"].to_pylist()) if coll.num_rows else set()
 
 
 def append_index(
@@ -463,11 +485,22 @@ def append_index(
     """
     cat = Catalog(index_dir)
     ifs = cat.ifs
+    # A prior compact_index may have died between parking the doc store at
+    # docs.bak and moving the new one in. Recover BEFORE creating any
+    # docs/gen_* (which would make docs/ exist again and permanently strand
+    # the .bak — the only copy of the base corpus' doc metadata).
+    if not ifs.restore_swap_backup(DOCS_DIR) and ifs.exists(DOCS_DIR + ".bak"):
+        raise RuntimeError(
+            f"{DOCS_DIR}.bak exists beside a live {DOCS_DIR}/ — a prior "
+            "doc-store swap died in an ambiguous state; resolve manually "
+            "before appending"
+        )
     for s in STAGE_ORDER:
         if not cat.stage_done(s):
             raise RuntimeError(f"append requires a completed base build (stage {s!r} not done)")
     cfg = cfg or EngineConfig.from_dict(cat.get_config())
     cfg.validate()
+    _require_enc_avgdl(ifs)
 
     gens = cat.generations()
     for g_str, rec in sorted(gens.items(), key=lambda kv: int(kv[0])):
@@ -537,11 +570,13 @@ def append_index(
     ifs.delete_dir(ws)
 
     _run_df(ifs, cfg)  # exact integer re-rollup across all generations
-    cat.set_stats(merged)
+    # merged stats + status='done' in ONE manifest write: a crash between
+    # separate writes would leave stats inflated after rollback (which
+    # removes the generation's docs/segments but could not un-merge stats)
     rec = cat.generations()[str(gen)]
     rec["status"] = "done"
     rec["committed_at"] = time.time()
-    cat.set_generation(gen, rec)
+    cat.commit_generation(gen, rec, merged)
     return cat
 
 

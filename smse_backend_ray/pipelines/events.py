@@ -52,6 +52,11 @@ def hourly_window_agg(sf_dir: str) -> pa.Table:
     def partial(t: pa.Table) -> pa.Table:
         win = pc.floor_temporal(t["ts"], unit="hour")
         v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # null values arrive as NaN; sign/floor would propagate NaN and the
+        # int64 cast would turn it into INT64_MIN garbage. SQL SUM skips
+        # NULLs, which in the exact-integer domain is identical to adding 0
+        # (n stays count(*), matching the SQL twin's count of all rows).
+        v = np.where(np.isnan(v), 0.0, v)
         # floor(|v|*1e4 + 0.5): same half-away formula as rounding.py, kept
         # in the scaled-integer domain (SQL twin: round(value*10000, 0))
         iv = (np.sign(v) * np.floor(np.abs(v) * 10000.0 + 0.5)).astype(np.int64)

@@ -57,6 +57,9 @@ class SearchEngine:
         self.index_dir = index_dir
         self.cat = Catalog(index_dir)
         self.ifs: IndexFS = self.cat.ifs
+        # recover a doc store parked at docs.bak by a compaction that died
+        # mid-swap (before any shard actor tries to read docs/)
+        self.ifs.restore_swap_backup("docs")
         cfg = self.cat.get_config()
         stats = self.cat.get_stats()
         self.n_docs = stats["n_docs"]

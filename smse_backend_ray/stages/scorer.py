@@ -127,7 +127,10 @@ class ShardIndex:
             return ifs.read_table(f, columns=SEGMENT_COLS)
         except (KeyError, pa.ArrowInvalid):
             # pre-enc_avgdl segment files: encoded at the index's build-time
-            # avgdl == the current global avgdl (no appends existed)
+            # avgdl == the current global avgdl. EXACT because a legacy index
+            # can never gain generations: append_index refuses to append onto
+            # pre-enc_avgdl segments (build._require_enc_avgdl), so avgdl is
+            # unchanged since encode whenever this fallback fires.
             t = ifs.read_table(f, columns=[c for c in SEGMENT_COLS if c != "enc_avgdl"])
             return t.append_column(
                 "enc_avgdl", pa.array([self.avgdl] * len(t), type=pa.float64())

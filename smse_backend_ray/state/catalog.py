@@ -152,6 +152,17 @@ class Catalog:
         self._state.get("generations", {}).pop(str(gen), None)
         self._commit()
 
+    def commit_generation(self, gen: int, rec: dict, stats: dict) -> None:
+        """Atomically publish a generation record AND the merged corpus
+        stats in ONE manifest write. Appends must use this for the final
+        status='done' commit: a crash between separate set_stats and
+        set_generation calls would leave stats inflated after the rollback
+        path removes the generation's docs/segments (scores would diverge
+        from the oracle forever)."""
+        self._state.setdefault("generations", {})[str(gen)] = rec
+        self._state["stats"] = stats
+        self._commit()
+
     # -- partition-level lineage ------------------------------------------
     def plan_partitions(
         self, partitions: dict[int, list[str]]

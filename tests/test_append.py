@@ -161,3 +161,66 @@ def test_crashed_generation_rolls_back(ray_session):
     with SearchEngine(idx) as eng:
         got = eng.search("common", limit=80)
         assert got.num_rows == 80
+
+
+def test_append_recovers_parked_doc_store(ray_session):
+    """A compaction that died between parking docs/ at docs.bak and moving
+    the new store in must be recovered by the NEXT append — before it
+    creates docs/gen_* (which would make docs/ exist again and strand the
+    .bak, the only copy of the base corpus' doc metadata, forever)."""
+    idx = "/tmp/smse_test_append_bak"
+    shutil.rmtree(idx, ignore_errors=True)
+    base = _mk_corpus([("r0", f"x/{i}.py", f"zeta{i} common tok") for i in range(40)])
+    cat = build_index(corpus=_ds(base), index_dir=idx, cfg=EngineConfig(n_shards=2))
+    ifs = cat.ifs
+    ifs.move("docs", "docs.bak")  # simulate the crash window
+    extra = _mk_corpus([("r1", f"y/{i}.py", f"eta{i} common tok") for i in range(40)])
+    append_index(_ds(extra), idx)
+    assert ifs.exists("docs") and not ifs.exists("docs.bak")
+    with SearchEngine(idx) as eng:
+        assert eng.search("common", limit=80).num_rows == 80
+
+
+def test_append_fails_loudly_on_ambiguous_bak(ray_session):
+    """docs.bak beside a LIVE docs/ is ambiguous (stale backup vs stranded
+    base corpus) — append must refuse rather than silently proceed."""
+    idx = "/tmp/smse_test_append_bak2"
+    shutil.rmtree(idx, ignore_errors=True)
+    base = _mk_corpus([("r0", f"x/{i}.py", f"theta{i} tok") for i in range(20)])
+    cat = build_index(corpus=_ds(base), index_dir=idx, cfg=EngineConfig(n_shards=2))
+    cat.ifs.mkdirs("docs.bak")
+    extra = _mk_corpus([("r1", "y/0.py", "iota tok")])
+    with pytest.raises(RuntimeError, match="docs.bak"):
+        append_index(_ds(extra), idx)
+
+
+def test_engine_open_recovers_parked_doc_store(ray_session):
+    """SearchEngine open after a mid-swap compaction crash restores docs/
+    from docs.bak before any shard actor loads metadata."""
+    idx = "/tmp/smse_test_engine_bak"
+    shutil.rmtree(idx, ignore_errors=True)
+    base = _mk_corpus([("r0", f"x/{i}.py", f"kappa{i} common tok") for i in range(40)])
+    cat = build_index(corpus=_ds(base), index_dir=idx, cfg=EngineConfig(n_shards=2))
+    cat.ifs.move("docs", "docs.bak")
+    with SearchEngine(idx) as eng:
+        assert eng.search("common", limit=40).num_rows == 40
+    assert cat.ifs.exists("docs") and not cat.ifs.exists("docs.bak")
+
+
+def test_append_refuses_legacy_segments(ray_session):
+    """Segment files lacking enc_avgdl (pre-append-era indexes) cannot be
+    appended to: the scorer's legacy fallback assumes avgdl is unchanged
+    since encode, which an append would break (silent WAND under-bounds)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    idx = "/tmp/smse_test_append_legacy"
+    shutil.rmtree(idx, ignore_errors=True)
+    base = _mk_corpus([("r0", f"x/{i}.py", f"lam{i} tok") for i in range(20)])
+    build_index(corpus=_ds(base), index_dir=idx, cfg=EngineConfig(n_shards=2))
+    for f in glob.glob(f"{idx}/segments/shard_id=*/*.parquet"):
+        pq.write_table(pq.read_table(f).drop_columns(["enc_avgdl"]), f)
+    extra = _mk_corpus([("r1", "y/0.py", "mu tok")])
+    with pytest.raises(RuntimeError, match="enc_avgdl"):
+        append_index(_ds(extra), idx)

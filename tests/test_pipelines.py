@@ -343,3 +343,41 @@ def test_scaled_round_matches_duckdb_on_boundaries():
     got_sql = next(iter(sql.values()))
     eng = (np.sign(vals) * np.floor(np.abs(vals) * 10000.0 + 0.5)).astype(np.int64)
     assert (got_sql == eng).all()
+
+
+def test_hourly_agg_null_values(ray_session, tmp_path):
+    """Null `value` rows must contribute 0 to the scaled-int sum (SQL SUM
+    skips NULLs) instead of NaN->int64 platform garbage (ADVICE r2)."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    h0 = dt.datetime(2026, 1, 1, 10, 15)
+    rows = [
+        (1, h0, 7, "click", 1.5),
+        (2, h0, 7, "click", None),
+        (3, h0, 8, "click", 2.25),
+        (4, h0, 8, "view", None),
+        (5, h0, 9, "view", 3.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = events.hourly_window_agg(str(tmp_path))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.sql(events.hourly_window_agg_sql()).arrow()
+    con.close()
+    assert got.to_pylist() == want.cast(got.schema).to_pylist()
