@@ -245,24 +245,27 @@ def _run_segments(ifs: IndexFS, cfg: EngineConfig, stats: dict) -> None:
     nb = cfg_buckets(cfg, n_docs=int(stats.get("n_docs") or 0) or None)
     ds = ifs.ray_read_parquet(DOCS_DIR, columns=["doc_id", "dl", "terms", "tfs"])
     runs = ds.map_batches(
-        functools.partial(explode_preagg_batch, n_buckets=nb),
+        functools.partial(explode_preagg_batch, n_buckets=nb, n_shards=cfg.n_shards),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        # large batches: each batch emits one run-row per distinct term, so
-        # hot terms produce n_batches rows — bigger batches shrink the
-        # shuffle volume
+        # large batches: each batch emits one run-row per distinct
+        # (term, shard), so hot terms produce n_batches * n_shards rows —
+        # bigger batches shrink the shuffle volume
         batch_size=max(cfg.batch_size, 8192),
     )
     # NO coalesce before the exchange: a plain repartition here funnels its
     # reduce through ONE task (822 MB serialized point, measured on the 1M
     # corpus) and leaves the sort-shuffle only a handful of giant map
     # blocks; the raw map fragments parallelize strictly better.
-    enc = BucketEncoder(avgdl, cfg, n_buckets=nb)
+    enc = BucketEncoder(avgdl, cfg)
 
     def encode_bucket(group: pa.Table) -> pa.Table:
         return enc(group)
 
-    seg = runs.groupby("bucket").map_groups(encode_bucket, batch_format="pyarrow")
+    # skey = (term bucket, shard): the hottest term's reduce group is
+    # bounded at O(docs/shard) — the SURVEY §4 skew mandate (see
+    # explode_preagg_batch)
+    seg = runs.groupby("skey").map_groups(encode_bucket, batch_format="pyarrow")
     ifs.atomic_write_dataset(seg, SEGMENTS_DIR, partition_cols=["shard_id"])
 
 

@@ -127,6 +127,9 @@ def encode_runs(
 
     Output: bucket:int32, term:string, n:int32 (run length),
     docs_b (int64-LE bytes) / tfs_b (varint) / dls_b (int32-LE bytes).
+    ``explode_preagg_batch`` appends the actual shuffle key (``skey``,
+    shard-aware) after this — encode_runs is order-preserving (output row i
+    == input run i), which that append relies on.
     """
     from smse_backend_ray.functions.codec import varint_encode_with_lens
 
@@ -206,54 +209,73 @@ def decode_runs(group: pa.Table) -> tuple[list, np.ndarray, np.ndarray, np.ndarr
     return run_terms, run_lens, flat_docs, flat_tfs, flat_dls
 
 
-def explode_preagg_batch(batch: pa.Table, n_buckets: int) -> pa.Table:
+def explode_preagg_batch(batch: pa.Table, n_buckets: int, n_shards: int) -> pa.Table:
     """Analyzed docs batch -> per-batch pre-aggregated posting runs.
 
     This is the SPIMI partial / salted pre-aggregation step (SURVEY.md A6):
-    within one batch every term contributes ONE row holding its (doc_id, tf,
-    dl) postings, so a hot term ("def", "return", ...) produces at most
-    n_batches shuffle rows instead of df(term) rows. The shuffle key is a
-    crc32 term bucket, NOT the raw term, so the wide merge runs over
-    n_buckets groups (bounded task count, hot terms spread by hashing)
-    rather than |vocab| groups. Payloads ship in the compact decode-free
-    layout of ``encode_runs``.
+    within one batch every (term, shard) contributes ONE row holding its
+    (doc_id, tf, dl) postings, so a hot term ("def", "return", ...) produces
+    at most n_batches * n_shards shuffle rows instead of df(term) rows.
+
+    The shuffle key ``skey`` is SHARD-AWARE (SURVEY.md §4 "salt hot terms"):
+    skey = crc32-term-bucket * n_shards + (doc_id % n_shards). Keying the
+    exchange on (term bucket, shard) instead of term bucket alone bounds the
+    hottest term's reduce group at O(df_shard) = O(docs / n_shards) — which
+    scales with cluster size — instead of O(global df), which at 10^11 docs
+    would put ~10^10 postings of a ubiquitous identifier into ONE encode
+    task. Segments are per (term, shard) anyway, and global df lives in the
+    df/ rollup (build._run_df sums df_shard), so no information is lost.
+    Payloads ship in the compact decode-free layout of ``encode_runs``.
     """
     terms = batch["terms"]
     flat_terms = pc.list_flatten(terms)
     parent = pc.list_parent_indices(terms)
+    doc_ids = pc.take(batch["doc_id"], parent)
+    shard = pa.array(
+        np.asarray(doc_ids, dtype=np.int64) % n_shards, type=pa.int32()
+    )
     flat = pa.table(
         {
             "term": flat_terms,
-            "doc_id": pc.take(batch["doc_id"], parent),
+            "shard": shard,
+            "doc_id": doc_ids,
             "tf": pc.cast(pc.list_flatten(batch["tfs"]), pa.int32()),
             "dl": pc.cast(pc.take(batch["dl"], parent), pa.int32()),
         }
     )
-    g = flat.group_by("term").aggregate(
+    g = flat.group_by(["term", "shard"]).aggregate(
         [("doc_id", "list"), ("tf", "list"), ("dl", "list")]
     )
-    return encode_runs(
+    runs = encode_runs(
         g["term"], g["doc_id_list"], g["tf_list"], g["dl_list"], n_buckets
     )
+    # encode_runs is order-preserving, so runs row i == group row i
+    skey = (
+        np.asarray(runs["bucket"], dtype=np.int64) * n_shards
+        + np.asarray(g["shard"], dtype=np.int64)
+    )
+    return runs.append_column("skey", pa.array(skey, type=pa.int64()))
 
 
 class BucketEncoder:
-    """Per-bucket merge + encode (the reduce side of the posting shuffle).
+    """Per-group merge + encode (the reduce side of the posting shuffle).
 
-    One call receives ALL pre-aggregated runs for the terms hashed into one
-    bucket (across all shards and input partitions). For each (term, shard)
-    it k-way-merges the runs into one sorted posting list and encodes the
-    delta-varint blocks (functions/codec.py); global df(term) is computed
-    here too — the bucket holds every shard of a term, so document-frequency
-    needs no second shuffle.
+    One call receives ALL pre-aggregated runs for one shuffle key — since
+    the shard-aware key that is ONE SHARD of the terms hashed into one
+    bucket, bounding group size at O(docs/shard) regardless of term skew.
+    For each (term, shard) it k-way-merges the runs into one sorted posting
+    list and encodes the delta-varint blocks (functions/codec.py). Global
+    df(term) is NOT computed here (a group no longer sees every shard of a
+    term); it lives solely in the df/ rollup, which sums the per-segment
+    df_shard column (build._run_df) — the same sum that already made
+    incremental appends exact. The encoder itself stays shard-agnostic
+    (handles multi-shard groups identically), so the segment BYTES are
+    independent of the shuffle key choice (tests/test_bucket_encoder.py).
     """
 
-    def __init__(self, avgdl: float, cfg: EngineConfig, n_buckets: int | None = None):
+    def __init__(self, avgdl: float, cfg: EngineConfig):
         self.avgdl = avgdl
         self.cfg = cfg
-        # must equal the explode stage's bucket count (same build), else the
-        # output `bucket` column would disagree with the shuffle key
-        self.n_buckets = n_buckets if n_buckets is not None else cfg_buckets(cfg)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         """Whole-bucket vectorized merge+encode.
@@ -272,7 +294,6 @@ class BucketEncoder:
         cfg = self.cfg
         ns = cfg.n_shards
         bs = cfg.block_size
-        nb = self.n_buckets
 
         run_terms, run_lens, flat_docs, flat_tfs, flat_dls = decode_runs(group)
         n = flat_docs.size
@@ -330,11 +351,10 @@ class BucketEncoder:
         np.add.at(blocks_per_seg, blk_seg, 1)
         blk_list_offs = np.concatenate(([0], np.cumsum(blocks_per_seg))).astype(np.int32)
 
-        # per-segment identity + global df (postings per term across shards)
+        # per-segment identity (global df lives in the df/ rollup only)
         seg_code = seg_s[seg_starts]
         seg_term_code = seg_code // ns
         seg_shard = (seg_code % ns).astype(np.int32)
-        df_by_term = np.bincount(post_codes, minlength=len(terms_sorted))
 
         docs_mv, tfs_mv, dls_mv = docs_b, tfs_b, dls_b
         seg_docs = [docs_mv[cum_doc[s]:cum_doc[e]] for s, e in zip(seg_starts, seg_ends)]
@@ -342,9 +362,6 @@ class BucketEncoder:
         seg_dls = [dls_mv[cum_dl[s]:cum_dl[e]] for s, e in zip(seg_starts, seg_ends)]
         term_arr = pa.array(
             [terms_sorted[c] for c in seg_term_code], type=pa.string()
-        )
-        bucket_arr = pa.array(
-            [term_bucket(terms_sorted[c], nb) for c in seg_term_code], type=pa.int32()
         )
 
         def list_col(values: np.ndarray, vtype) -> pa.Array:
@@ -356,10 +373,9 @@ class BucketEncoder:
             {
                 "shard_id": pa.array(seg_shard, type=pa.int32()),
                 "term": term_arr,
-                "bucket": bucket_arr,
-                # df is GENERATION-local (postings in this encode run); the
-                # df/ rollup sums df_shard across generations (build._run_df)
-                "df": pa.array(df_by_term[seg_term_code], type=pa.int64()),
+                # df_shard is (generation, shard)-local (postings in this
+                # segment row); the df/ rollup sums df_shard across shards
+                # and generations (build._run_df) to get global df
                 "df_shard": pa.array(seg_sizes, type=pa.int64()),
                 # avgdl the block_max bounds were computed with; incremental
                 # appends shift the global avgdl, and WAND rescales stored
@@ -385,8 +401,6 @@ def _empty_segment_table() -> pa.Table:
         {
             "shard_id": pa.array([], type=pa.int32()),
             "term": pa.array([], type=pa.string()),
-            "bucket": pa.array([], type=pa.int32()),
-            "df": pa.array([], type=pa.int64()),
             "df_shard": pa.array([], type=pa.int64()),
             "enc_avgdl": pa.array([], type=pa.float64()),
             "docs_bytes": pa.array([], type=pa.binary()),
@@ -402,20 +416,26 @@ def _empty_segment_table() -> pa.Table:
 
 
 def cfg_buckets(cfg: EngineConfig, n_docs: int | None = None) -> int:
-    """Shuffle-bucket count: enough reduce tasks to spread hot terms but
-    bounded (SURVEY.md §4 skew row). Scales with cluster CPUs — at 64
-    buckets the encode stage's hottest bucket was a 23 s straggler gating
-    a 1M-doc build (measured; mean task 4.3 s); 8 buckets/CPU keeps the
-    tail short without exploding fixed costs.
+    """TERM-bucket count for the posting shuffle. The actual shuffle key is
+    (term bucket, shard), so the reduce-group count is
+    ``cfg_buckets(...) * n_shards``; this function picks the bucket count so
+    that GROUP count hits the targets below (SURVEY.md §4 skew row).
 
-    When ``n_docs`` is known (the stats stage precedes segments) the count
+    Group-count target scales with cluster CPUs — at 64 groups the encode
+    stage's hottest group was a 23 s straggler gating a 1M-doc build
+    (measured; mean task 4.3 s); 8 groups/CPU keeps the tail short without
+    exploding fixed costs.
+
+    When ``n_docs`` is known (the stats stage precedes segments) the target
     also scales with DATA size, both ways:
-      - small corpora cap at ~1k docs/bucket so a 32-CPU session doesn't
+      - small corpora cap at ~1k docs/group so a 32-CPU session doesn't
         shred a 10k-doc build into 256 near-empty map_groups tasks (fixed
         per-task cost dominated the driver's 100k-doc bench config);
-      - huge corpora get a floor of ~50k docs/bucket (≈60 MB decoded
+      - huge corpora get a floor of ~50k docs/group (≈60 MB decoded
         postings at avgdl~115) so per-reduce-task heap stays bounded even
-        when 8*cpus would make buckets arbitrarily fat.
+        when 8*cpus would make groups arbitrarily fat. (Per-TERM group
+        memory is additionally bounded at O(docs/shard) by the shard-aware
+        key, independent of term skew.)
     """
     try:
         import ray
@@ -429,7 +449,9 @@ def cfg_buckets(cfg: EngineConfig, n_docs: int | None = None) -> int:
         cpus = 32
     cpu_scaled = max(64, cfg.n_shards * 8, 8 * cpus)
     if n_docs is None:
-        return cpu_scaled
-    data_cap = -(-n_docs // 1_000)  # ceil; small data -> few buckets
-    heap_floor = -(-n_docs // 50_000)  # huge data -> enough buckets
-    return max(cfg.n_shards, min(cpu_scaled, data_cap), heap_floor)
+        groups = cpu_scaled
+    else:
+        data_cap = -(-n_docs // 1_000)  # ceil; small data -> few groups
+        heap_floor = -(-n_docs // 50_000)  # huge data -> enough groups
+        groups = max(cfg.n_shards, min(cpu_scaled, data_cap), heap_floor)
+    return max(1, -(-groups // cfg.n_shards))

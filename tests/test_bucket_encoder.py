@@ -91,16 +91,14 @@ def test_vectorized_equals_per_term(block_size):
         shards = ids % cfg.n_shards
         for s in np.unique(shards):
             m = shards == s
-            expected[(term, int(s))] = (
-                encode_postings(ids[m], tfs[m], dls[m], avgdl, cfg.bm25, block_size),
-                len(ids),
+            expected[(term, int(s))] = encode_postings(
+                ids[m], tfs[m], dls[m], avgdl, cfg.bm25, block_size
             )
 
     got_rows = out.to_pylist()
     assert len(got_rows) == len(expected)
     for row in got_rows:
-        enc, df_global = expected[(row["term"], row["shard_id"])]
-        assert row["df"] == df_global
+        enc = expected[(row["term"], row["shard_id"])]
         assert row["df_shard"] == enc["df"]
         assert row["enc_avgdl"] == avgdl  # WAND bound-rescale anchor
         for k in ("docs_bytes", "tfs_bytes", "dls_bytes"):
@@ -127,22 +125,70 @@ def test_empty_group():
 
 
 def test_cfg_buckets_scales_with_data():
-    """Bucket count tracks corpus size: small builds don't over-fragment,
-    huge builds keep per-reduce-task heap bounded, and the encoder's bucket
-    column always uses the count it was constructed with."""
+    """Term-bucket count tracks corpus size: the shuffle key is
+    (bucket, shard), so cfg_buckets returns ceil(target_groups / n_shards)
+    — small builds don't over-fragment, huge builds keep per-reduce-task
+    heap bounded."""
     from smse_backend_ray.stages.ingest import cfg_buckets
 
     cfg = EngineConfig(n_shards=8)
-    cpu_scaled = cfg_buckets(cfg)  # no n_docs -> legacy CPU-scaled count
-    assert cpu_scaled >= 64
-    # tiny corpus: ~1k docs/bucket, never below n_shards
-    assert cfg_buckets(cfg, n_docs=500) == cfg.n_shards
-    assert cfg_buckets(cfg, n_docs=20_000) == max(cfg.n_shards, min(cpu_scaled, 20))
-    # medium corpus: capped by the CPU-scaled count (unless the ~50k
-    # docs/bucket heap floor already exceeds it)
-    assert cfg_buckets(cfg, n_docs=10_000_000) == max(cpu_scaled, 200)
-    # huge corpus: heap floor kicks in past 50k docs/bucket
-    huge = cfg_buckets(cfg, n_docs=1_000_000_000)
-    assert huge == max(cpu_scaled, 20_000)
-    # encoder honors an explicit count regardless of session CPUs
-    assert BucketEncoder(100.0, cfg, n_buckets=7).n_buckets == 7
+    ns = cfg.n_shards
+
+    def ceil_div(a, b):
+        return -(-a // b)
+
+    cpu_groups = cfg_buckets(cfg) * ns  # no n_docs -> CPU-scaled group count
+    assert cpu_groups >= 64
+    # tiny corpus: ~1k docs/group target collapses to n_shards groups
+    # (1 term bucket) — never fewer
+    assert cfg_buckets(cfg, n_docs=500) == 1
+    assert cfg_buckets(cfg, n_docs=20_000) == ceil_div(
+        max(ns, min(cpu_groups, 20)), ns
+    )
+    # medium corpus: capped by the CPU-scaled group count (unless the ~50k
+    # docs/group heap floor already exceeds it)
+    assert cfg_buckets(cfg, n_docs=10_000_000) == ceil_div(max(cpu_groups, 200), ns)
+    # huge corpus: heap floor kicks in past 50k docs/group
+    assert cfg_buckets(cfg, n_docs=1_000_000_000) == ceil_div(
+        max(cpu_groups, 20_000), ns
+    )
+
+
+def test_hot_term_shuffle_key_is_shard_aware():
+    """SURVEY §4 skew mandate: a term present in EVERY doc must spread its
+    shuffle rows over n_shards distinct reduce keys, so the hottest term's
+    reduce group is bounded at O(docs/shard) — never O(global df)."""
+    from smse_backend_ray.stages.ingest import explode_preagg_batch, term_bucket
+
+    cfg = EngineConfig(n_shards=4)
+    n_docs, nb = 64, 3
+    doc_ids = np.arange(1000, 1000 + n_docs, dtype=np.int64)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "dl": pa.array([2] * n_docs, type=pa.int64()),
+            "terms": pa.array(
+                [["hotterm", f"rare{i:03d}"] for i in range(n_docs)],
+                type=pa.list_(pa.string()),
+            ),
+            "tfs": pa.array([[1, 1]] * n_docs, type=pa.list_(pa.int32())),
+        }
+    )
+    runs = explode_preagg_batch(batch, n_buckets=nb, n_shards=cfg.n_shards)
+    hot = runs.filter(pa.compute.equal(runs["term"], "hotterm"))
+    skeys = sorted(set(hot["skey"].to_pylist()))
+    hb = term_bucket("hotterm", nb)
+    # one run per (hotterm, shard), each under its own shuffle key
+    assert hot.num_rows == cfg.n_shards
+    assert skeys == [hb * cfg.n_shards + s for s in range(cfg.n_shards)]
+    # each run carries only its shard's postings (~n_docs/n_shards)
+    assert sorted(hot["n"].to_pylist()) == [16, 16, 16, 16]
+    # rare terms: exactly one run each, keyed consistently
+    rare = runs.filter(pa.compute.equal(runs["term"], "rare007"))
+    assert rare.num_rows == 1
+    sk = rare["skey"][0].as_py()
+    assert sk == term_bucket("rare007", nb) * cfg.n_shards + int(doc_ids[7] % 4)
+    # and the whole-batch merge of these runs still encodes correctly
+    out = BucketEncoder(2.0, cfg)(runs.drop_columns(["skey"]))
+    hot_rows = out.filter(pa.compute.equal(out["term"], "hotterm"))
+    assert sorted(hot_rows["df_shard"].to_pylist()) == [16, 16, 16, 16]
