@@ -52,6 +52,25 @@ LSH_BANDS = 16  # 16 bands x 4 rows
 EMB_DUP_THRESHOLD = 0.4
 
 
+def _dsjoin(left, right, join_type, num_partitions, on, right_on=None):
+    """Dataset.join with near-zero aggregator CPU placement.
+
+    Ray 2.49's hash-join reserves min(1, (CPU/2)/nparts) logical CPUs PER
+    PARTITION on its aggregator actors; two 16-partition joins in one DAG
+    reserve ~4 CPUs of placement tokens and deadlock a 4-CPU cluster (the
+    upstream map/sort tasks can never schedule). Actor num_cpus is a
+    placement token only — aggregators timeshare the host regardless — so
+    pinning it tiny is safe and keeps low-CPU configs live."""
+    return left.join(
+        right,
+        join_type,
+        num_partitions,
+        on=on,
+        right_on=right_on,
+        aggregator_ray_remote_args={"num_cpus": 0.01},
+    )
+
+
 def _read_documents(sf_dir: str) -> "ray.data.Dataset":
     path = os.path.join(sf_dir, "documents.parquet")
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
@@ -129,28 +148,42 @@ def _emit_pairs_group(g: pa.Table) -> pa.Table:
     )
 
 
-def _score_jaccard(inter_ds, sizes_ref, threshold: float) -> pa.Table:
-    """(a, b, inter) dataset + broadcast sizes -> verified pair table."""
+def _score_jaccard(inter_ds, sizes_ds, threshold: float, num_partitions: int) -> pa.Table:
+    """(a, b, inter) dataset ⋈ (doc_id, n) sizes dataset -> verified pairs.
+
+    Fully distributed: the per-doc shingle-set sizes stay a Dataset and are
+    attached with two hash joins (on a, then on b) — no driver-side dict of
+    O(corpus) / O(candidate-docs) sizes, no broadcast. The join key column of
+    the right side is merged away by Dataset.join; ``n`` is renamed between
+    the joins so both sizes survive."""
+    ja = _dsjoin(
+        inter_ds, sizes_ds, "inner", num_partitions, on=("a",), right_on=("doc_id",)
+    ).rename_columns({"n": "na"})
+    jb = _dsjoin(
+        ja, sizes_ds, "inner", num_partitions, on=("b",), right_on=("doc_id",)
+    ).rename_columns({"n": "nb"})
 
     def score(t: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        a = t["a"].to_numpy()
-        b = t["b"].to_numpy()
         it = t["inter"].to_numpy().astype(np.float64)
-        na = np.array([sz[x] for x in a.tolist()], dtype=np.float64)
-        nb = np.array([sz[x] for x in b.tolist()], dtype=np.float64)
+        na = t["na"].to_numpy().astype(np.float64)
+        nb = t["nb"].to_numpy().astype(np.float64)
         j = it / (na + nb - it)
         m = j >= threshold
         return pa.table(
             {
-                "a": pa.array(a[m], type=pa.int64()),
-                "b": pa.array(b[m], type=pa.int64()),
+                "a": pc.cast(t["a"].filter(pa.array(m)), pa.int64()),
+                "b": pc.cast(t["b"].filter(pa.array(m)), pa.int64()),
                 "jaccard": pa.array(round_half_away(j[m], 4), type=pa.float64()),
             }
         )
 
-    out = inter_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    out = jb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     t = collect_table(out)
+    if t.num_rows == 0:
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+             "jaccard": pa.array([], type=pa.float64())}
+        )
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
 
 
@@ -214,10 +247,12 @@ def jaccard_pairs(
         shingles, _global_hot_shingles(sf_dir, df_cap, "jaccard_pairs")
     )
 
-    # doc shingle-set sizes: tiny table -> broadcast
-    sizes_t = collect_table(shingles.groupby("doc_id").aggregate(Count(alias_name="n")))
-    sizes = dict(zip(sizes_t["doc_id"].to_pylist(), sizes_t["n"].to_pylist()))
-    sizes_ref = ray.put(sizes)
+    # doc shingle-set sizes: stays a DATASET (joined in _score_jaccard, never
+    # a driver dict — O(corpus) entries at scale). Materialized because the
+    # scorer joins it twice; it is (doc_id, n) rows, tiny next to the corpus.
+    sizes_ds = (
+        shingles.groupby("doc_id").aggregate(Count(alias_name="n")).materialize()
+    )
 
     inter = (
         shingles.groupby("shingle")
@@ -225,7 +260,7 @@ def jaccard_pairs(
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="inter"))
     )
-    return _score_jaccard(inter, sizes_ref, threshold)
+    return _score_jaccard(inter, sizes_ds, threshold, _parallel_blocks())
 
 
 # ---------------------------------------------------------------------------
@@ -264,11 +299,14 @@ def minhash_lsh_pairs(
     jaccard_pairs (one extra distributed df pass), so verified values are
     identical to the exact path even on corpora with hot shingles.
 
-    Scale shape: only band-bucket collisions shuffle; the driver sees only
-    the candidate PAIR IDS (never text or shingles). Verification reads just
-    the candidate docs (predicate pushdown), re-shingles them in map_batches,
-    and counts intersections with a shingle-group shuffle restricted to the
-    broadcast candidate-pair set."""
+    Scale shape: only band-bucket collisions shuffle, and the candidate pair
+    set STAYS A DATASET end to end — the driver never holds a pair list, a
+    doc-id list, or a sizes dict (all were O(candidates) broadcasts before).
+    Candidate docs are selected with a distributed semi-join against the
+    corpus, re-shingled in map_batches, intersections counted with a
+    shingle-group shuffle over candidate docs only, then restricted to the
+    LSH candidate pairs with a (a, b) semi-join and scored via sizes joins
+    (_score_jaccard)."""
     from ray.data.aggregate import Count
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -296,58 +334,60 @@ def minhash_lsh_pairs(
          "jaccard": pa.array([], type=pa.float64())}
     )
 
-    # candidate pairs, distinct-ed distributed (a pair colliding in k bands
-    # shuffles k rows but reaches the driver once)
-    cands_t = collect_table(
+    # candidate pairs, distinct-ed distributed; STAYS a Dataset (materialized
+    # in the object store — O(LSH collisions), never on the driver). A pair
+    # colliding in k bands shuffles k rows but survives distinct-ing once.
+    cands = (
         _read_documents(sf_dir)
         .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band", "key"])
         .map_groups(_emit_pairs_group, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["a", "b"])
+        .materialize()
     )
-    if cands_t.num_rows == 0:
+    if cands.count() == 0:
         return empty
-    pair_set = set(zip(cands_t["a"].to_pylist(), cands_t["b"].to_pylist()))
-    need = sorted({d for p in pair_set for d in p})
-    pair_ref = ray.put(pair_set)
+    nparts = _parallel_blocks(cands.count())
 
-    # distributed verification over candidate docs only; materialized because
-    # two consumers (sizes, intersections) read it — bounded by the candidate
-    # set, not the corpus. The hot-shingle cap matches jaccard_pairs exactly.
+    # candidate doc ids, distinct-ed distributed
+    need_ids = (
+        cands.select_columns(["a"]).rename_columns({"a": "doc_id"})
+        .union(cands.select_columns(["b"]).rename_columns({"b": "doc_id"}))
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["doc_id"])
+    )
+
+    # distributed verification over candidate docs only, selected with a
+    # semi-join (no O(candidates) isin literal in the read filter);
+    # materialized because two consumers (sizes, intersections) read it —
+    # bounded by the candidate set, not the corpus. The hot-shingle cap
+    # matches jaccard_pairs exactly.
     cand_shingles = _drop_hot_stage(
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"],
-            filter=pc.field("doc_id").isin(need),
+        _dsjoin(
+            _read_documents(sf_dir), need_ids, "left_semi", _parallel_blocks(),
+            on=("doc_id",),
         )
-        .repartition(_parallel_blocks(len(need)))
         .map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True),
         _global_hot_shingles(sf_dir, df_cap, "minhash_lsh_pairs"),
     ).materialize()
-    sizes_t = collect_table(cand_shingles.groupby("doc_id").aggregate(Count(alias_name="n")))
-    sizes_ref = ray.put(dict(zip(sizes_t["doc_id"].to_pylist(), sizes_t["n"].to_pylist())))
-
-    def emit_candidate_pairs(g: pa.Table) -> pa.Table:
-        pairs = ray.get(pair_ref)
-        dids = sorted(set(g["doc_id"].to_pylist()))
-        a, b = [], []
-        for i in range(len(dids)):
-            for j in range(i + 1, len(dids)):
-                if (dids[i], dids[j]) in pairs:
-                    a.append(dids[i])
-                    b.append(dids[j])
-        return pa.table(
-            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
-        )
-
-    inter = (
-        cand_shingles.groupby("shingle")
-        .map_groups(emit_candidate_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="inter"))
+    sizes_ds = (
+        cand_shingles.groupby("doc_id").aggregate(Count(alias_name="n")).materialize()
     )
-    return _score_jaccard(inter, sizes_ref, threshold)
+
+    # all shingle-co-occurrence pairs among candidate docs (bounded by the
+    # hot-shingle df cap), then restricted to the LSH candidate pairs with a
+    # distributed semi-join — no broadcast pair set.
+    inter = _dsjoin(
+        cand_shingles.groupby("shingle")
+        .map_groups(_emit_pairs_group, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter")),
+        cands, "left_semi", nparts, on=("a", "b"),
+    )
+    return _score_jaccard(inter, sizes_ds, threshold, nparts)
 
 
 # ---------------------------------------------------------------------------
