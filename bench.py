@@ -6,7 +6,11 @@ $GRAFT_SF_DIR's documents table, deterministically replicated x$GRAFT_REPL
 (default 20) to a realistic size — then a batch of BM25 searches on the built
 index through the shard-actor pool.
 
-  python bench.py              # one run; env RAY_GRAFT_CPUS (default 32)
+  python bench.py              # best-of-N fresh-process trials (default 3,
+                               # env GRAFT_BENCH_TRIALS); per-trial arrays in
+                               # the JSON so one noisy host burst is visible
+                               # instead of masquerading as a regression
+  python bench.py --once       # a single trial (what each child runs)
   python bench.py --scaling    # fresh processes at 8 and 32 CPUs ->
                                # throughput at both + scaling efficiency
 
@@ -156,6 +160,42 @@ def run_bench() -> dict:
     }
 
 
+def _run_child(extra_env: dict) -> dict:
+    """One bench trial in a fresh process (clean Ray session, clean heap)."""
+    import subprocess
+
+    env = dict(os.environ, **{k: str(v) for k, v in extra_env.items()})
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py"),
+         "--once"],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])  # surface the child's error
+        raise RuntimeError(f"bench child failed (rc={proc.returncode})")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_best_of_n() -> dict:
+    """Default driver entry: GRAFT_BENCH_TRIALS fresh-process trials,
+    best-of-N headline (this host swings 2-6x with neighbor load — see
+    BASELINE.md 'host noise'; external load only ever slows a run down, so
+    min is the low-noise estimator). The per-trial arrays ride along so the
+    artifact itself shows the spread instead of a lone sample reading as a
+    regression."""
+    trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
+    runs = [_run_child({}) for _ in range(trials)]
+    best = min(runs, key=lambda r: r["value"])
+    best["trials"] = trials
+    best["all_headline_sec"] = [r["value"] for r in runs]
+    best["all_build_sec"] = [r["queries"]["index_build"] for r in runs]
+    best["all_files_per_sec"] = [r["files_per_sec"] for r in runs]
+    best["all_search_qps"] = [r["search_qps"] for r in runs]
+    return best
+
+
 def _burn(_arg) -> int:
     t0 = time.time()
     x = 0
@@ -185,8 +225,6 @@ def run_scaling() -> dict:
     is shared, so each level runs GRAFT_TRIALS times (default 3) and the
     best build time per level is compared — external load only ever slows a
     run down."""
-    import subprocess
-
     trials = int(os.environ.get("GRAFT_TRIALS", "3"))
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
@@ -197,17 +235,7 @@ def run_scaling() -> dict:
     scaling_repl = os.environ.get("GRAFT_REPL", "200")
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_REPL=scaling_repl)
-        proc = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-        )
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-4000:])  # surface the child's error
-            raise RuntimeError(f"bench child at {ncpu} cpus failed (rc={proc.returncode})")
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        return _run_child({"RAY_GRAFT_CPUS": ncpu, "GRAFT_REPL": scaling_repl})
 
     # INTERLEAVE the levels (lo, hi, lo, hi, ...): the host is shared and
     # noisy, and running all lo trials then all hi trials lets one noise
@@ -253,5 +281,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
-    else:
+    elif "--once" in sys.argv:
         print(json.dumps(run_bench()))
+    else:
+        print(json.dumps(run_best_of_n()))
