@@ -40,6 +40,11 @@ N_QUERIES = 5   # frozen: query vectors are vec_id < 5
 TOP_K = 10
 IVF_CLUSTERS = 16
 IVF_ITERS = 10
+# k-means training-sample target: ~512 points per centroid at 16 clusters.
+# Tables at or under the target train on every row (bitwise-identical to
+# full-corpus training — all gate-scale tables qualify); larger corpora
+# train on a deterministic hash-Bernoulli sample of about this many rows.
+IVF_TRAIN_TARGET = 8192
 
 
 def _emb_path(sf_dir: str) -> str:
@@ -133,14 +138,29 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K) -> pa.Table:
 # IVF: train -> cluster-partitioned layout -> probe-pruned search
 # ---------------------------------------------------------------------------
 
-def train_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS, iters: int = IVF_ITERS) -> np.ndarray:
+def train_centroids(
+    sf_dir: str,
+    n_clusters: int = IVF_CLUSTERS,
+    iters: int = IVF_ITERS,
+    train_target: int | None = None,
+) -> np.ndarray:
     """Deterministic distributed k-means: init = the first n_clusters vectors
     by vec_id (PUSHDOWN-filtered read — only those rows leave storage); each
     iteration broadcasts centroids and reduces per-batch partial (sum, count)
-    — one small aggregation per iteration, no shuffle, no materialization of
-    the dataset (each iteration streams the column-pruned read again; at real
-    scale k-means would train on a pushdown sample the same way)."""
+    — one small aggregation per iteration, no shuffle.
+
+    Training set: when the table exceeds ``train_target`` (default
+    IVF_TRAIN_TARGET), a deterministic hash-Bernoulli sample of ~that many
+    rows — the decision key is sampling.sample_key(vec_id), the repo's frozen
+    engine<->SQL hash, so the sample (hence the centroids and the partition
+    layout) is reproducible across runs and partitionings. The training set
+    is materialized ONCE: one full-table pass total, then each k-means
+    iteration re-reads only the cached sample blocks — not ``iters`` complete
+    streaming reads of a 100 TB table. Exactness is unaffected: full-probe
+    IVF equals brute force for ANY centroids (tests pin this)."""
     import pyarrow.dataset as pads
+
+    from smse_backend_ray.pipelines.sampling import SAMPLE_MOD, sample_key
 
     t0 = pads.dataset(_emb_path(sf_dir)).to_table(
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_clusters
@@ -148,9 +168,20 @@ def train_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS, iters: int = IV
     t0 = t0.take(pc.sort_indices(t0["vec_id"]))
     cents = _emb_matrix(t0["embedding"]).copy()
 
+    target = train_target if train_target is not None else IVF_TRAIN_TARGET
+    rows = _parquet_rows(_emb_path(sf_dir))
     ds = ray.data.read_parquet(
-        _emb_path(sf_dir), columns=["embedding"]
-    ).repartition(_parallel_blocks(_parquet_rows(_emb_path(sf_dir))))
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    ).repartition(_parallel_blocks(rows))
+    if rows is not None and rows > target:
+        thr = np.uint64((SAMPLE_MOD * target) // rows)
+
+        def keep(t: pa.Table) -> pa.Table:
+            key = sample_key(t["vec_id"].to_numpy())
+            return t.filter(pa.array(key < thr))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.select_columns(["embedding"]).materialize()
 
     for _ in range(iters):
         ref = ray.put(cents)
@@ -186,11 +217,14 @@ def train_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS, iters: int = IV
     return cents
 
 
-_IVF_CACHE: dict[tuple[str, int, str], tuple["IndexFS", np.ndarray]] = {}
+_IVF_CACHE: dict[tuple, tuple["IndexFS", np.ndarray]] = {}
 
 
 def build_ivf_index(
-    sf_dir: str, out_dir=None, n_clusters: int = IVF_CLUSTERS
+    sf_dir: str,
+    out_dir=None,
+    n_clusters: int = IVF_CLUSTERS,
+    train_target: int | None = None,
 ) -> tuple["IndexFS", np.ndarray]:
     """Train centroids and write the vectors HIVE-PARTITIONED BY ASSIGNED
     CLUSTER — the storage layout that makes IVF actually prune: a query
@@ -207,7 +241,7 @@ def build_ivf_index(
 
     if out_dir is None:
         out_dir = f"/tmp/smse_ivf_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}_{n_clusters}"
-    key = (os.path.normpath(sf_dir), n_clusters, str(out_dir))
+    key = (os.path.normpath(sf_dir), n_clusters, str(out_dir), train_target)
     hit = _IVF_CACHE.get(key)
     if hit and hit[0].exists():
         return hit
@@ -222,7 +256,7 @@ def build_ivf_index(
             cents = np.load(io.BytesIO(f.read()))
         _IVF_CACHE[key] = (layout0, cents)
         return layout0, cents
-    cents = train_centroids(sf_dir, n_clusters)
+    cents = train_centroids(sf_dir, n_clusters, train_target=train_target)
     cents_ref = ray.put(cents)
 
     def assign_batch(t: pa.Table) -> pa.Table:
@@ -254,13 +288,20 @@ def build_ivf_index(
     return layout0, cents
 
 
-def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_CLUSTERS) -> pa.Table:
+def knn_ivf(
+    sf_dir: str,
+    k: int = TOP_K,
+    nprobe: int = IVF_CLUSTERS,
+    *,
+    train_target: int | None = None,
+    out_dir=None,
+) -> pa.Table:
     """IVF search over the cluster-partitioned layout: per query probe the
     ``nprobe`` nearest clusters; ONLY the union of probed partitions is read
     (partition-filter pushdown), and scores for a batch are masked to the
     queries that probed that batch's clusters. nprobe == n_clusters
     reproduces brute force exactly."""
-    layout, cents = build_ivf_index(sf_dir)
+    layout, cents = build_ivf_index(sf_dir, out_dir=out_dir, train_target=train_target)
     qids, Q = _load_queries(sf_dir)
     qnorms = np.sqrt((Q * Q).sum(axis=1))
     qd = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)

@@ -116,6 +116,27 @@ def test_ivf_partial_probe_recall(ray_session, sf_dir):
     assert np.mean(recalls) >= 0.5  # 4/16 clusters probed
 
 
+def test_ivf_sampled_training(ray_session, sf_dir, tmp_path):
+    """Forcing train_target below the table size activates the hash-sampled
+    k-means path: the sample (hence centroids) is deterministic across runs,
+    actually differs from full-corpus training, and full-probe search over
+    the resulting layout is still exactly brute force (exactness is
+    centroid-independent)."""
+    full = simsearch.train_centroids(sf_dir)
+    c1 = simsearch.train_centroids(sf_dir, train_target=64)
+    c2 = simsearch.train_centroids(sf_dir, train_target=64)
+    assert np.array_equal(c1, c2)
+    assert not np.array_equal(c1, full)
+    bf = simsearch.knn_bruteforce(sf_dir)
+    ivf = simsearch.knn_ivf(
+        sf_dir,
+        nprobe=simsearch.IVF_CLUSTERS,
+        train_target=64,
+        out_dir=str(tmp_path / "ivf_sampled"),
+    )
+    assert bf.to_pylist() == ivf.to_pylist()
+
+
 def test_exact_dedup_first_wins(ray_session, sf_dir):
     t = dedup.exact_dedup(sf_dir)
     fps = t["fingerprint"].to_pylist()
