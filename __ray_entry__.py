@@ -470,8 +470,10 @@ def oracle_sql() -> dict[str, str]:
             dedup_mod.SHINGLE_K,
             dedup_mod.JACCARD_SHINGLE_DF_CAP,
         ),
-        # dedup_minhash_lsh / dedup_simhash: no SQL oracle (hash functions);
-        # rows-only check + pytest containment vs exact jaccard
+        # dedup_minhash_lsh: no SQL oracle (minhash permutation table is not
+        # practical in SQL); rows-only check + pytest containment vs exact
+        # jaccard. dedup_simhash IS value-oracled: md5 bit math in DuckDB.
+        "dedup_simhash": sqlgen.simhash_pairs_sql(),
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),

@@ -51,6 +51,13 @@ STOPWORDS = frozenset(ENGLISH_STOPWORDS) | frozenset(CODE_KEYWORDS)
 # rule). Bounds per-shingle pair emission at cap^2/2.
 JACCARD_SHINGLE_DF_CAP = 256
 
+# SimHash near-dup parameters (engine pipelines/dedup.py AND the DuckDB
+# oracle functions/sqlgen.py mirror these — single-sourced here per the
+# lockstep rule). Banding buckets larger than the cap are skipped (logged);
+# pairs must clear hamming <= max to survive verification.
+SIMHASH_BUCKET_CAP = 200
+SIMHASH_MAX_HAMMING = 3
+
 
 # Language-ID marker words (textstats pipeline; frozen — the SQL oracle
 # inlines the same lists). Prediction: no ASCII tokens -> "zh"; zero marker

@@ -17,6 +17,8 @@ from smse_backend_ray.config import (
     MAX_TOKEN_LEN,
     MIN_TOKEN_LEN,
     SCORE_DECIMALS,
+    SIMHASH_BUCKET_CAP,
+    SIMHASH_MAX_HAMMING,
     STOPWORDS,
     BM25Params,
 )
@@ -457,6 +459,61 @@ SELECT inter.a, inter.b,
 FROM inter JOIN sizes za ON za.doc_id = inter.a JOIN sizes zb ON zb.doc_id = inter.b
 WHERE CAST(inter.i AS DOUBLE) / (za.n + zb.n - inter.i) >= {threshold}
 ORDER BY inter.a, inter.b
+"""
+
+
+def simhash_pairs_sql(
+    max_hamming: int = SIMHASH_MAX_HAMMING, bucket_cap: int = SIMHASH_BUCKET_CAP
+) -> str:
+    """SimHash near-dup twin (pipelines/dedup.py simhash_pairs / simhash64 —
+    frozen engine<->SQL pair). Per-token hash = little-endian uint64 of the
+    first 8 md5 bytes (the substr shuffle reverses byte order); per-doc
+    simhash = sign of the ±1 bit votes over the RAW subtoken stream
+    (unfiltered, like the engine); token-less docs hash to 0. Banding: 4
+    16-bit chunks, bucket key = (chunk << 16) | value; buckets above
+    ``bucket_cap`` are excluded entirely (the engine logs + drops them), and
+    surviving same-bucket pairs verify with exact bit_count hamming."""
+    hexpr = (
+        "CAST(('0x' || substr(m,15,2) || substr(m,13,2) || substr(m,11,2)"
+        " || substr(m,9,2) || substr(m,7,2) || substr(m,5,2) || substr(m,3,2)"
+        " || substr(m,1,2)) AS UBIGINT)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT src.doc_id, t.term FROM documents src,
+  unnest({subtoken_expr('src.text')}) AS t(term) WHERE t.term <> ''
+),
+th AS (SELECT doc_id, {hexpr} AS h
+       FROM (SELECT doc_id, md5(term) AS m FROM toks)),
+votes AS (
+  SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) bits
+  GROUP BY doc_id, bit
+),
+sh0 AS (
+  SELECT doc_id, CAST(COALESCE(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit) END),
+                               0) AS UBIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+sh AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0::UBIGINT) AS simhash
+  FROM documents d LEFT JOIN sh0 s USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, simhash,
+         (c.c << 16) | CAST((simhash >> (16 * c.c)) & 65535 AS BIGINT) AS bkey
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c
+),
+sized AS (SELECT *, count(*) OVER (PARTITION BY bkey) AS bsz FROM chunks),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+  FROM sized x JOIN sized y ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+  WHERE x.bsz BETWEEN 2 AND {bucket_cap}
+    AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+)
+SELECT a, b, CAST(min(hamming) AS INTEGER) AS hamming
+FROM pairs GROUP BY a, b ORDER BY a, b
 """
 
 

@@ -37,7 +37,11 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from smse_backend_ray.config import JACCARD_SHINGLE_DF_CAP
+from smse_backend_ray.config import (
+    JACCARD_SHINGLE_DF_CAP,
+    SIMHASH_BUCKET_CAP,
+    SIMHASH_MAX_HAMMING,
+)
 from smse_backend_ray.functions.analyzer import split_subtokens
 from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.functions.rounding import round_half_away
@@ -458,13 +462,13 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(np.ascontiguousarray(x).view(np.uint8)).reshape(-1, 64).sum(axis=1)
 
 
-# banding recall cap: buckets larger than this are skipped (and LOGGED — a
-# 16-bit chunk shared by this many docs carries ~no near-dup signal, but the
-# drop is surfaced, never silent)
-SIMHASH_BUCKET_CAP = 200
+# banding recall cap SIMHASH_BUCKET_CAP (imported from config.py —
+# single-sourced with the DuckDB oracle): buckets larger than it are skipped
+# (and LOGGED — a 16-bit chunk shared by that many docs carries ~no near-dup
+# signal, but the drop is surfaced, never silent)
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> pa.Table:
     """Near-dup pairs by simhash hamming distance, banded by 16-bit chunks
     (a pair within hamming<=3 must agree on >=1 of 4 chunks).
 
