@@ -9,12 +9,14 @@ Decode kernels are REAL for the formats this dependency-free environment can
 produce and parse:
 
   image  binary PPM (P6) — header + raw RGB, decoded with numpy
+         PNG — stdlib zlib inflate + per-scanline unfilter (all 5 filter
+         types; 8-bit gray/RGB/RGBA; CRC-checked chunk walk)
   audio  RIFF/WAVE PCM16 mono — chunk walk + int16 sample decode
   video  "SMV1" frame container (magic, fps, n_frames, length-prefixed PPM
          frames) — a stand-in for an ffmpeg demuxer with the same stage
          signature
 
-Payloads in other formats (JPEG/PNG/MP3/MP4 — magic detected) raise
+Payloads in other formats (JPEG/MP3/MP4 — magic detected) raise
 NotImplementedError naming the missing library (PIL/torchaudio/ffmpeg);
 a real deployment drops those decoders into the same ``DecodeMedia`` /
 ``ExtractFeatures`` actor-pool stages without touching the Ray plumbing.
@@ -80,6 +82,167 @@ def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("only 8-bit PPM supported")
     px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
     return w, h, px.reshape(h, w, 3)
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> channel count (8-bit depth, no palette, no interlace)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4) over int16 arrays."""
+    p = a + b - c
+    pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+
+
+def encode_png(
+    width: int, height: int, px: np.ndarray, color_type: int = 2
+) -> bytes:
+    """(h, w, channels) uint8 -> PNG (stdlib zlib, 8-bit, no interlace).
+
+    Filter types cycle 0..4 per scanline so a decoder exercising this
+    encoder's output covers every unfilter path (all five are legal and
+    common in the wild; libpng pickers emit mixes like this)."""
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    if px.ndim == 2:
+        px = px[:, :, None]
+    assert px.shape == (height, width, ch) and px.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    x = px.reshape(height, width * ch).astype(np.int16)
+    left = np.zeros_like(x)
+    left[:, ch:] = x[:, :-ch]
+    up = np.zeros_like(x)
+    up[1:] = x[:-1]
+    upleft = np.zeros_like(x)
+    upleft[1:, ch:] = x[:-1, :-ch]
+    raw = bytearray()
+    for r in range(height):
+        ft = r % 5
+        if ft == 0:
+            row = x[r]
+        elif ft == 1:  # Sub
+            row = x[r] - left[r]
+        elif ft == 2:  # Up
+            row = x[r] - up[r]
+        elif ft == 3:  # Average
+            row = x[r] - ((left[r] + up[r]) >> 1)
+        else:  # Paeth
+            row = x[r] - _paeth_vec(left[r], up[r], upleft[r])
+        raw.append(ft)
+        raw += (row & 0xFF).astype(np.uint8).tobytes()
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG -> (width, height, (h, w, channels) uint8).
+
+    Stdlib-only (zlib inflate + per-scanline unfilter): 8-bit depth, color
+    types 0/2/6 (gray, RGB, RGBA), no interlace, CRC-checked chunk walk,
+    multi-IDAT streams concatenated per spec. Sub rows unfilter as a cumsum
+    (the recurrence IS a prefix sum mod 256) and Up rows as one vector add;
+    Average/Paeth rows walk pixels with vectorized per-channel math."""
+    import zlib
+
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i, w = len(PNG_SIG), None
+    idat = bytearray()
+    while i + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[i : i + 4])
+        ctype = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + clen]
+        (crc,) = struct.unpack(">I", data[i + 8 + clen : i + 12 + clen])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color_type={color_type}); "
+                    "supported: 8-bit gray/RGB/RGBA"
+                )
+            if comp or filt or interlace:
+                raise ValueError("unsupported PNG compression/filter/interlace")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft, row = raw[r, 0], raw[r, 1:]
+        if ft == 0:
+            out[r] = row
+        elif ft == 1:  # Sub: x[i] = raw[i] + x[i-ch] == per-channel cumsum
+            out[r] = np.cumsum(row.reshape(w, ch).astype(np.int64), axis=0).reshape(
+                stride
+            ) & 0xFF
+        elif ft == 2:  # Up
+            prev = out[r - 1] if r else np.zeros(stride, dtype=np.uint8)
+            out[r] = row + prev  # uint8 wraparound is the mod-256 add
+        elif ft in (3, 4):  # Average / Paeth: sequential along x
+            prev = (out[r - 1] if r else np.zeros(stride, dtype=np.uint8)).astype(
+                np.int16
+            )
+            cur = np.zeros(stride, dtype=np.int16)
+            rr = row.astype(np.int16)
+            for px_i in range(w):
+                s = slice(px_i * ch, (px_i + 1) * ch)
+                left = cur[px_i * ch - ch : px_i * ch] if px_i else np.zeros(ch, np.int16)
+                if ft == 3:
+                    cur[s] = (rr[s] + ((left + prev[s]) >> 1)) & 0xFF
+                else:
+                    ul = prev[px_i * ch - ch : px_i * ch] if px_i else np.zeros(ch, np.int16)
+                    cur[s] = (rr[s] + _paeth_vec(left, prev[s], ul)) & 0xFF
+            out[r] = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"PNG filter type {ft} unsupported")
+    px = out.reshape(h, w, ch)
+    return w, h, px[:, :, 0] if ch == 1 else px
+
+
+def decode_image_any(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Dispatch PPM/PNG by magic -> (w, h, (h, w, 3) uint8 RGB): PNG gray
+    replicates to 3 channels, RGBA drops alpha (feature math wants RGB)."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(PNG_SIG):
+        w, h, px = decode_png(payload)
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        elif px.shape[2] == 4:
+            px = px[:, :, :3]
+        return w, h, np.ascontiguousarray(px)
+    raise ValueError("unknown image payload (supported: PPM P6, PNG)")
 
 
 def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
@@ -152,8 +315,16 @@ def synth_media_table(n: int) -> pa.Table:
         kind = MEDIA_KINDS[i % len(MEDIA_KINDS)]
         if kind == "image":
             w, h = 16 + i % 8, 12 + i % 5
-            px = _rng_bytes(f"img{i}", w * h * 3).reshape(h, w, 3)
-            payload = encode_ppm(w, h, px)
+            if (i // 3) % 2:
+                # alternate images are PNG, cycling gray/RGB/RGBA color
+                # types so the gate corpus exercises every decode path
+                ct = (0, 2, 6)[(i // 6) % 3]
+                nch = {0: 1, 2: 3, 6: 4}[ct]
+                px = _rng_bytes(f"img{i}", w * h * nch).reshape(h, w, nch)
+                payload = encode_png(w, h, px[:, :, 0] if ct == 0 else px, ct)
+            else:
+                px = _rng_bytes(f"img{i}", w * h * 3).reshape(h, w, 3)
+                payload = encode_ppm(w, h, px)
         elif kind == "audio":
             ns = 800 + 160 * (i % 5)
             samples = (
@@ -188,7 +359,6 @@ def synth_media_table(n: int) -> pa.Table:
 
 _FOREIGN_MAGIC = {
     b"\xff\xd8\xff": "JPEG (needs PIL)",
-    b"\x89PNG": "PNG (needs PIL)",
     b"ID3": "MP3 (needs torchaudio)",
     b"\x00\x00\x00\x18ftyp": "MP4 (needs ffmpeg)",
 }
@@ -219,7 +389,7 @@ class DecodeMedia:
 
     @staticmethod
     def _decode_image(payload: bytes) -> dict:
-        w, h, _px = decode_ppm(payload)
+        w, h, _px = decode_image_any(payload)
         return {"width": w, "height": h, "duration_s": 0.0, "frames": 1}
 
     @staticmethod
@@ -255,7 +425,8 @@ class DecodeMedia:
         if foreign:
             raise NotImplementedError(
                 f"decoding {foreign} is not available in this environment; "
-                "supported real formats: PPM(P6) image, WAV(PCM16) audio, SMV1 video"
+                "supported real formats: PPM(P6)/PNG image, WAV(PCM16) audio, "
+                "SMV1 video"
             )
         return self._decoders[kind](payload)
 
@@ -300,7 +471,7 @@ class ExtractFeatures:
             v = np.frombuffer(h[: FEATURE_DIM * 4], dtype=np.uint32).astype(np.float64)
             return v / 2**32
         if kind == "image":
-            w, h, px = decode_ppm(payload)
+            w, h, px = decode_image_any(payload)
             return self._image_vec(px, w, h)
         if kind == "audio":
             rate, s = decode_wav(payload)

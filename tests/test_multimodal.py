@@ -13,9 +13,12 @@ from smse_backend_ray.stages.multimodal import (
     WAV_RATE,
     DecodeMedia,
     ExtractFeatures,
+    decode_image_any,
+    decode_png,
     decode_ppm,
     decode_smv,
     decode_wav,
+    encode_png,
     encode_ppm,
     encode_smv,
     encode_wav,
@@ -144,6 +147,68 @@ def test_wav_roundtrip_property(n, rate, seed):
     s = rng.integers(-(2**15), 2**15, size=n).astype(np.int16)
     r2, out = decode_wav(encode_wav(s, rate))
     assert r2 == rate and (out == s).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    ct=st.sampled_from([0, 2, 6]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_png_roundtrip_property(w, h, ct, seed):
+    """All 3 color types; encoder cycles filter types 0-4 per row, so any
+    h >= 5 case exercises every unfilter path."""
+    nch = {0: 1, 2: 3, 6: 4}[ct]
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+    if ct == 0:
+        px = px[:, :, 0]
+    w2, h2, out = decode_png(encode_png(w, h, px, ct))
+    assert (w2, h2) == (w, h) and (out == px).all()
+
+
+def test_png_decode_independent_of_encoder():
+    """Hand-built PNG (filter 0 + filter 2 rows, independent of encode_png)
+    decodes to the exact pixels — the decoder is spec-true, not merely the
+    encoder's inverse."""
+    import struct as st_
+    import zlib
+
+    px = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[15, 25, 35], [45, 55, 65]]], dtype=np.uint8
+    )
+    ihdr = st_.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    # row 0: filter None; row 1: filter Up (raw = x - prev, mod 256)
+    raw = b"\x00" + px[0].tobytes() + b"\x02" + ((px[1].astype(np.int16) - px[0]) & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(ctype, body):
+        return st_.pack(">I", len(body)) + ctype + body + st_.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, out = decode_png(data)
+    assert (w, h) == (2, 2) and (out == px).all()
+
+
+def test_png_corrupt_crc_raises():
+    data = bytearray(encode_png(3, 3, np.zeros((3, 3, 3), dtype=np.uint8)))
+    data[20] ^= 0xFF  # flip a byte inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_decode_image_any_normalizes_to_rgb():
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    w, h, rgb = decode_image_any(encode_png(4, 3, g, 0))
+    assert rgb.shape == (3, 4, 3) and (rgb[:, :, 0] == g).all() and (rgb[:, :, 2] == g).all()
+    rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+    w, h, rgb = decode_image_any(encode_png(4, 3, rgba, 6))
+    assert rgb.shape == (3, 4, 3) and (rgb == rgba[:, :, :3]).all()
 
 
 @settings(max_examples=30, deadline=None)
