@@ -50,6 +50,33 @@ def _ray_session(num_cpus: int):
     return ray
 
 
+def _corpus_factory(ray, corpus_kind: str, sf_dir: str, repl: int):
+    """Corpus source for a bench run. 'synth': deterministic synthetic code
+    corpus sized by the sf dir (docs x repl), generated ONCE to parquet
+    (untimed — the benchmark measures the index build, not corpus synthesis)
+    and shared across levels/axes."""
+    from smse_backend_ray.sources.corpus import replicated_corpus_from_documents
+
+    if corpus_kind != "synth":
+        return lambda: replicated_corpus_from_documents(sf_dir, repl)
+
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.sources.synth import synth_corpus
+
+    n_docs = (
+        pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+        * repl
+    )
+    corpus_dir = f"/tmp/smse_bench_corpus_{n_docs}"
+    if not os.path.isdir(corpus_dir):
+        tmp = corpus_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        synth_corpus(n_docs, num_blocks=96).write_parquet(tmp)
+        os.replace(tmp, corpus_dir)
+    return lambda: ray.data.read_parquet(corpus_dir)
+
+
 def run_bench() -> dict:
     """Two fresh Ray sessions: build job, then serve job — the engine's
     deployment model (SURVEY.md §4: query serving is a separate job/actor
@@ -62,7 +89,6 @@ def run_bench() -> dict:
 
     from smse_backend_ray.config import EngineConfig
     from smse_backend_ray.queryset import ALL_QUERIES
-    from smse_backend_ray.sources.corpus import replicated_corpus_from_documents
     from smse_backend_ray.state.catalog import Catalog
 
     idx_dir = f"/tmp/smse_bench_index_{num_cpus}"
@@ -72,31 +98,7 @@ def run_bench() -> dict:
     ray = _ray_session(num_cpus)
     from smse_backend_ray.pipelines.build import build_index
 
-    if corpus_kind == "synth":
-        # deterministic synthetic code corpus sized by the sf dir (docs x
-        # repl); generated ONCE to parquet (untimed — the benchmark measures
-        # the index build, not corpus synthesis) and shared across levels
-        import pyarrow.parquet as pq
-
-        from smse_backend_ray.sources.synth import synth_corpus
-
-        n_docs = (
-            pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-            * repl
-        )
-        corpus_dir = f"/tmp/smse_bench_corpus_{n_docs}"
-        if not os.path.isdir(corpus_dir):
-            tmp = corpus_dir + ".tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            synth_corpus(n_docs, num_blocks=96).write_parquet(tmp)
-            os.replace(tmp, corpus_dir)
-
-        def make_corpus():
-            return ray.data.read_parquet(corpus_dir)
-
-    else:
-        def make_corpus():
-            return replicated_corpus_from_documents(sf_dir, repl)
+    make_corpus = _corpus_factory(ray, corpus_kind, sf_dir, repl)
 
     # warm the page cache so we measure compute+shuffle, not first disk read
     n_files = make_corpus().count()
@@ -157,6 +159,94 @@ def run_bench() -> dict:
         "n_docs": stats["n_docs"],
         "files_per_sec": round(n_files / build_sec, 1),
         "search_qps": round(n_queries / search_sec, 1),
+    }
+
+
+def run_shards() -> dict:
+    """Shard-count serving axis at FIXED CPUs: build the same corpus at each
+    n_shards in GRAFT_SHARD_AXIS (default 8,32), then measure batch qps and
+    single-query latency percentiles per layout. Motivation (BASELINE.md
+    'per-shard scan floor'): one hot query's per-shard postings scan bounds
+    its latency, and only more/smaller shards cut that floor — CPU count
+    cannot. p99 is the floor's signature; batch qps shows the throughput
+    cost/gain of the extra fan-out."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "16"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repl = int(os.environ.get("GRAFT_REPL", "200"))
+    corpus_kind = os.environ.get("GRAFT_CORPUS", "synth")
+    axis = [int(x) for x in os.environ.get("GRAFT_SHARD_AXIS", "8,32").split(",")]
+    lat_rounds = int(os.environ.get("GRAFT_LAT_ROUNDS", "12"))
+
+    import numpy as np
+
+    from smse_backend_ray.config import EngineConfig
+    from smse_backend_ray.queryset import ALL_QUERIES
+    from smse_backend_ray.state.catalog import Catalog
+
+    per_layout = {}
+    for n_shards in axis:
+        idx_dir = f"/tmp/smse_bench_shards_{n_shards}"
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+        ray = _ray_session(num_cpus)
+        from smse_backend_ray.pipelines.build import build_index
+
+        make_corpus = _corpus_factory(ray, corpus_kind, sf_dir, repl)
+        n_files = make_corpus().count()  # warm page cache (see run_bench)
+        t0 = time.time()
+        build_index(
+            corpus=make_corpus(), index_dir=idx_dir,
+            cfg=EngineConfig(n_shards=n_shards, batch_size=2048),
+        )
+        build_sec = time.time() - t0
+        n_docs = Catalog(idx_dir).get_stats()["n_docs"]
+        ray.shutdown()
+
+        ray = _ray_session(num_cpus)
+        from smse_backend_ray.pipelines.search import SearchEngine
+
+        eng = SearchEngine(idx_dir, num_actors=num_cpus)
+        eng.search_batch(ALL_QUERIES)  # cold: decode postings into caches
+        t1 = time.time()
+        nq = 0
+        for _ in range(25):
+            eng.search_batch(ALL_QUERIES)
+            nq += len(ALL_QUERIES)
+        qps = nq / (time.time() - t1)
+        # single-query latency distribution (per-call wall time, sequential)
+        lat_ms = []
+        for _ in range(lat_rounds):
+            for qs in ALL_QUERIES:
+                t2 = time.time()
+                eng.search_batch([qs])
+                lat_ms.append((time.time() - t2) * 1000)
+        eng.close()
+        ray.shutdown()
+
+        per_layout[f"shards_{n_shards}"] = {
+            "build_sec": round(build_sec, 3),
+            "batch_qps": round(qps, 1),
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+            "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+            "max_ms": round(float(np.max(lat_ms)), 2),
+            "n_lat_samples": len(lat_ms),
+        }
+
+    flat = {
+        f"{layout}_{metric}": v
+        for layout, metrics in per_layout.items()
+        for metric, v in metrics.items()
+    }
+    return {
+        "metric": "serve_shard_axis",
+        "value": per_layout[f"shards_{axis[-1]}"]["p99_ms"],
+        "unit": "ms_p99",
+        "queries": flat,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_files": n_files,
+        "n_docs": n_docs,
+        "shard_axis": axis,
     }
 
 
@@ -281,6 +371,8 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--shards" in sys.argv:
+        print(json.dumps(run_shards()))
     elif "--once" in sys.argv:
         print(json.dumps(run_bench()))
     else:

@@ -73,6 +73,26 @@ def test_dedup_clusters_matches_sql(ray_session, sf_dir, duck):
         assert lbl[x] == lbl[y]
 
 
+def test_cc_chain_converges_in_log_rounds(ray_session):
+    """Pointer jumping bounds connected-components rounds by O(log diameter):
+    a 200-link chain (worst case for plain min propagation, which needs 200
+    rounds) must close in ~2*log2(200)+slack rounds, converged, with every
+    node labeled by the chain head."""
+    import pyarrow as pa
+
+    n = 201
+    u = list(range(n - 1)) + list(range(1, n))
+    v = list(range(1, n)) + list(range(n - 1))
+    edges = pa.table(
+        {"u": pa.array(u, type=pa.int64()), "v": pa.array(v, type=pa.int64())}
+    )
+    labels, rounds, converged = dedup._cc_labels(edges, max_iters=64)
+    assert converged
+    assert rounds <= 20
+    assert set(labels["label"].to_pylist()) == {0}
+    assert sorted(labels["node"].to_pylist()) == list(range(n))
+
+
 def test_embedding_dedup_block_invariant(ray_session, sf_dir):
     """The block-pair sweep's output is independent of block size (and the
     upper-triangle handling of diagonal blocks is exercised at tiny blocks)."""
