@@ -470,9 +470,16 @@ def oracle_sql() -> dict[str, str]:
             dedup_mod.SHINGLE_K,
             dedup_mod.JACCARD_SHINGLE_DF_CAP,
         ),
-        # dedup_minhash_lsh: no SQL oracle (minhash permutation table is not
-        # practical in SQL); rows-only check + pytest containment vs exact
-        # jaccard. dedup_simhash IS value-oracled: md5 bit math in DuckDB.
+        # dedup_minhash_lsh and dedup_simhash are value-oracled (md5 /
+        # splitmix bit math expressed in DuckDB); dedup_embedding_ivf stays
+        # rows-only (k-means layout) with its pytest recall gate.
+        "dedup_minhash_lsh": sqlgen.minhash_lsh_pairs_sql(
+            dedup_mod.JACCARD_THRESHOLD,
+            dedup_mod.SHINGLE_K,
+            dedup_mod.JACCARD_SHINGLE_DF_CAP,
+            dedup_mod.MINHASH_PERMS,
+            dedup_mod.LSH_BANDS,
+        ),
         "dedup_simhash": sqlgen.simhash_pairs_sql(),
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),

@@ -462,6 +462,85 @@ ORDER BY inter.a, inter.b
 """
 
 
+def minhash_lsh_pairs_sql(
+    threshold: float,
+    k: int,
+    df_cap: int = JACCARD_SHINGLE_DF_CAP,
+    perms: int = 64,
+    bands: int = 16,
+) -> str:
+    """MinHash+LSH twin (pipelines/dedup.py _minhash_sig / minhash_lsh_pairs
+    — frozen engine<->SQL pair). Per-shingle base hash = little-endian
+    uint64 of the first 8 md5 bytes (same expr as simhash); permutation p =
+    splitmix-style xor-multiply-xorshift with the 64-bit wraparound multiply
+    split into 32-bit halves in HUGEINT (x*C mod 2^64 = lo*C + ((hi*C mod
+    2^32) << 32) mod 2^64 — int128 would overflow on the direct product).
+    Banding: the engine buckets by md5 of each band's 4 signature uint64s;
+    equal signatures collide in both, so grouping by the signature tuple
+    itself (string_agg ordered by perm) reproduces the candidate set exactly
+    short of a 64-bit md5 collision between UNEQUAL tuples (~2^-64, and any
+    such phantom candidate would still need to pass exact-Jaccard
+    verification to alter output). Verification = exact Jaccard on the
+    df-capped shingle sets restricted to candidates, identical to
+    jaccard_pairs_sql."""
+    c1 = 0x9E3779B97F4A7C15
+    c2 = 0xBF58476D1CE4E5B9
+    r = perms // bands
+    hexpr = (
+        "CAST(('0x' || substr(m,15,2) || substr(m,13,2) || substr(m,11,2)"
+        " || substr(m,9,2) || substr(m,7,2) || substr(m,5,2) || substr(m,3,2)"
+        " || substr(m,1,2)) AS UBIGINT)"
+    )
+    return f"""
+WITH {_shingles_cte(k).lstrip()},
+base AS (
+  SELECT doc_id, {hexpr} AS h
+  FROM (SELECT doc_id, md5(shingle) AS m FROM shingles)
+),
+mixed AS (
+  SELECT doc_id, pk,
+    xor(h, CAST(({c1}::HUGEINT * pk) % 18446744073709551616 AS UBIGINT)) AS x0
+  FROM base CROSS JOIN (SELECT unnest(generate_series(1, {perms})) AS pk) perms
+),
+mul AS (
+  SELECT doc_id, pk,
+    CAST(((  (x0 % 4294967296)::HUGEINT * {c2}
+           + ((x0 // 4294967296)::HUGEINT * {c2} % 4294967296) * 4294967296
+          ) % 18446744073709551616) AS UBIGINT) AS x1
+  FROM mixed
+),
+sig AS (
+  SELECT doc_id, pk, min(xor(x1, x1 >> 31)) AS v
+  FROM mul GROUP BY doc_id, pk
+),
+bk AS (
+  SELECT doc_id, (pk - 1) // {r} AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY pk) AS key
+  FROM sig GROUP BY doc_id, (pk - 1) // {r}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+                     AND x.doc_id < y.doc_id
+),
+hot AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) > {df_cap}),
+kept AS (SELECT doc_id, shingle FROM shingles
+         WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM kept s1 JOIN kept s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  JOIN cands c ON c.a = s1.doc_id AND c.b = s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT inter.a, inter.b,
+       round(CAST(inter.i AS DOUBLE) / (za.n + zb.n - inter.i), 4) AS jaccard
+FROM inter JOIN sizes za ON za.doc_id = inter.a JOIN sizes zb ON zb.doc_id = inter.b
+WHERE CAST(inter.i AS DOUBLE) / (za.n + zb.n - inter.i) >= {threshold}
+ORDER BY inter.a, inter.b
+"""
+
+
 def simhash_pairs_sql(
     max_hamming: int = SIMHASH_MAX_HAMMING, bucket_cap: int = SIMHASH_BUCKET_CAP
 ) -> str:
