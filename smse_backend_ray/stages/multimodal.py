@@ -11,12 +11,14 @@ produce and parse:
   image  binary PPM (P6) — header + raw RGB, decoded with numpy
          PNG — stdlib zlib inflate + per-scanline unfilter (all 5 filter
          types; 8-bit gray/RGB/RGBA; CRC-checked chunk walk)
+         JPEG — baseline sequential decoder in stages/jpeg.py (Huffman +
+         dequant + IDCT; gray/4:4:4/4:2:2/4:2:0; restart intervals)
   audio  RIFF/WAVE PCM16 mono — chunk walk + int16 sample decode
   video  "SMV1" frame container (magic, fps, n_frames, length-prefixed PPM
          frames) — a stand-in for an ffmpeg demuxer with the same stage
          signature
 
-Payloads in other formats (JPEG/MP3/MP4 — magic detected) raise
+Payloads in other formats (MP3/MP4 — magic detected) raise
 NotImplementedError naming the missing library (PIL/torchaudio/ffmpeg);
 a real deployment drops those decoders into the same ``DecodeMedia`` /
 ``ExtractFeatures`` actor-pool stages without touching the Ray plumbing.
@@ -231,18 +233,25 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_image_any(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Dispatch PPM/PNG by magic -> (w, h, (h, w, 3) uint8 RGB): PNG gray
-    replicates to 3 channels, RGBA drops alpha (feature math wants RGB)."""
+    """Dispatch PPM/PNG/JPEG by magic -> (w, h, (h, w, 3) uint8 RGB):
+    grayscale replicates to 3 channels, RGBA drops alpha (feature math
+    wants RGB)."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    px = None
     if payload.startswith(PNG_SIG):
         w, h, px = decode_png(payload)
+    elif payload.startswith(b"\xff\xd8"):
+        from smse_backend_ray.stages.jpeg import decode_jpeg
+
+        w, h, px = decode_jpeg(payload)
+    if px is not None:
         if px.ndim == 2:
             px = np.repeat(px[:, :, None], 3, axis=2)
         elif px.shape[2] == 4:
             px = px[:, :, :3]
         return w, h, np.ascontiguousarray(px)
-    raise ValueError("unknown image payload (supported: PPM P6, PNG)")
+    raise ValueError("unknown image payload (supported: PPM P6, PNG, JPEG)")
 
 
 def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
@@ -315,13 +324,23 @@ def synth_media_table(n: int) -> pa.Table:
         kind = MEDIA_KINDS[i % len(MEDIA_KINDS)]
         if kind == "image":
             w, h = 16 + i % 8, 12 + i % 5
-            if (i // 3) % 2:
-                # alternate images are PNG, cycling gray/RGB/RGBA color
-                # types so the gate corpus exercises every decode path
-                ct = (0, 2, 6)[(i // 6) % 3]
+            fmt = (i // 3) % 3  # images cycle PPM / PNG / JPEG
+            if fmt == 1:
+                # PNG cycles gray/RGB/RGBA color types so the gate corpus
+                # exercises every decode path
+                ct = (0, 2, 6)[(i // 9) % 3]
                 nch = {0: 1, 2: 3, 6: 4}[ct]
                 px = _rng_bytes(f"img{i}", w * h * nch).reshape(h, w, nch)
                 payload = encode_png(w, h, px[:, :, 0] if ct == 0 else px, ct)
+            elif fmt == 2:
+                from smse_backend_ray.stages.jpeg import encode_jpeg
+
+                px = _rng_bytes(f"img{i}", w * h * 3).reshape(h, w, 3)
+                payload = encode_jpeg(
+                    px, 90,
+                    subsample=bool((i // 9) % 2),
+                    restart_interval=(i // 18) % 3,
+                )
             else:
                 px = _rng_bytes(f"img{i}", w * h * 3).reshape(h, w, 3)
                 payload = encode_ppm(w, h, px)
@@ -358,7 +377,6 @@ def synth_media_table(n: int) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 _FOREIGN_MAGIC = {
-    b"\xff\xd8\xff": "JPEG (needs PIL)",
     b"ID3": "MP3 (needs torchaudio)",
     b"\x00\x00\x00\x18ftyp": "MP4 (needs ffmpeg)",
 }
@@ -425,8 +443,8 @@ class DecodeMedia:
         if foreign:
             raise NotImplementedError(
                 f"decoding {foreign} is not available in this environment; "
-                "supported real formats: PPM(P6)/PNG image, WAV(PCM16) audio, "
-                "SMV1 video"
+                "supported real formats: PPM(P6)/PNG/JPEG image, WAV(PCM16) "
+                "audio, SMV1 video"
             )
         return self._decoders[kind](payload)
 

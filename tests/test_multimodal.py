@@ -68,12 +68,12 @@ def test_decode_foreign_format_raises():
     t = pa.table(
         {
             "media_id": pa.array([0], type=pa.int64()),
-            "kind": pa.array(["image"]),
-            "payload": pa.array([b"\xff\xd8\xff\xe0 jpeg bytes"], type=pa.binary()),
+            "kind": pa.array(["audio"]),
+            "payload": pa.array([b"ID3\x03\x00 mp3 bytes"], type=pa.binary()),
             "meta": pa.array(["{}"]),
         }
     )
-    with pytest.raises(NotImplementedError, match="PIL"):
+    with pytest.raises(NotImplementedError, match="torchaudio"):
         dec(t)
 
 
