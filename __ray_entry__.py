@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": textstats.winnow_rows,
         "doc_preview": textstats.preview,
         "doc_validate": lambda sf: textstats.validate(_index_for(sf)),
+        "doc_repetition": textstats.repetition,
+        "doc_decontaminate": textstats.decontaminate,
         "multimodal_pipeline": _q_multimodal,  # rows-only (synth media, real codecs)
         "dedup_exact": dedup.exact_dedup,
         "dedup_jaccard": dedup.jaccard_pairs,
@@ -422,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_ray.pipelines import textstats as textstats_mod
     from smse_backend_ray.pipelines import simsearch as simsearch_mod
     from smse_backend_ray.queryset import (
+        ALL_QUERIES,
         BASE_QUERIES,
         MULTIPART_QUERIES,
         SCOPED_QUERIES,
@@ -458,6 +461,11 @@ def oracle_sql() -> dict[str, str]:
             textstats_mod.WINNOW_K, textstats_mod.WINNOW_W
         ),
         "doc_preview": sqlgen.preview_sql(),
+        "doc_repetition": sqlgen.repetition_sql(textstats_mod.REP_GRAM_K),
+        "doc_decontaminate": sqlgen.decontaminate_sql(
+            [part for q in ALL_QUERIES for part in q.parts],
+            textstats_mod.REP_GRAM_K,
+        ),
         "doc_validate": sqlgen.validate_sql(),
         "dedup_exact": sqlgen.exact_dedup_sql(),
         "dedup_jaccard": sqlgen.jaccard_pairs_sql(

@@ -462,6 +462,87 @@ ORDER BY inter.a, inter.b
 """
 
 
+def repetition_sql(k: int = 2) -> str:
+    """Duplicate-bigram-fraction twin (textstats.repetition_batch — frozen
+    engine<->SQL pair: word k-grams over the RAW subtoken stream, dup_frac
+    rounded 4, gram-less docs emit (0, 0, 0.0))."""
+    grams = " || ' ' || ".join(
+        "term" if i == 0 else f"lead(term, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        for i in range(k)
+    )
+    return f"""
+WITH raw0 AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, {subtoken_expr('text')} AS l FROM documents)
+),
+raw AS (SELECT doc_id, term, pos FROM raw0 WHERE term <> ''),
+grams AS (
+  SELECT doc_id, {grams} AS gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM raw
+),
+gkeep AS (SELECT doc_id, gram FROM grams WHERE rn <= n - {k - 1}),
+per AS (
+  SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+  FROM gkeep GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_grams, 0) AS n_grams,
+       COALESCE(per.n_distinct, 0) AS n_distinct,
+       CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+            ELSE round(CAST(per.n_grams - per.n_distinct AS DOUBLE)
+                       / per.n_grams, 4) END AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def decontaminate_sql(parts: list[str], k: int = 2) -> str:
+    """Decontamination twin (textstats.decontaminate): the benchmark gram
+    set is built IN SQL from the same query parts (inlined as VALUES, each
+    part shingled separately), so both sides share the frozen analyzer."""
+    vals = ", ".join("('" + p.replace("'", "''") + "')" for p in parts)
+    grams_doc = " || ' ' || ".join(
+        "term" if i == 0 else f"lead(term, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        for i in range(k)
+    )
+    grams_q = " || ' ' || ".join(
+        "term" if i == 0 else f"lead(term, {i}) OVER (PARTITION BY qid ORDER BY pos)"
+        for i in range(k)
+    )
+    return f"""
+WITH qsrc AS (SELECT row_number() OVER () AS qid, part FROM (VALUES {vals}) v(part)),
+qraw0 AS (
+  SELECT qid, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT qid, {subtoken_expr('part')} AS l FROM qsrc)
+),
+qraw AS (SELECT qid, term, pos FROM qraw0 WHERE term <> ''),
+qgrams AS (
+  SELECT qid, {grams_q} AS gram,
+         row_number() OVER (PARTITION BY qid ORDER BY pos) AS rn,
+         count(*) OVER (PARTITION BY qid) AS n
+  FROM qraw
+),
+bench AS (SELECT DISTINCT gram FROM qgrams WHERE rn <= n - {k - 1}),
+raw0 AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, {subtoken_expr('text')} AS l FROM documents)
+),
+raw AS (SELECT doc_id, term, pos FROM raw0 WHERE term <> ''),
+grams AS (
+  SELECT doc_id, {grams_doc} AS gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM raw
+),
+dgrams AS (SELECT DISTINCT doc_id, gram FROM grams WHERE rn <= n - {k - 1})
+SELECT doc_id, count(*) AS n_hits
+FROM dgrams JOIN bench USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def minhash_lsh_pairs_sql(
     threshold: float,
     k: int,

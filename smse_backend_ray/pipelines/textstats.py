@@ -315,3 +315,93 @@ def validate(index_dir) -> pa.Table:
     ).map_batches(validate_batch, batch_format="pyarrow", zero_copy_batch=True)
     t = collect_table(out)
     return t.take(pa.compute.sort_indices(t["doc_id"]))
+
+
+# ---------------------------------------------------------------------------
+# repetition (Gopher-style duplicate n-gram fraction) + decontamination
+# ---------------------------------------------------------------------------
+
+REP_GRAM_K = 2  # word bigrams over the raw subtoken stream (frozen with SQL)
+
+
+def _bigrams(text: str) -> list[str]:
+    toks = split_subtokens(text or "")
+    return [" ".join(toks[i : i + REP_GRAM_K]) for i in range(len(toks) - REP_GRAM_K + 1)]
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc duplicate-bigram fraction (the Gopher/C4-style repetition
+    quality signal): n_grams total word bigrams, n_distinct distinct ones,
+    dup_frac = (n_grams - n_distinct) / n_grams rounded 4 (0.0 when the doc
+    has no bigram). High dup_frac = boilerplate/looped text a training
+    pipeline drops or downweights."""
+    ids = batch["doc_id"].to_pylist()
+    n_g, n_d, frac = [], [], []
+    for t in batch["text"].to_pylist():
+        grams = _bigrams(t)
+        ng, nd = len(grams), len(set(grams))
+        n_g.append(ng)
+        n_d.append(nd)
+        frac.append(float(round_half_away(np.float64((ng - nd) / ng), 4)) if ng else 0.0)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_grams": pa.array(n_g, type=pa.int64()),
+            "n_distinct": pa.array(n_d, type=pa.int64()),
+            "dup_frac": pa.array(frac, type=pa.float64()),
+        }
+    )
+
+
+def repetition(sf_dir: str) -> pa.Table:
+    return _run(sf_dir, repetition_batch)
+
+
+def benchmark_grams() -> list[str]:
+    """The decontamination benchmark set: distinct word bigrams of every
+    query part in the frozen queryset (each part shingled separately — no
+    cross-part grams), sorted. Tiny by construction — this is the small
+    side a 100 TB run broadcasts."""
+    from smse_backend_ray.queryset import ALL_QUERIES
+
+    out: set[str] = set()
+    for qs in ALL_QUERIES:
+        for part in qs.parts:
+            out.update(_bigrams(part))
+    return sorted(out)
+
+
+def decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: docs sharing at least one word bigram with
+    the query set -> (doc_id, n_hits = count of DISTINCT contaminated
+    bigrams). The canonical pre-training step that removes eval-set overlap
+    from the corpus; the hit table is what you anti-join against.
+
+    Scale shape: the benchmark gram set is broadcast once via ``ray.put``
+    (it is tiny — eval sets are fixed); the corpus side is one stateless
+    map_batches, no shuffle."""
+    import ray as _ray
+
+    ref = _ray.put(frozenset(benchmark_grams()))
+
+    def hits(batch: pa.Table) -> pa.Table:
+        bench = _ray.get(ref)
+        ids, ns = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            n = len(set(_bigrams(t)) & bench)
+            if n:
+                ids.append(did)
+                ns.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_hits": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    out = collect_table(
+        _read_documents(sf_dir).map_batches(
+            hits, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return out.take(pa.compute.sort_indices(out["doc_id"]))

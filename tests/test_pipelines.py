@@ -268,6 +268,30 @@ def test_doc_sample_stratified_nests(ray_session, sf_dir, duck):
     assert lo <= hi
 
 
+def test_repetition_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+
+    t = textstats.repetition(sf_dir)
+    want = duck.sql(sqlgen.repetition_sql(textstats.REP_GRAM_K)).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # the signal is live on this corpus: word-soup docs repeat bigrams
+    assert max(t["dup_frac"].to_pylist()) > 0
+
+
+def test_decontaminate_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.queryset import ALL_QUERIES
+
+    t = textstats.decontaminate(sf_dir)
+    want = duck.sql(
+        sqlgen.decontaminate_sql(
+            [p for q in ALL_QUERIES for p in q.parts], textstats.REP_GRAM_K
+        )
+    ).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    assert t.num_rows > 0 and min(t["n_hits"].to_pylist()) >= 1
+
+
 def test_grouped_topk_partition_invariant(ray_session):
     import pyarrow as pa
     import pyarrow.compute as pc
