@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_validate": lambda sf: textstats.validate(_index_for(sf)),
         "doc_repetition": textstats.repetition,
         "doc_decontaminate": textstats.decontaminate,
+        "events_asof_join": events.asof_join,
+        "events_range_join": events.range_join,
         "multimodal_pipeline": _q_multimodal,  # rows-only (synth media, real codecs)
         "dedup_exact": dedup.exact_dedup,
         "dedup_jaccard": dedup.jaccard_pairs,
@@ -492,6 +494,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
+        "events_asof_join": events_mod.asof_join_sql(),
+        "events_range_join": events_mod.range_join_sql(),
         "events_hourly_agg": events_mod.hourly_window_agg_sql(),
         "events_sessions": events_mod.user_sessions_sql(),
         "events_recent": events_mod.recent_events_sql(),

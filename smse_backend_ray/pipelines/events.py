@@ -303,3 +303,217 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
        CAST(count(*) AS BIGINT) AS n_events
 FROM marks GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# as-of join + range join (the two classic interval operators Ray Data lacks)
+# ---------------------------------------------------------------------------
+
+ASOF_LEFT_TYPE = "error"     # the triggering stream
+ASOF_RIGHT_TYPE = "click"    # the context stream matched as-of
+RANGE_JOIN_WINDOW_S = 300
+
+
+def _epoch_us(ts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Exact epoch microseconds (casts through timestamp[us], no floats)."""
+    return pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64()).to_numpy()
+
+
+def asof_join(
+    sf_dir: str,
+    left_type: str = ASOF_LEFT_TYPE,
+    right_type: str = ASOF_RIGHT_TYPE,
+) -> pa.Table:
+    """AS-OF join: each ``left_type`` event is matched to the LATEST
+    ``right_type`` event of the same user with ts <= the left ts (inner —
+    lefts with no prior right are dropped). Ties on ts break by the larger
+    event_id, making the match deterministic (DuckDB's native ASOF JOIN
+    leaves equal-ts ties unspecified, so the oracle uses the equivalent
+    window formulation).
+
+    Scale shape: ONE hash exchange on user_id (groupby.map_groups); inside a
+    group both streams sort once and every left matches via one vectorized
+    searchsorted — no per-row Python, no cross-user data movement. The
+    partitioning assumption is the as-of key (user) — the same key the
+    sessionizer already exchanges on."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = _epoch_us(g["ts"])
+        eid = pc.cast(g["event_id"], pa.int64()).to_numpy()
+        lm, rm = et == left_type, et == right_type
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "ts_us": pa.array([], type=pa.int64()),
+                "match_event_id": pa.array([], type=pa.int64()),
+                "match_ts_us": pa.array([], type=pa.int64()),
+                "lag_us": pa.array([], type=pa.int64()),
+            }
+        )
+        if not lm.any() or not rm.any():
+            return empty
+        lts, leid = ts[lm], eid[lm]
+        rts, reid = ts[rm], eid[rm]
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        keep = idx >= 0
+        if not keep.any():
+            return empty
+        idx = idx[keep]
+        uid = int(g["user_id"][0].as_py())
+        return pa.table(
+            {
+                "event_id": pa.array(leid[keep], type=pa.int64()),
+                "user_id": pa.array([uid] * int(keep.sum()), type=pa.int64()),
+                "ts_us": pa.array(lts[keep], type=pa.int64()),
+                "match_event_id": pa.array(reid[idx], type=pa.int64()),
+                "match_ts_us": pa.array(rts[idx], type=pa.int64()),
+                "lag_us": pa.array(lts[keep] - rts[idx], type=pa.int64()),
+            }
+        )
+
+    ds = _read_events(sf_dir).filter(
+        expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
+    )
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    t = collect_table(out)
+    return t.take(pc.sort_indices(t["event_id"]))
+
+
+def asof_join_sql(
+    left_type: str = ASOF_LEFT_TYPE, right_type: str = ASOF_RIGHT_TYPE
+) -> str:
+    """Window-formulated ASOF twin (deterministic under equal-ts ties,
+    unlike DuckDB's native ASOF JOIN — see asof_join)."""
+    return f"""
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = '{left_type}'),
+r AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = '{right_type}'),
+j AS (
+  SELECT l.event_id, l.user_id,
+         epoch_us(l.ts) AS ts_us,
+         r.event_id AS match_event_id,
+         epoch_us(r.ts) AS match_ts_us,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+)
+SELECT event_id, user_id, ts_us, match_event_id, match_ts_us,
+       ts_us - match_ts_us AS lag_us
+FROM j WHERE rn = 1 ORDER BY event_id
+"""
+
+
+def range_join(
+    sf_dir: str,
+    window_s: int = RANGE_JOIN_WINDOW_S,
+    left_type: str = ASOF_LEFT_TYPE,
+    right_type: str = ASOF_RIGHT_TYPE,
+) -> pa.Table:
+    """RANGE (interval) join ACROSS ALL USERS: every (left, right) event
+    pair with 0 <= left.ts - right.ts <= window. No per-user key exists, so
+    co-location uses the classic TIME-BUCKET exchange: a left keys to bucket
+    floor(ts/window); a right replicates to ITS bucket and the next one, so
+    every qualifying pair meets in the left's bucket exactly once (a right
+    never pairs from its +1 copy with a left of the same bucket twice — the
+    left lives in exactly one bucket). In-bucket pairing is a vectorized
+    two-searchsorted window sweep. Shuffle cost: 2x the right stream + 1x
+    the left stream, independent of the window's selectivity; the
+    partitioning assumption is time locality, the natural one for interval
+    predicates."""
+    w_us = window_s * 1_000_000
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ts = _epoch_us(t["ts"])
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy()
+        lm, rm = et == left_type, et == right_type
+        b_l = ts[lm] // w_us
+        b_r = ts[rm] // w_us
+        bkt = np.concatenate([b_l, b_r, b_r + 1])
+        role = np.concatenate(
+            [np.zeros(int(lm.sum()), np.int8), np.ones(2 * int(rm.sum()), np.int8)]
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bkt, type=pa.int64()),
+                "role": pa.array(role, type=pa.int8()),
+                "event_id": pa.array(
+                    np.concatenate([eid[lm], eid[rm], eid[rm]]), type=pa.int64()
+                ),
+                "ts_us": pa.array(
+                    np.concatenate([ts[lm], ts[rm], ts[rm]]), type=pa.int64()
+                ),
+            }
+        )
+
+    def pair_bucket(g: pa.Table) -> pa.Table:
+        role = g["role"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        lm = role == 0
+        empty = pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "match_event_id": pa.array([], type=pa.int64()),
+                "gap_us": pa.array([], type=pa.int64()),
+            }
+        )
+        if not lm.any() or lm.all():
+            return empty
+        lts, leid = ts[lm], eid[lm]
+        rts, reid = ts[~lm], eid[~lm]
+        order = np.lexsort((reid, rts))
+        rts, reid = rts[order], reid[order]
+        lo = np.searchsorted(rts, lts - w_us, side="left")
+        hi = np.searchsorted(rts, lts, side="right")
+        n = hi - lo
+        if not n.sum():
+            return empty
+        le = np.repeat(leid, n)
+        lt = np.repeat(lts, n)
+        ridx = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi) if b > a])
+        return pa.table(
+            {
+                "event_id": pa.array(le, type=pa.int64()),
+                "match_event_id": pa.array(reid[ridx], type=pa.int64()),
+                "gap_us": pa.array(lt - rts[ridx], type=pa.int64()),
+            }
+        )
+
+    ds = (
+        _read_events(sf_dir)
+        .filter(expr=f"event_type == '{left_type}' or event_type == '{right_type}'")
+        .map_batches(bucket_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(pair_bucket, batch_format="pyarrow")
+    )
+    t = collect_table(ds)
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("event_id", "ascending"), ("match_event_id", "ascending")],
+        )
+    )
+
+
+def range_join_sql(
+    window_s: int = RANGE_JOIN_WINDOW_S,
+    left_type: str = ASOF_LEFT_TYPE,
+    right_type: str = ASOF_RIGHT_TYPE,
+) -> str:
+    return f"""
+SELECT l.event_id, r.event_id AS match_event_id,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM events l JOIN events r
+  ON r.ts <= l.ts
+ AND date_diff('microsecond', r.ts, l.ts) <= {window_s * 1_000_000}
+WHERE l.event_type = '{left_type}' AND r.event_type = '{right_type}'
+ORDER BY l.event_id, r.event_id
+"""

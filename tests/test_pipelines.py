@@ -268,6 +268,52 @@ def test_doc_sample_stratified_nests(ray_session, sf_dir, duck):
     assert lo <= hi
 
 
+def test_asof_and_range_join_match_bruteforce(ray_session, sf_dir):
+    """The distributed shapes (per-user groupby asof; time-bucket exchange
+    range join) reproduce a driver-side brute force exactly — including the
+    gap == window boundary and the deterministic equal-ts tie-break."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    ts = events._epoch_us(ev["ts"])
+    rows = sorted(
+        zip(
+            ev["event_id"].to_pylist(),
+            ts.tolist(),
+            ev["user_id"].to_pylist(),
+            ev["event_type"].to_pylist(),
+        )
+    )
+    lefts = [(e, t, u) for e, t, u, k in rows if k == events.ASOF_LEFT_TYPE]
+    rights = [(e, t, u) for e, t, u, k in rows if k == events.ASOF_RIGHT_TYPE]
+
+    want_asof = []
+    for e, t, u in lefts:
+        cand = [(rt, re) for re, rt, ru in rights if ru == u and rt <= t]
+        if cand:
+            rt, re = max(cand)
+            want_asof.append((e, u, t, re, rt, t - rt))
+    got = events.asof_join(sf_dir)
+    assert list(zip(*[got[c].to_pylist() for c in got.column_names])) == sorted(
+        want_asof
+    )
+
+    w_us = events.RANGE_JOIN_WINDOW_S * 1_000_000
+    want_range = sorted(
+        (e, re, t - rt)
+        for e, t, _u in lefts
+        for re, rt, _ru in rights
+        if 0 <= t - rt <= w_us
+    )
+    got = events.range_join(sf_dir)
+    assert list(zip(*[got[c].to_pylist() for c in got.column_names])) == want_range
+
+
 def test_repetition_matches_sql(ray_session, sf_dir, duck):
     from smse_backend_ray.functions import sqlgen
 
