@@ -364,7 +364,14 @@ def _q_multimodal(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from smse_backend_ray.pipelines import dedup, events, sampling, simsearch, textstats
+    from smse_backend_ray.pipelines import (
+        dedup,
+        events,
+        relational,
+        sampling,
+        simsearch,
+        textstats,
+    )
     from smse_backend_ray.queryset import (
         BASE_QUERIES,
         MULTIPART_QUERIES,
@@ -398,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": textstats.decontaminate,
         "events_asof_join": events.asof_join,
         "events_range_join": events.range_join,
+        "revenue_by_month": relational.revenue_by_month,
+        "nation_revenue": relational.nation_revenue,
         "multimodal_pipeline": _q_multimodal,  # rows-only (synth media, real codecs)
         "dedup_exact": dedup.exact_dedup,
         "dedup_jaccard": dedup.jaccard_pairs,
@@ -422,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_ray.functions import sqlgen
     from smse_backend_ray.pipelines import dedup as dedup_mod
     from smse_backend_ray.pipelines import events as events_mod
+    from smse_backend_ray.pipelines import relational as relational_mod
     from smse_backend_ray.pipelines import sampling as sampling_mod
     from smse_backend_ray.pipelines import textstats as textstats_mod
     from smse_backend_ray.pipelines import simsearch as simsearch_mod
@@ -496,6 +506,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "events_asof_join": events_mod.asof_join_sql(),
         "events_range_join": events_mod.range_join_sql(),
+        "revenue_by_month": relational_mod.revenue_by_month_sql(),
+        "nation_revenue": relational_mod.nation_revenue_sql(),
         "events_hourly_agg": events_mod.hourly_window_agg_sql(),
         "events_sessions": events_mod.user_sessions_sql(),
         "events_recent": events_mod.recent_events_sql(),

@@ -338,6 +338,19 @@ def test_decontaminate_matches_sql(ray_session, sf_dir, duck):
     assert t.num_rows > 0 and min(t["n_hits"].to_pylist()) >= 1
 
 
+def test_relational_rollups_match_sql(ray_session, sf_dir, duck):
+    """Hash-join and broadcast-join rollups are exact (scaled-int sums —
+    no float accumulation order anywhere)."""
+    from smse_backend_ray.pipelines import relational
+
+    t = relational.revenue_by_month(sf_dir)
+    want = duck.sql(relational.revenue_by_month_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    t = relational.nation_revenue(sf_dir)
+    want = duck.sql(relational.nation_revenue_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+
+
 def test_grouped_topk_partition_invariant(ray_session):
     import pyarrow as pa
     import pyarrow.compute as pc
