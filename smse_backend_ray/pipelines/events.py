@@ -517,3 +517,95 @@ FROM events l JOIN events r
 WHERE l.event_type = '{left_type}' AND r.event_type = '{right_type}'
 ORDER BY l.event_id, r.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sliding (hopping) windows — tumbling + sessions exist above; this is the
+# third classic window shape (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+SLIDING_WINDOW_HOURS = 6  # 6h window hopping every 1h
+
+
+def sliding_window_agg(
+    sf_dir: str, window_hours: int = SLIDING_WINDOW_HOURS
+) -> pa.Table:
+    """Hopping-window aggregate: every event contributes to the
+    ``window_hours`` windows (1h hop) that cover it -> (window_start, n,
+    sum_value).
+
+    Scale shape: events are FIRST combined to per-hour partials inside
+    map_batches, and only those partials replicate x window_hours into the
+    exchange — the shuffle carries O(hours x windows) rows, never
+    O(events x windows). Sums are 4-decimal scaled int64 (exact,
+    order-free) like the tumbling twin."""
+    hop_us = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.cast(
+            pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")), unit="hour"),
+            pa.int64(),
+        ).to_numpy()
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.where(np.isnan(v), 0.0, v)
+        iv = (np.sign(v) * np.floor(np.abs(v) * 10000.0 + 0.5)).astype(np.int64)
+        g = (
+            pa.table({"h": pa.array(hour), "iv": pa.array(iv)})
+            .group_by("h")
+            .aggregate([("iv", "sum"), ("iv", "count")])
+        )
+        h = g["h"].to_numpy()
+        offs = np.arange(window_hours, dtype=np.int64) * hop_us
+        win = (h[:, None] - offs[None, :]).reshape(-1)  # starts h, h-1h, ...
+        return pa.table(
+            {
+                "window_us": pa.array(win, type=pa.int64()),
+                "sum_iv": pa.array(
+                    np.repeat(g["iv_sum"].to_numpy(), window_hours), type=pa.int64()
+                ),
+                "n": pa.array(
+                    np.repeat(
+                        g["iv_count"].to_numpy().astype(np.int64), window_hours
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        _read_events(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("window_us")
+        .aggregate(Sum("sum_iv", alias_name="sum_iv"), Sum("n", alias_name="n"))
+    )
+    t = collect_table(agg)
+    sum_value = t["sum_iv"].to_numpy().astype(np.float64) / 10000.0
+    t = pa.table(
+        {
+            "window": pc.cast(t["window_us"], pa.timestamp("us")),
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_value": pa.array(round_half_away(sum_value, 4), type=pa.float64()),
+        }
+    )
+    return t.take(pc.sort_indices(t["window"]))
+
+
+def sliding_window_agg_sql(window_hours: int = SLIDING_WINDOW_HOURS) -> str:
+    # lockstep with sliding_window_agg: scaled-int sums; every event joins
+    # the window_hours hourly starts covering it via generate_series
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(round(value * 10000, 0) AS BIGINT) AS iv
+  FROM events
+),
+w AS (
+  SELECT unnest(generate_series(
+           h - INTERVAL {window_hours - 1} HOUR, h, INTERVAL 1 HOUR
+         )) AS win, iv
+  FROM hourly
+)
+SELECT win AS window, CAST(count(*) AS BIGINT) AS n,
+       round(SUM(iv) / 10000.0, 4) AS sum_value
+FROM w GROUP BY win ORDER BY win
+"""
