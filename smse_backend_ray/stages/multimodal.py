@@ -583,3 +583,94 @@ def media_pipeline(n: int = 300, fake: bool = False) -> pa.Table:
     ft = ft.take(pa.compute.sort_indices(ft["media_id"]))
     assert t["media_id"].to_pylist() == ft["media_id"].to_pylist()
     return t.append_column("embedding", ft["embedding"])
+
+
+# ---------------------------------------------------------------------------
+# audio preprocessing kernels + actor-pool stage (reference tasks.py:69-85
+# audio path: load -> mono -> resample -> trim before encoding)
+# ---------------------------------------------------------------------------
+
+AUDIO_TARGET_RATE = 16000
+SILENCE_THRESHOLD = 512  # |int16| below this is silence
+
+
+def resample_linear(samples: np.ndarray, rate: int, new_rate: int) -> np.ndarray:
+    """Deterministic linear-interpolation resample of int16 mono samples.
+    Output length = round(n * new/old); endpoints clamp (no extrapolation).
+    Not a windowed-sinc resampler — this is the cheap preprocessing grade
+    the reference's pipeline used; swap in a polyphase kernel in the same
+    stage slot when fidelity matters."""
+    assert samples.dtype == np.int16
+    if rate == new_rate or samples.size == 0:
+        return samples.copy()
+    n_out = int(round(samples.size * new_rate / rate))
+    if n_out == 0:
+        return np.zeros(0, dtype=np.int16)
+    # sample positions in input index space
+    pos = np.arange(n_out, dtype=np.float64) * (samples.size / n_out)
+    i0 = np.minimum(pos.astype(np.int64), samples.size - 1)
+    i1 = np.minimum(i0 + 1, samples.size - 1)
+    frac = pos - i0
+    out = (1.0 - frac) * samples[i0] + frac * samples[i1]
+    return np.clip(np.round(out), -32768, 32767).astype(np.int16)
+
+
+def trim_silence(samples: np.ndarray, threshold: int = SILENCE_THRESHOLD) -> np.ndarray:
+    """Strip leading/trailing samples with |value| < threshold (exact
+    integer comparison; an all-silent clip trims to empty)."""
+    loud = np.flatnonzero(np.abs(samples.astype(np.int32)) >= threshold)
+    if not loud.size:
+        return samples[:0]
+    return samples[loud[0] : loud[-1] + 1]
+
+
+class PreprocessAudio:
+    """Actor-pool stage: WAV payload -> trimmed + resampled WAV payload with
+    accounting columns. Same __init__-holds-state shape as DecodeMedia; a
+    torchaudio-backed implementation drops into this slot unchanged."""
+
+    def __init__(self, target_rate: int = AUDIO_TARGET_RATE,
+                 threshold: int = SILENCE_THRESHOLD):
+        self.target_rate = target_rate
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payload, n_in, n_out, rate_in = [], [], [], []
+        for kind, payload in zip(
+            batch["kind"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if kind != "audio":
+                raise ValueError("PreprocessAudio fed a non-audio row")
+            rate, s = decode_wav(payload)
+            t = trim_silence(s, self.threshold)
+            r = resample_linear(t, rate, self.target_rate)
+            out_payload.append(encode_wav(r, self.target_rate))
+            n_in.append(len(s))
+            n_out.append(len(r))
+            rate_in.append(rate)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out_payload, type=pa.binary()),
+                "rate_in": pa.array(rate_in, type=pa.int32()),
+                "n_samples_in": pa.array(n_in, type=pa.int64()),
+                "n_samples_out": pa.array(n_out, type=pa.int64()),
+            }
+        )
+
+
+def audio_pipeline(n: int = 300) -> pa.Table:
+    """Audio preprocessing over the synth corpus' audio rows: filter ->
+    actor-pool trim+resample -> accounting table (sorted by media_id)."""
+    ds = (
+        ray.data.from_arrow(synth_media_table(n))
+        .filter(expr="kind == 'audio'")
+        .repartition(8)
+        .map_batches(
+            PreprocessAudio,
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=64, concurrency=2,
+        )
+    )
+    t = collect_table(ds)
+    return t.take(pa.compute.sort_indices(t["media_id"]))

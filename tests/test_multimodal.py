@@ -222,3 +222,40 @@ def test_smv_roundtrip_property(n_frames, fps, seed):
     frames = [rng.bytes(rng.integers(0, 200)) for _ in range(n_frames)]
     fps2, out = decode_smv(encode_smv(frames, fps))
     assert fps2 == fps and out == frames
+
+
+def test_resample_linear_properties():
+    from smse_backend_ray.stages.multimodal import resample_linear
+
+    s = (np.sin(np.linspace(0, 40 * np.pi, 8000)) * 20000).astype(np.int16)
+    assert (resample_linear(s, 8000, 8000) == s).all()          # identity
+    up = resample_linear(s, 8000, 16000)
+    assert len(up) == 16000
+    # upsample keeps the envelope: no new extremes beyond the source
+    assert up.max() <= s.max() and up.min() >= s.min()
+    down = resample_linear(s, 8000, 4000)
+    assert len(down) == 4000
+    assert (resample_linear(np.zeros(0, np.int16), 8000, 16000)).size == 0
+
+
+def test_trim_silence_exact():
+    from smse_backend_ray.stages.multimodal import trim_silence
+
+    s = np.array([0, 3, -5, 9000, -12000, 700, 2, 0], dtype=np.int16)
+    t = trim_silence(s, threshold=512)
+    assert (t == np.array([9000, -12000, 700], dtype=np.int16)).all()
+    assert trim_silence(np.array([1, -2, 3], dtype=np.int16), 512).size == 0
+
+
+def test_audio_pipeline_actor_pool(ray_session):
+    from smse_backend_ray.stages.multimodal import AUDIO_TARGET_RATE, audio_pipeline, decode_wav
+
+    t = audio_pipeline(60)
+    assert t.num_rows == 20  # a third of the synth corpus is audio
+    assert t.column_names == [
+        "media_id", "payload", "rate_in", "n_samples_in", "n_samples_out"
+    ]
+    rate, s = decode_wav(t["payload"][0].as_py())
+    assert rate == AUDIO_TARGET_RATE and len(s) == t["n_samples_out"][0].as_py()
+    # trim+resample accounting holds: out = round(trimmed * target/in_rate)
+    assert all(n >= 0 for n in t["n_samples_out"].to_pylist())
