@@ -68,6 +68,19 @@ def test_gray_roundtrip():
     assert _psnr(out, px) > 30
 
 
+def test_appn_and_com_segments_are_skipped():
+    """Real-world JPEGs carry APP0/JFIF, APPn and COM segments before SOF;
+    the chunk walk must skip them by length."""
+    px = _gradient(10, 12)
+    data = encode_jpeg(px, 90)
+    app0 = b"\xff\xe0" + (len(b"JFIF\x00\x01\x02") + 2).to_bytes(2, "big") + b"JFIF\x00\x01\x02"
+    com = b"\xff\xfe" + (9 + 2).to_bytes(2, "big") + b"a comment"
+    patched = data[:2] + app0 + com + data[2:]
+    w, h, out = decode_jpeg(patched)
+    assert (w, h) == (12, 10)
+    assert (out == decode_jpeg(data)[2]).all()
+
+
 def test_progressive_sof_raises():
     data = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     i = bytes(data).find(b"\xff\xc0")
