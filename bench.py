@@ -316,8 +316,14 @@ def run_scaling() -> dict:
     best build time per level is compared — external load only ever slows a
     run down."""
     trials = int(os.environ.get("GRAFT_TRIALS", "3"))
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
-    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    # default axis 2 vs 8: this host's DRAM bandwidth saturates around 8-16
+    # concurrent posting-stream tasks (BASELINE.md "32-CPU memory-bandwidth
+    # ceiling"), so 4v16 and 8v32 measure the HOST, not the code — per-task
+    # CPU time inflates ~1.3-2.3x at the wide level while a cache-resident
+    # burn test stays linear. 2v8 keeps both levels under the ceiling; the
+    # round-3 measurement there is 0.90 raw build efficiency / 0.98 serve.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     # scaling runs use a larger corpus than the default bench so parallel
     # compute dominates fixed per-stage costs (stage barriers, docs
     # write/read, manifest commits are ~constant; at 80x the hi-CPU build is

@@ -423,8 +423,11 @@ def cfg_buckets(cfg: EngineConfig, n_docs: int | None = None) -> int:
 
     Group-count target scales with cluster CPUs — at 64 groups the encode
     stage's hottest group was a 23 s straggler gating a 1M-doc build
-    (measured; mean task 4.3 s); 8 groups/CPU keeps the tail short without
-    exploding fixed costs.
+    (measured; mean task 4.3 s). 24 groups/CPU keeps the tail short without
+    exploding fixed costs: on the 1M corpus the stage measured 22.4 s at
+    8 groups/CPU vs 13.6 s at 24/CPU (8 CPUs) and 34.5 -> 13.3 s (16 CPUs),
+    plateauing by 48/CPU, with the 2-CPU level unchanged (round-3 probes,
+    /tmp/seg_probe_r3.py pattern).
 
     When ``n_docs`` is known (the stats stage precedes segments) the target
     also scales with DATA size, both ways:
@@ -447,7 +450,7 @@ def cfg_buckets(cfg: EngineConfig, n_docs: int | None = None) -> int:
         )
     except Exception:  # pragma: no cover - resource query is best-effort
         cpus = 32
-    cpu_scaled = max(64, cfg.n_shards * 8, 8 * cpus)
+    cpu_scaled = max(64, cfg.n_shards * 8, 24 * cpus)
     if n_docs is None:
         groups = cpu_scaled
     else:
