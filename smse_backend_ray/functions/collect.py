@@ -26,7 +26,10 @@ def collect_table(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
     if not tabs:
         schema = empty_schema
         if schema is None:
-            schema = pa.schema(ds.schema().base_schema)
+            ds_schema = ds.schema()
+            if ds_schema is None:  # fully-empty pipeline: no schema anywhere
+                return pa.table({})
+            schema = pa.schema(ds_schema.base_schema)
         return schema.empty_table()
     if len(tabs) == 1:
         return tabs[0]

@@ -56,7 +56,9 @@ LSH_BANDS = 16  # 16 bands x 4 rows
 EMB_DUP_THRESHOLD = 0.4
 
 
-from smse_backend_ray.functions.joins import dsjoin as _dsjoin
+from smse_backend_ray.functions.joins import attach_unique as _attach_unique
+from smse_backend_ray.functions.joins import semi_join as _semi_join
+from smse_backend_ray.functions.joins import with_schema as _with_schema
 
 
 def _read_documents(sf_dir: str) -> "ray.data.Dataset":
@@ -136,20 +138,29 @@ def _emit_pairs_group(g: pa.Table) -> pa.Table:
     )
 
 
-def _score_jaccard(inter_ds, sizes_ds, threshold: float, num_partitions: int) -> pa.Table:
+def _score_jaccard(inter_ds, sizes_ds, threshold: float) -> pa.Table:
     """(a, b, inter) dataset ⋈ (doc_id, n) sizes dataset -> verified pairs.
 
     Fully distributed: the per-doc shingle-set sizes stay a Dataset and are
-    attached with two hash joins (on a, then on b) — no driver-side dict of
-    O(corpus) / O(candidate-docs) sizes, no broadcast. The join key column of
-    the right side is merged away by Dataset.join; ``n`` is renamed between
-    the joins so both sizes survive."""
-    ja = _dsjoin(
-        inter_ds, sizes_ds, "inner", num_partitions, on=("a",), right_on=("doc_id",)
-    ).rename_columns({"n": "na"})
-    jb = _dsjoin(
-        ja, sizes_ds, "inner", num_partitions, on=("b",), right_on=("doc_id",)
-    ).rename_columns({"n": "nb"})
+    attached with two distributed unique-key joins (on a, then on b) — no
+    driver-side dict of O(corpus) / O(candidate-docs) sizes, no broadcast.
+    The joins run on joins.attach_unique (one sort-shuffle groupby each),
+    NOT Dataset.join: candidate pairs are sparse, and Ray 2.49's hash-join
+    aggregator crashes on hash partitions that receive no rows (see the
+    dsjoin docstring; caught by the adversarial fuzz)."""
+    inter_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64())]
+    )
+    ja = _attach_unique(
+        inter_ds, sizes_ds.rename_columns({"n": "na"}),
+        "a", "doc_id", inter_schema, pa.schema([("na", pa.int64())]),
+    )
+    jb = _attach_unique(
+        ja, sizes_ds.rename_columns({"n": "nb"}),
+        "b", "doc_id",
+        pa.schema(list(inter_schema) + [("na", pa.int64())]),
+        pa.schema([("nb", pa.int64())]),
+    )
 
     def score(t: pa.Table) -> pa.Table:
         it = t["inter"].to_numpy().astype(np.float64)
@@ -166,7 +177,12 @@ def _score_jaccard(inter_ds, sizes_ds, threshold: float, num_partitions: int) ->
         )
 
     out = jb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    t = collect_table(out)
+    t = collect_table(
+        out,
+        empty_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    )
     if t.num_rows == 0:
         return pa.table(
             {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
@@ -248,7 +264,7 @@ def jaccard_pairs(
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="inter"))
     )
-    return _score_jaccard(inter, sizes_ds, threshold, _parallel_blocks())
+    return _score_jaccard(inter, sizes_ds, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -294,7 +310,10 @@ def minhash_lsh_pairs(
     corpus, re-shingled in map_batches, intersections counted with a
     shingle-group shuffle over candidate docs only, then restricted to the
     LSH candidate pairs with a (a, b) semi-join and scored via sizes joins
-    (_score_jaccard)."""
+    (_score_jaccard). All joins here run on joins.semi_join /
+    joins.attach_unique (sort-shuffle, empty-partition-safe) — candidate
+    sets are sparse and Ray's hash-join aggregator crashes on empty hash
+    partitions (dsjoin docstring)."""
     from ray.data.aggregate import Count
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -325,27 +344,28 @@ def minhash_lsh_pairs(
     # candidate pairs, distinct-ed distributed; STAYS a Dataset (materialized
     # in the object store — O(LSH collisions), never on the driver). A pair
     # colliding in k bands shuffles k rows but survives distinct-ing once.
-    cands = (
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    cands = _with_schema(
         _read_documents(sf_dir)
         .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band", "key"])
         .map_groups(_emit_pairs_group, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["a", "b"])
-        .materialize()
-    )
+        .select_columns(["a", "b"]),
+        pair_schema,
+    ).materialize()
     if cands.count() == 0:
         return empty
-    nparts = _parallel_blocks(cands.count())
 
     # candidate doc ids, distinct-ed distributed
-    need_ids = (
+    need_ids = _with_schema(
         cands.select_columns(["a"]).rename_columns({"a": "doc_id"})
         .union(cands.select_columns(["b"]).rename_columns({"b": "doc_id"}))
         .groupby("doc_id")
         .aggregate(Count(alias_name="_c"))
-        .select_columns(["doc_id"])
+        .select_columns(["doc_id"]),
+        pa.schema([("doc_id", pa.int64())]),
     )
 
     # distributed verification over candidate docs only, selected with a
@@ -354,9 +374,9 @@ def minhash_lsh_pairs(
     # bounded by the candidate set, not the corpus. The hot-shingle cap
     # matches jaccard_pairs exactly.
     cand_shingles = _drop_hot_stage(
-        _dsjoin(
-            _read_documents(sf_dir), need_ids, "left_semi", _parallel_blocks(),
-            on=("doc_id",),
+        _semi_join(
+            _read_documents(sf_dir), need_ids, ["doc_id"],
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
         )
         .map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True),
         _global_hot_shingles(sf_dir, df_cap, "minhash_lsh_pairs"),
@@ -368,14 +388,18 @@ def minhash_lsh_pairs(
     # all shingle-co-occurrence pairs among candidate docs (bounded by the
     # hot-shingle df cap), then restricted to the LSH candidate pairs with a
     # distributed semi-join — no broadcast pair set.
-    inter = _dsjoin(
-        cand_shingles.groupby("shingle")
-        .map_groups(_emit_pairs_group, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="inter")),
-        cands, "left_semi", nparts, on=("a", "b"),
+    inter = _semi_join(
+        _with_schema(
+            cand_shingles.groupby("shingle")
+            .map_groups(_emit_pairs_group, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Count(alias_name="inter")),
+            pa.schema([("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64())]),
+        ),
+        cands, ["a", "b"],
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64())]),
     )
-    return _score_jaccard(inter, sizes_ds, threshold, nparts)
+    return _score_jaccard(inter, sizes_ds, threshold)
 
 
 # ---------------------------------------------------------------------------
