@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from smse_backend_ray.config import EngineConfig
-from smse_backend_ray.functions.analyzer import term_counts
+from smse_backend_ray.functions.analyzer import term_counts_batch
 from smse_backend_ray.sources.corpus import doc_id_from_key
 
 # ingest_batch's frozen output columns, MINUS the two per-build tags
@@ -58,21 +58,19 @@ def ingest_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     batch = batch.set_column(
         batch.column_names.index("content"), "content", content
     )
-    contents = content.to_pylist()
     repos = batch["repo"].to_pylist()
     paths = batch["path"].to_pylist()
     commits = batch["commit"].to_pylist()
 
-    # the only per-row passes: sha256/doc-id hashing (C-speed hashlib) and
-    # the compiled-regex tokenizer; everything else is Arrow/numpy kernels
+    # the only per-row pass left: sha256/doc-id hashing (C-speed hashlib);
+    # tokenization runs fully vectorized in Arrow C++ (term_counts_batch,
+    # bitwise-equal to the frozen scalar term_counts — parity-fuzzed)
     doc_ids = np.fromiter(
         (doc_id_from_key(r, p, c) for r, p, c in zip(repos, paths, commits)),
         dtype=np.int64,
         count=len(repos),
     )
-    tcs_all = [term_counts(c) for c in contents]
-    terms_l = [[t for t, _ in tcs] for tcs in tcs_all]
-    tfs_l = pa.array([[tf for _, tf in tcs] for tcs in tcs_all], type=pa.list_(pa.int32()))
+    terms_l, tfs_l = term_counts_batch(content)
     # dl = per-row sum(tf) via offset prefix-sums (integer, order-free)
     off = np.asarray(tfs_l.offsets, dtype=np.int64)
     csum = np.concatenate(([0], np.cumsum(np.asarray(tfs_l.values, dtype=np.int64))))
@@ -91,7 +89,7 @@ def ingest_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
             "content_sha256": sha256_hex_column(batch["content"]),
             "n_bytes": n_bytes_column(batch["content"]),
             "dl": dl,
-            "terms": pa.array(terms_l, type=pa.list_(pa.string())),
+            "terms": terms_l,
             "tfs": tfs_l,
             "shard_id": pa.array(doc_ids % cfg.n_shards, type=pa.int32()),
         }

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from smse_backend_ray.config import STOPWORDS
 from smse_backend_ray.functions.analyzer import (
@@ -107,3 +109,41 @@ def test_duckdb_parity_documents_corpus(con):
     assert len(texts) > 0
     for t in texts:
         assert _sql_tokens(con, t) == tokenize(t)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+            max_size=80,
+        ),
+        max_size=8,
+    )
+)
+def test_term_counts_batch_matches_scalar(texts):
+    """The vectorized Arrow tokenizer is bitwise-equal to the frozen scalar
+    reference on arbitrary unicode input (RE2 vs Python-re equivalence for
+    the three analyzer regexes is load-bearing — the ingest hot path runs
+    the batch twin)."""
+    import pyarrow as pa
+
+    from smse_backend_ray.functions.analyzer import term_counts, term_counts_batch
+
+    col = pa.chunked_array([pa.array(texts, type=pa.string())])
+    terms, tfs = term_counts_batch(col)
+    for i, txt in enumerate(texts):
+        got = list(zip(terms[i].as_py(), tfs[i].as_py()))
+        assert got == term_counts(txt)
+
+
+def test_term_counts_batch_empty_and_nulls():
+    import pyarrow as pa
+
+    from smse_backend_ray.functions.analyzer import term_counts_batch
+
+    terms, tfs = term_counts_batch(pa.array([], type=pa.string()))
+    assert len(terms) == 0
+    terms, tfs = term_counts_batch(pa.array([None, "hashJoin table"], type=pa.string()))
+    assert terms[0].as_py() == []
+    assert terms[1].as_py() == ["hash", "join", "table"]
