@@ -98,3 +98,76 @@ def test_jaccard_and_minhash_adversarial(ray_session, adv_dir, adv_duck):
         )
     ).arrow()
     assert lsh.to_pylist() == want.to_pylist()
+
+
+# -- events twins under adversarial timestamps ------------------------------
+
+def _adv_events_dir(tmp_path_factory):
+    """Events with EQUAL timestamps (the asof tie-break path), same-instant
+    left/right pairs (gap == 0), exact-window-boundary gaps, null values,
+    and a user with only one stream."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    W = 300  # RANGE_JOIN_WINDOW_S
+    rows = [
+        # user 1: two clicks at the SAME ts before an error (tie-break by
+        # event_id), plus a click exactly at the error ts (gap 0)
+        (0, base, 1, "click", 1.0),
+        (1, base, 1, "click", 2.0),
+        (2, base + dt.timedelta(seconds=10), 1, "click", None),
+        (3, base + dt.timedelta(seconds=10), 1, "error", 3.0),
+        # user 2: click exactly window_s before the error (boundary gap)
+        (4, base, 2, "click", 0.5),
+        (5, base + dt.timedelta(seconds=W), 2, "error", 0.5),
+        # user 3: error with NO prior click (dropped by inner asof)
+        (6, base, 3, "error", 9.9),
+        (7, base + dt.timedelta(seconds=1), 3, "click", 1.1),
+        # user 4: clicks only
+        (8, base, 4, "click", 4.0),
+        # cross-user range pair: user 4 click near user 3 error
+        (9, base + dt.timedelta(seconds=W + 1), 4, "error", 1.0),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("adv_events")
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+def test_events_joins_adversarial_ts(ray_session, tmp_path_factory):
+    from smse_backend_ray.pipelines import events
+
+    d = _adv_events_dir(tmp_path_factory)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'events.parquet')}')"
+    )
+    got = events.asof_join(d)
+    want = con.sql(events.asof_join_sql()).arrow()
+    assert got.to_pylist() == want.to_pylist()
+    # the equal-ts tie resolved to the LARGER event_id (1, not 0)... unless
+    # the same-instant click (gap 0) wins, which sorts later still
+    by_left = {r["event_id"]: r for r in got.to_pylist()}
+    assert by_left[3]["match_event_id"] == 2  # same-instant click wins
+    got = events.range_join(d)
+    want = con.sql(events.range_join_sql()).arrow()
+    assert got.to_pylist() == want.to_pylist()
+    pairs = {(r["event_id"], r["match_event_id"]): r["gap_us"] for r in got.to_pylist()}
+    assert pairs[(5, 4)] == 300 * 1_000_000  # exact window boundary kept
+    got = events.sliding_window_agg(d)
+    want = con.sql(events.sliding_window_agg_sql()).arrow()
+    assert got.to_pylist() == want.to_pylist()
+    con.close()
