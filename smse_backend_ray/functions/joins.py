@@ -1,25 +1,27 @@
-"""Shared Dataset.join wrapper.
+"""Distributed join helpers.
 
-Ray 2.49's hash-join reserves min(1, (CPU/2)/nparts) logical CPUs PER
-PARTITION on its aggregator actors; two 16-partition joins in one DAG
-reserve ~4 CPUs of placement tokens and deadlock a 4-CPU cluster (the
-upstream map/sort tasks can never schedule). Actor num_cpus is a placement
-token only — aggregators timeshare the host regardless — so pinning it tiny
-is safe and keeps low-CPU configs live."""
+Two implementations, chosen by input shape:
+
+- ``dsjoin`` — Ray-native hash join. SPARSE-INPUT CAVEAT: Ray 2.49's
+  aggregator materializes a partition that received no blocks as a
+  ZERO-COLUMN table and pyarrow's join then dies with 'No match ... for
+  key field reference' — only safe when every hash partition is
+  near-certain to receive rows on both sides (dense keys, rows >>
+  num_partitions; the relational fact/dim rollups). Found by the
+  adversarial-corpus fuzz (tests/test_sqlgen_fuzz.py).
+
+- ``attach_unique`` / ``semi_join`` — bucketed sort-shuffle joins for
+  sparse/candidate-bounded inputs: rows hash into a few FAT buckets (never
+  one group per key — a per-key map_groups pays a Python call per key,
+  measured as the dedup family's wall), and each bucket joins its two
+  sides with pyarrow's in-memory C++ Table.join. Empty partitions are a
+  non-event on this path, and the per-bucket join is exact.
+"""
 
 from __future__ import annotations
 
 
 def dsjoin(left, right, join_type, num_partitions, on, right_on=None):
-    """Ray-native hash join. SPARSE-INPUT CAVEAT: Ray 2.49's aggregator
-    materializes a partition that received no blocks as a ZERO-COLUMN table
-    and pyarrow's join then dies with 'No match ... for key field
-    reference' — so this is only safe when every hash partition is
-    near-certain to receive rows on both sides (dense keys, rows >>
-    num_partitions; e.g. the relational fact/dim rollups). For
-    sparse/candidate-bounded inputs use attach_unique / semi_join below —
-    one sort-shuffle groupby, empty-safe (found by the adversarial-corpus
-    fuzz, tests/test_sqlgen_fuzz.py)."""
     return left.join(
         right,
         join_type,
@@ -30,128 +32,163 @@ def dsjoin(left, right, join_type, num_partitions, on, right_on=None):
     )
 
 
-def attach_unique(left, right, lkey, rkey, left_schema, payload_schema):
-    """INNER-join a UNIQUE-keyed right payload onto left rows via one
-    sort-shuffle groupby (no hash-join aggregators; empty partitions are a
-    non-event on this path).
+def _n_buckets() -> int:
+    import ray
 
-    left rows carry ``left_schema`` columns and join on ``left[lkey]``;
-    right rows carry ``right[rkey]`` + ``payload_schema`` columns with at
-    most ONE right row per key. Output: left columns + payload columns for
-    every left row whose key has a right row (inner). Group size is
-    bounded by the left fan-in per key + 1."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover
+        cpus = 8
+    return max(16, 8 * cpus)
+
+
+def _bucket_of(table, keys, nb):
+    """Deterministic per-row bucket from the key columns (int64: Knuth
+    multiplicative; string: crc32; xor-combined across columns)."""
+    import zlib
+
     import numpy as np
+    import pyarrow as pa
+
+    h = np.zeros(table.num_rows, dtype=np.uint64)
+    for i, k in enumerate(keys):
+        col = table[k]
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            hk = (v * np.uint64(2654435761)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        else:
+            hk = np.fromiter(
+                (zlib.crc32(s.encode()) for s in col.to_pylist()),
+                dtype=np.uint64,
+                count=table.num_rows,
+            )
+        rot = (i * 7) % 64
+        if rot:
+            hk = (hk << np.uint64(rot)) | (hk >> np.uint64(64 - rot))
+        h ^= hk
+    return (h % np.uint64(nb)).astype(np.int64)
+
+
+def _bucketed_join(left, right, keys, left_schema, right_schema, joiner, nb=None):
+    """Common machinery: tag rows with (bucket, side), union, groupby
+    bucket, run ``joiner(left_tbl, right_tbl) -> Table`` per FAT group.
+    Sides are reconstructed from a marker column; schema-less empty blocks
+    are normalized away.
+
+    ``nb`` sizes the exchange: every bucket becomes a reduce task AND an
+    output block, so a tiny input through the default (8*cpus) buckets
+    pays hundreds of near-empty tasks per stage — chained stages made that
+    the dedup verify wall (measured 7-12 s per attach on 257 rows).
+    Callers that know the input is small pass a small nb."""
+    import numpy as np
+    import pyarrow as pa
+
+    nb = nb or _n_buckets()
+    lnames = [f.name for f in left_schema]
+    rnames = [f.name for f in right_schema]
+    all_fields = list(left_schema) + [
+        f for f in right_schema if f.name not in lnames
+    ]
+    mixed_schema = pa.schema(
+        [("__b", pa.int64()), ("__side", pa.int8())] + all_fields
+    )
+
+    def tag(side):
+        def fn(t: "pa.Table") -> "pa.Table":
+            names = lnames if side == 0 else rnames
+            if t.num_columns == 0 or t.num_rows == 0:
+                return mixed_schema.empty_table()
+            cols = {
+                "__b": pa.array(_bucket_of(t, keys, nb), type=pa.int64()),
+                "__side": pa.array(
+                    np.full(t.num_rows, side, dtype=np.int8)
+                ),
+            }
+            for f in all_fields:
+                cols[f.name] = (
+                    t[f.name]
+                    if f.name in names and f.name in t.column_names
+                    else pa.nulls(t.num_rows, f.type)
+                )
+            return pa.table(cols)
+
+        return fn
+
+    out_schema = joiner(left_schema.empty_table(), right_schema.empty_table()).schema
+
+    def per_bucket(g: "pa.Table") -> "pa.Table":
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lt = g.filter(pa.array(lmask)).select(lnames)
+        rt = g.filter(pa.array(~lmask)).select(rnames)
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        return joiner(lt, rt)
+
+    mixed = left.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+    return mixed.groupby("__b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def attach_unique(left, right, lkey, rkey, left_schema, payload_schema, nb=None):
+    """INNER-join a UNIQUE-keyed right payload onto left rows (bucketed;
+    pyarrow C++ join per bucket). Output: left columns + payload columns
+    for every left row whose key has a right row. ``nb``: see
+    _bucketed_join — pass small for known-small inputs."""
     import pyarrow as pa
 
     lnames = [f.name for f in left_schema]
     pnames = [f.name for f in payload_schema]
+    # bucket-hash the same column name on both sides: rename the right key
+    # to the left key's name up front
+    right_renamed = right.rename_columns({rkey: lkey}) if rkey != lkey else right
+    right_schema = pa.schema(
+        [(lkey, left_schema.field(lkey).type)] + list(payload_schema)
+    )
 
-    def lrows(t: "pa.Table") -> "pa.Table":
-        if t.num_columns == 0 or t.num_rows == 0:
-            return _mixed_empty(left_schema, payload_schema)
-        cols = {"__k": t[lkey], "__side": pa.array(np.zeros(t.num_rows, np.int8))}
-        for n in lnames:
-            cols[n] = t[n]
-        for f in payload_schema:
-            cols[f.name] = pa.nulls(t.num_rows, f.type)
-        return pa.table(cols)
+    def joiner(lt: "pa.Table", rt: "pa.Table") -> "pa.Table":
+        rt = rt.rename_columns(
+            ["__rk" if n == lkey else n for n in rt.column_names]
+        )
+        j = lt.join(rt, keys=[lkey], right_keys=["__rk"], join_type="inner")
+        return j.select(lnames + pnames)
 
-    def rrows(t: "pa.Table") -> "pa.Table":
-        if t.num_columns == 0 or t.num_rows == 0:
-            return _mixed_empty(left_schema, payload_schema)
-        cols = {"__k": t[rkey], "__side": pa.array(np.ones(t.num_rows, np.int8))}
-        for f in left_schema:
-            cols[f.name] = pa.nulls(t.num_rows, f.type)
-        for n in pnames:
-            cols[n] = t[n]
-        return pa.table(cols)
-
-    def grp(g: "pa.Table") -> "pa.Table":
-        import pyarrow.compute as pc
-
-        side = g["__side"].to_numpy(zero_copy_only=False)
-        lmask = side == 0
-        out_schema = pa.schema(list(left_schema) + list(payload_schema))
-        if not lmask.any() or lmask.all():
-            return out_schema.empty_table()
-        pay = g.filter(pa.array(~lmask))
-        lt = g.filter(pa.array(lmask))
-        cols = {n: lt[n] for n in lnames}
-        for n in pnames:
-            v = pay[n][0]
-            cols[n] = pa.array([v.as_py()] * lt.num_rows, type=pay[n].type)
-        return pa.table(cols)
-
-    mixed = left.map_batches(
-        lrows, batch_format="pyarrow", zero_copy_batch=True
-    ).union(right.map_batches(rrows, batch_format="pyarrow", zero_copy_batch=True))
-    return mixed.groupby("__k").map_groups(grp, batch_format="pyarrow")
+    return _bucketed_join(
+        left, right_renamed, [lkey], left_schema, right_schema, joiner, nb=nb
+    )
 
 
-def _mixed_empty(left_schema, payload_schema):
+def semi_join(left, right, keys, left_schema, nb=None):
+    """LEFT-SEMI join on ``keys`` (column names shared by both sides):
+    keep left rows whose key appears in right (bucketed; pyarrow C++
+    'left semi' per bucket). ``nb``: see _bucketed_join."""
     import pyarrow as pa
 
-    return pa.schema(
-        [("__k", pa.int64()), ("__side", pa.int8())]
-        + list(left_schema)
-        + list(payload_schema)
-    ).empty_table()
-
-
-def semi_join(left, right, keys, left_schema):
-    """LEFT-SEMI join via one sort-shuffle groupby on ``keys`` (list of
-    column names shared by both sides): keep left rows whose key appears in
-    right. Empty-safe like attach_unique."""
-    import numpy as np
-    import pyarrow as pa
-
+    right_schema = pa.schema([(k, left_schema.field(k).type) for k in keys])
     lnames = [f.name for f in left_schema]
-    empty_mixed = pa.schema(
-        [(n, left_schema.field(n).type) for n in lnames] + [("__side", pa.int8())]
-    ).empty_table()
 
-    def lrows(t: "pa.Table") -> "pa.Table":
+    def joiner(lt: "pa.Table", rt: "pa.Table") -> "pa.Table":
+        return lt.join(rt, keys=list(keys), join_type="left semi").select(lnames)
+
+    def right_keys_only(t: "pa.Table") -> "pa.Table":
         if t.num_columns == 0 or t.num_rows == 0:
-            return empty_mixed
-        cols = {n: t[n] for n in lnames}
-        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
-        return pa.table(cols)
+            return right_schema.empty_table()
+        return t.select(keys)
 
-    def rrows(t: "pa.Table") -> "pa.Table":
-        if t.num_columns == 0 or t.num_rows == 0:
-            return empty_mixed
-        cols = {}
-        for n in lnames:
-            cols[n] = (
-                t[n] if n in t.column_names
-                else pa.nulls(t.num_rows, left_schema.field(n).type)
-            )
-        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
-        return pa.table(cols)
-
-    def grp(g: "pa.Table") -> "pa.Table":
-        side = g["__side"].to_numpy(zero_copy_only=False)
-        lmask = side == 0
-        if not (side == 1).any() or not lmask.any():
-            return left_schema.empty_table()
-        return g.filter(pa.array(lmask)).select(lnames)
-
-    mixed = left.map_batches(
-        lrows, batch_format="pyarrow", zero_copy_batch=True
-    ).union(right.map_batches(rrows, batch_format="pyarrow", zero_copy_batch=True))
-    return mixed.groupby(keys).map_groups(grp, batch_format="pyarrow")
+    right_k = right.map_batches(
+        right_keys_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _bucketed_join(left, right_k, list(keys), left_schema, right_schema, joiner, nb=nb)
 
 
 def with_schema(ds, schema):
-    """Normalize a Dataset's blocks to ``schema`` before a join.
+    """Normalize a Dataset's blocks to ``schema``.
 
     Ray 2.49's Aggregate operator emits EMPTY partitions as zero-column
-    blocks (the 'Failed to hash the schemas' warning); pyarrow's join then
-    fails with 'No match ... for key field reference' when such a block
-    reaches an aggregator (sparse data — any hash partition with no rows).
-    This map replaces schema-less empties with a typed empty table and
-    column-projects the rest, so join inputs always carry the declared
-    schema."""
+    blocks (the 'Failed to hash the schemas' warning); downstream consumers
+    that inspect columns then break. This map replaces schema-less empties
+    with a typed empty table and column-projects the rest."""
     import pyarrow as pa
 
     def fix(t: "pa.Table") -> "pa.Table":
@@ -160,3 +197,50 @@ def with_schema(ds, schema):
         return t.select(schema.names).cast(schema)
 
     return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_aggregate(ds, keys, aggs, nb=None):
+    """High-cardinality groupby-aggregate: bucket rows by key hash into a
+    few FAT groups, aggregate each with pyarrow's C++ Table.group_by.
+
+    Ray 2.49's Aggregate operator costs ~230us of CPU PER DISTINCT GROUP
+    (measured: 264 s CPU for 1.1M (a, b) pair groups that pyarrow
+    aggregates in under a second) — it is only usable when group count is
+    small. Each key lives in exactly one bucket, so per-bucket aggregation
+    is globally exact.
+
+    ``aggs``: list of (value_col, op, out_name) with op in
+    {sum, count, min, max}. Output columns: keys + out_names. ``nb``: see
+    _bucketed_join — pass small for known-small inputs."""
+    import pyarrow as pa
+
+    nb = nb or _n_buckets()
+
+    def tag(t: "pa.Table") -> "pa.Table":
+        if t.num_columns == 0 or t.num_rows == 0:
+            return None  # filtered below
+        return t.append_column(
+            "__b", pa.array(_bucket_of(t, keys, nb), type=pa.int64())
+        )
+
+    def tag_safe(t: "pa.Table") -> "pa.Table":
+        out = tag(t)
+        if out is None:
+            # typed empty: keys + value cols unknown here; emit zero rows of
+            # whatever schema this block had plus __b so union stays sane
+            return t.append_column("__b", pa.array([], type=pa.int64()))
+        return out
+
+    def agg_group(g: "pa.Table") -> "pa.Table":
+        t = g.drop_columns(["__b"])
+        ga = t.group_by(list(keys)).aggregate([(c, op) for c, op, _ in aggs])
+        cols = {k: ga[k] for k in keys}
+        for c, op, out in aggs:
+            cols[out] = ga[f"{c}_{op}"]
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(tag_safe, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(agg_group, batch_format="pyarrow")
+    )

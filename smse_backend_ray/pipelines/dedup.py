@@ -29,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import os
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -57,8 +58,21 @@ EMB_DUP_THRESHOLD = 0.4
 
 
 from smse_backend_ray.functions.joins import attach_unique as _attach_unique
+from smse_backend_ray.functions.joins import grouped_aggregate as _grouped_agg
 from smse_backend_ray.functions.joins import semi_join as _semi_join
 from smse_backend_ray.functions.joins import with_schema as _with_schema
+
+
+def _compact(ds_mat, rows_per_block: int = 4096):
+    """Coalesce a MATERIALIZED candidate-bounded dataset to few blocks.
+
+    Bucketed exchanges emit one block per bucket; a 257-row result spread
+    over ~128 near-empty blocks makes every downstream stage pay a task
+    per block (~50 ms each — measured 5-10 s per attach in the verify
+    path). Tiny data, tiny repartition: ~0.5 s buys back all of it."""
+    n = ds_mat.count()
+    blocks = max(2, min(64, -(-n // rows_per_block)))
+    return ds_mat.repartition(blocks).materialize()
 
 
 def _read_documents(sf_dir: str) -> "ray.data.Dataset":
@@ -94,11 +108,12 @@ def exact_dedup(sf_dir: str) -> pa.Table:
 
     from ray.data.aggregate import Min
 
-    winners = (
-        _read_documents(sf_dir)
-        .map_batches(fp_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("fingerprint")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+    winners = _grouped_agg(
+        _read_documents(sf_dir).map_batches(
+            fp_batch, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["fingerprint"],
+        [("doc_id", "min", "doc_id")],
     )
     t = collect_table(winners)
     t = t.select(["doc_id", "fingerprint"])
@@ -126,7 +141,8 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
 
 
 def _emit_pairs_group(g: pa.Table) -> pa.Table:
-    """All (a < b) doc pairs within one shingle/band group."""
+    """All (a < b) doc pairs within one shingle/band group (scalar
+    reference; the hot path is the bucketed vectorized _pairs_within_key)."""
     dids = sorted(set(g["doc_id"].to_pylist()))
     a, b = [], []
     for i in range(len(dids)):
@@ -135,6 +151,96 @@ def _emit_pairs_group(g: pa.Table) -> pa.Table:
             b.append(dids[j])
     return pa.table(
         {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+    )
+
+
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("n", pa.int64())])
+
+
+def _pair_groups_count() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover
+        cpus = 8
+    return max(16, 8 * cpus)
+
+
+def _pairs_within_key(ds, key_col: str):
+    """(key_col, doc_id) rows -> (a, b, n) PARTIAL pair counts: every
+    (a < b) doc pair sharing a key value, counted once per shared key
+    (caller finishes with groupby(a, b).Sum).
+
+    Scale shape: the naive groupby(key).map_groups calls a PYTHON function
+    once per key — hundreds of thousands of tiny groups made this the
+    dedup family's wall (measured 52-60 s at 5k docs / 16 CPUs). Instead
+    keys hash into a few FAT groups (the bucket-encoder pattern) and each
+    group emits every in-key pair in a handful of numpy passes (lexsort ->
+    segment bounds -> upper-triangle expansion via repeat/arange), then
+    pre-aggregates (a, b) partials in Arrow C++ before the global
+    exchange. Requires each doc to appear AT MOST ONCE per key (true for
+    distinct shingle sets and band signatures) so within-segment doc ids
+    are strictly increasing and a < b holds by construction. Per-group
+    memory is O(total rows / n_buckets + emitted pairs in the bucket);
+    pair blowup stays bounded by the callers' df caps."""
+    nb = _pair_groups_count()
+
+    def bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        h = np.fromiter(
+            (zlib.crc32(k.encode()) for k in keys), dtype=np.int64, count=len(keys)
+        )
+        return pa.table(
+            {
+                "kb": pa.array(h % nb, type=pa.int64()),
+                "k": t[key_col],
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            }
+        )
+
+    def emit(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _PAIR_SCHEMA.empty_table()
+        k = np.asarray(g["k"].to_numpy(zero_copy_only=False), dtype=object)
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, k))
+        k_s, d_s = k[order], d[order]
+        newseg = np.empty(len(k_s), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = k_s[1:] != k_s[:-1]
+        seg_id = np.cumsum(newseg) - 1
+        seg_start = np.flatnonzero(newseg)
+        local_pos = np.arange(len(k_s)) - seg_start[seg_id]
+        total = int(local_pos.sum())
+        if total == 0:
+            return _PAIR_SCHEMA.empty_table()
+        # element i (local pos p) pairs with its p predecessors in-segment
+        b_idx = np.repeat(np.arange(len(k_s)), local_pos)
+        starts = np.repeat(seg_start[seg_id], local_pos)
+        csum = np.concatenate(([0], np.cumsum(local_pos)))
+        within = np.arange(total) - np.repeat(csum[:-1], local_pos)
+        a_idx = starts + within
+        part = (
+            pa.table(
+                {
+                    "a": pa.array(d_s[a_idx], type=pa.int64()),
+                    "b": pa.array(d_s[b_idx], type=pa.int64()),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([("a", "count")])
+        )
+        return pa.table(
+            {
+                "a": part["a"],
+                "b": part["b"],
+                "n": pc.cast(part["a_count"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kb")
+        .map_groups(emit, batch_format="pyarrow")
     )
 
 
@@ -151,15 +257,21 @@ def _score_jaccard(inter_ds, sizes_ds, threshold: float) -> pa.Table:
     inter_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64())]
     )
+    # both inputs are MATERIALIZED by the callers, so count() is free and
+    # sizes the bucket exchange to the data: a 257-row verify set through
+    # the default 8*cpus buckets paid hundreds of near-empty reduce tasks
+    # per attach (measured 7-12 s each); data-scaled buckets make it ~1 s.
+    n = inter_ds.count() + sizes_ds.count()
+    nb = max(4, min(64, -(-n // 512)))
     ja = _attach_unique(
         inter_ds, sizes_ds.rename_columns({"n": "na"}),
-        "a", "doc_id", inter_schema, pa.schema([("na", pa.int64())]),
+        "a", "doc_id", inter_schema, pa.schema([("na", pa.int64())]), nb=nb,
     )
     jb = _attach_unique(
         ja, sizes_ds.rename_columns({"n": "nb"}),
         "b", "doc_id",
         pa.schema(list(inter_schema) + [("na", pa.int64())]),
-        pa.schema([("nb", pa.int64())]),
+        pa.schema([("nb", pa.int64())]), nb=nb,
     )
 
     def score(t: pa.Table) -> pa.Table:
@@ -200,7 +312,7 @@ def _global_hot_shingles(sf_dir: str, df_cap: int, op: str) -> set[str]:
         _shingle_rows, batch_format="pyarrow", zero_copy_batch=True
     )
     hot_t = collect_table(
-        shingles.groupby("shingle").aggregate(Count(alias_name="df")).filter(
+        _grouped_agg(shingles, ["shingle"], [("doc_id", "count", "df")]).filter(
             expr=f"df > {df_cap}"
         )
     )
@@ -254,16 +366,20 @@ def jaccard_pairs(
     # doc shingle-set sizes: stays a DATASET (joined in _score_jaccard, never
     # a driver dict — O(corpus) entries at scale). Materialized because the
     # scorer joins it twice; it is (doc_id, n) rows, tiny next to the corpus.
-    sizes_ds = (
-        shingles.groupby("doc_id").aggregate(Count(alias_name="n")).materialize()
-    )
+    sizes_ds = _compact(_grouped_agg(
+        shingles, ["doc_id"], [("shingle", "count", "n")]
+    ).materialize())
 
-    inter = (
-        shingles.groupby("shingle")
-        .map_groups(_emit_pairs_group, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="inter"))
-    )
+    from ray.data.aggregate import Sum
+
+    # MATERIALIZE the candidate-pair table before scoring: chaining the
+    # whole thing into one lazy DAG stacks 4+ sort stages into a single
+    # streaming execution, which measured ~4x slower than staged runs
+    # (BASELINE.md round-3 dedup notes); inter is candidate-bounded, so the
+    # checkpoint is small by construction.
+    inter = _compact(_grouped_agg(
+        _pairs_within_key(shingles, "shingle"), ["a", "b"], [("n", "sum", "inter")]
+    ).materialize())
     return _score_jaccard(inter, sizes_ds, threshold)
 
 
@@ -317,7 +433,7 @@ def minhash_lsh_pairs(
     from ray.data.aggregate import Count
 
     def band_rows(t: pa.Table) -> pa.Table:
-        dids, bands, keys = [], [], []
+        dids, keys = [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             sig = _minhash_sig(doc_shingles(text))
             if sig is None:
@@ -326,13 +442,11 @@ def minhash_lsh_pairs(
             for b in range(LSH_BANDS):
                 h = hashlib.md5(sig[b * r : (b + 1) * r].tobytes()).hexdigest()[:16]
                 dids.append(did)
-                bands.append(b)
-                keys.append(h)
+                keys.append(f"{b}:{h}")  # band folded into the bucket key
         return pa.table(
             {
                 "doc_id": pa.array(dids, type=pa.int64()),
-                "band": pa.array(bands, type=pa.int32()),
-                "key": pa.array(keys, type=pa.string()),
+                "bkey": pa.array(keys, type=pa.string()),
             }
         )
 
@@ -344,27 +458,34 @@ def minhash_lsh_pairs(
     # candidate pairs, distinct-ed distributed; STAYS a Dataset (materialized
     # in the object store — O(LSH collisions), never on the driver). A pair
     # colliding in k bands shuffles k rows but survives distinct-ing once.
+    from ray.data.aggregate import Sum
+
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     cands = _with_schema(
-        _read_documents(sf_dir)
-        .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "key"])
-        .map_groups(_emit_pairs_group, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["a", "b"]),
+        _grouped_agg(
+            _pairs_within_key(
+                _read_documents(sf_dir).map_batches(
+                    band_rows, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                "bkey",
+            ),
+            ["a", "b"],
+            [("n", "sum", "n_bands")],
+        ).select_columns(["a", "b"]),
         pair_schema,
     ).materialize()
+    cands = _compact(cands)
     if cands.count() == 0:
         return empty
 
     # candidate doc ids, distinct-ed distributed
     need_ids = _with_schema(
-        cands.select_columns(["a"]).rename_columns({"a": "doc_id"})
-        .union(cands.select_columns(["b"]).rename_columns({"b": "doc_id"}))
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["doc_id"]),
+        _grouped_agg(
+            cands.select_columns(["a"]).rename_columns({"a": "doc_id"})
+            .union(cands.select_columns(["b"]).rename_columns({"b": "doc_id"})),
+            ["doc_id"],
+            [("doc_id", "count", "_c")],
+        ).select_columns(["doc_id"]),
         pa.schema([("doc_id", pa.int64())]),
     )
 
@@ -381,24 +502,27 @@ def minhash_lsh_pairs(
         .map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True),
         _global_hot_shingles(sf_dir, df_cap, "minhash_lsh_pairs"),
     ).materialize()
-    sizes_ds = (
-        cand_shingles.groupby("doc_id").aggregate(Count(alias_name="n")).materialize()
-    )
+    cand_shingles = _compact(cand_shingles)
+    sizes_ds = _compact(_grouped_agg(
+        cand_shingles, ["doc_id"], [("shingle", "count", "n")]
+    ).materialize())
 
     # all shingle-co-occurrence pairs among candidate docs (bounded by the
     # hot-shingle df cap), then restricted to the LSH candidate pairs with a
     # distributed semi-join — no broadcast pair set.
     inter = _semi_join(
         _with_schema(
-            cand_shingles.groupby("shingle")
-            .map_groups(_emit_pairs_group, batch_format="pyarrow")
-            .groupby(["a", "b"])
-            .aggregate(Count(alias_name="inter")),
+            _grouped_agg(
+                _pairs_within_key(cand_shingles, "shingle"),
+                ["a", "b"],
+                [("n", "sum", "inter")],
+            ),
             pa.schema([("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64())]),
         ),
         cands, ["a", "b"],
         pa.schema([("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64())]),
-    )
+    ).materialize()  # candidate-bounded checkpoint (see jaccard_pairs note)
+    inter = _compact(inter)
     return _score_jaccard(inter, sizes_ds, threshold)
 
 
