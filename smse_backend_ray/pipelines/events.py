@@ -114,42 +114,69 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _user_bucket_rows(t: pa.Table, nb: int) -> pa.Table:
+    """Tag event rows with a user-hash bucket (Knuth multiplicative) — the
+    exchange key for per-user ops: MANY users per reduce group, vectorized
+    inside (a per-user map_groups pays a Python call per user — the Ray
+    per-small-unit tax, catastrophic at 10^9 users; BASELINE.md round-3)."""
+    u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ub = ((u * np.uint64(2654435761)) % np.uint64(nb)).astype(np.int64)
+    return t.append_column("__ub", pa.array(ub, type=pa.int64()))
+
+
+def _n_user_buckets() -> int:
+    from smse_backend_ray.functions.joins import _n_buckets
+
+    return _n_buckets()
+
+
 def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> pa.Table:
     """Gap-based sessionization per user: a new session starts when the gap
     to the previous event exceeds ``gap_min`` minutes. Returns per-user
-    session count + total events."""
+    session count + total events.
 
-    _UNIT_PER_SEC = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+    Scale shape: ONE exchange on a user-hash bucket; inside a bucket ALL
+    its users sessionize in a single numpy pass (lexsort by (user, ts,
+    event_id) -> user segment bounds -> gap diffs -> per-user bincount) —
+    never a Python call per user."""
+    nb = _n_user_buckets()
+    gap_us = gap_min * 60 * 1_000_000
 
-    def per_user(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        ts = g["ts"].take(order)
-        # exact integer gap comparison in the column's NATIVE resolution
-        # (epoch ints via cast; no pandas round-trip, no ns assumption);
-        # matches SQL date_diff('microsecond')
-        unit = ts.type.unit
-        vals = pc.cast(ts, pa.int64()).to_numpy()
-        gap_ticks = gap_min * 60 * _UNIT_PER_SEC[unit]
-        n_sessions = 1 + int((np.diff(vals) > gap_ticks).sum())
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = pc.cast(g["user_id"], pa.int64()).to_numpy()
+        ts = _epoch_us(g["ts"])
+        eid = pc.cast(g["event_id"], pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s = u[order], ts[order]
+        newu = np.empty(len(u_s), dtype=bool)
+        newu[0] = True
+        newu[1:] = u_s[1:] != u_s[:-1]
+        new_session = newu.copy()
+        gaps = np.diff(ts_s)
+        new_session[1:] |= (~newu[1:]) & (gaps > gap_us)
+        seg_id = np.cumsum(newu) - 1
+        users = u_s[newu]
+        n_sessions = np.bincount(seg_id, weights=new_session).astype(np.int64)
+        n_events = np.bincount(seg_id).astype(np.int64)
         return pa.table(
             {
-                "user_id": pa.array([g["user_id"][0].as_py()]),
-                "n_sessions": pa.array([n_sessions], type=pa.int64()),
-                "n_events": pa.array([g.num_rows], type=pa.int64()),
+                "user_id": pa.array(users, type=pa.int64()),
+                "n_sessions": pa.array(n_sessions, type=pa.int64()),
+                "n_events": pa.array(n_events, type=pa.int64()),
             }
         )
 
-    out = _read_events(sf_dir).groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-    t = collect_table(out)
-    t = pa.table(
-        {
-            "user_id": pc.cast(t["user_id"], pa.int64()),
-            "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
-            "n_events": pc.cast(t["n_events"], pa.int64()),
-        }
+    out = (
+        _read_events(sf_dir)
+        .map_batches(
+            lambda t: _user_bucket_rows(t, nb),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
+    t = collect_table(out)
     return t.take(pc.sort_indices(t["user_id"]))
 
 
@@ -331,56 +358,78 @@ def asof_join(
     leaves equal-ts ties unspecified, so the oracle uses the equivalent
     window formulation).
 
-    Scale shape: ONE hash exchange on user_id (groupby.map_groups); inside a
-    group both streams sort once and every left matches via one vectorized
-    searchsorted — no per-row Python, no cross-user data movement. The
-    partitioning assumption is the as-of key (user) — the same key the
-    sessionizer already exchanges on."""
+    Scale shape: ONE exchange on a user-hash bucket; inside a bucket ALL
+    its users match in a single MERGED-RANK pass — both streams sort by
+    (user, ts, side, event_id) with rights ordered before lefts at equal
+    (user, ts), every left's match is "the number of rights at-or-before
+    my merged slot, minus one", and a user-equality check discards
+    cross-user ranks. No per-user (let alone per-row) Python: at 10^9
+    users a per-user map_groups would pay a Python call each (the Ray
+    per-small-unit tax, BASELINE.md round-3)."""
+    nb = _n_user_buckets()
+    empty = pa.table(
+        {
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts_us": pa.array([], type=pa.int64()),
+            "match_event_id": pa.array([], type=pa.int64()),
+            "match_ts_us": pa.array([], type=pa.int64()),
+            "lag_us": pa.array([], type=pa.int64()),
+        }
+    )
 
-    def per_user(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = g.take(order)
+    def per_bucket(g: pa.Table) -> pa.Table:
         et = g["event_type"].to_numpy(zero_copy_only=False)
+        u = pc.cast(g["user_id"], pa.int64()).to_numpy()
         ts = _epoch_us(g["ts"])
         eid = pc.cast(g["event_id"], pa.int64()).to_numpy()
         lm, rm = et == left_type, et == right_type
-        empty = pa.table(
-            {
-                "event_id": pa.array([], type=pa.int64()),
-                "user_id": pa.array([], type=pa.int64()),
-                "ts_us": pa.array([], type=pa.int64()),
-                "match_event_id": pa.array([], type=pa.int64()),
-                "match_ts_us": pa.array([], type=pa.int64()),
-                "lag_us": pa.array([], type=pa.int64()),
-            }
-        )
         if not lm.any() or not rm.any():
             return empty
-        lts, leid = ts[lm], eid[lm]
-        rts, reid = ts[rm], eid[rm]
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        keep = idx >= 0
-        if not keep.any():
+        lu, lts, leid = u[lm], ts[lm], eid[lm]
+        ru, rts, reid = u[rm], ts[rm], eid[rm]
+        rorder = np.lexsort((reid, rts, ru))
+        ru, rts, reid = ru[rorder], rts[rorder], reid[rorder]
+        # merged rank: sort keys (user, ts, side, event_id), rights (side 0)
+        # before lefts at equal (user, ts) so a same-instant right matches
+        all_u = np.concatenate([ru, lu])
+        all_t = np.concatenate([rts, lts])
+        all_e = np.concatenate([reid, leid])
+        side = np.concatenate(
+            [np.zeros(len(ru), np.int8), np.ones(len(lu), np.int8)]
+        )
+        order = np.lexsort((all_e, side, all_t, all_u))
+        side_sorted = side[order]
+        rights_at_or_before = np.cumsum(side_sorted == 0)
+        left_slots = np.flatnonzero(side_sorted == 1)
+        match = rights_at_or_before[left_slots] - 1  # index into sorted rights
+        lidx = order[left_slots] - len(ru)  # back to left arrays
+        valid = match >= 0
+        valid[valid] &= ru[match[valid]] == lu[lidx[valid]]
+        if not valid.any():
             return empty
-        idx = idx[keep]
-        uid = int(g["user_id"][0].as_py())
+        li, mi = lidx[valid], match[valid]
         return pa.table(
             {
-                "event_id": pa.array(leid[keep], type=pa.int64()),
-                "user_id": pa.array([uid] * int(keep.sum()), type=pa.int64()),
-                "ts_us": pa.array(lts[keep], type=pa.int64()),
-                "match_event_id": pa.array(reid[idx], type=pa.int64()),
-                "match_ts_us": pa.array(rts[idx], type=pa.int64()),
-                "lag_us": pa.array(lts[keep] - rts[idx], type=pa.int64()),
+                "event_id": pa.array(leid[li], type=pa.int64()),
+                "user_id": pa.array(lu[li], type=pa.int64()),
+                "ts_us": pa.array(lts[li], type=pa.int64()),
+                "match_event_id": pa.array(reid[mi], type=pa.int64()),
+                "match_ts_us": pa.array(rts[mi], type=pa.int64()),
+                "lag_us": pa.array(lts[li] - rts[mi], type=pa.int64()),
             }
         )
 
-    ds = _read_events(sf_dir).filter(
-        expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
+    ds = (
+        _read_events(sf_dir)
+        .filter(expr=f"event_type == '{left_type}' or event_type == '{right_type}'")
+        .map_batches(
+            lambda t: _user_bucket_rows(t, nb),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    out = ds.groupby("__ub").map_groups(per_bucket, batch_format="pyarrow")
     t = collect_table(out)
     return t.take(pc.sort_indices(t["event_id"]))
 
