@@ -637,47 +637,74 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> pa.Tab
         )
 
     def pair_group(g: pa.Table) -> pa.Table:
-        m = g.num_rows
+        """MANY 16-bit-chunk keys per FAT group, vectorized (a per-key
+        map_groups would pay the Ray per-small-unit tax over <=262k keys):
+        lexsort by (bkey, doc_id) -> segment bounds -> per-segment cap
+        markers -> upper-triangle pair expansion -> one popcount verify."""
         empty = pa.table(
             {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
              "hamming": pa.array([], type=pa.int64())}
         )
-        if m < 2:
+        if g.num_rows < 2:
             return empty
-        if m > SIMHASH_BUCKET_CAP:
-            # marker row (a=-1): oversized bucket skipped; b = bucket key,
-            # hamming = -group_size. Split out + logged by the driver below.
-            return pa.table(
-                {"a": pa.array([-1], type=pa.int64()),
-                 "b": pa.array([g["bkey"][0].as_py()], type=pa.int64()),
-                 "hamming": pa.array([-m], type=pa.int64())}
-            )
-        d = np.asarray(g["doc_id"])
-        h = np.asarray(g["simhash"])
-        order = np.argsort(d, kind="stable")
-        d, h = d[order], h[order]
-        iu, ju = np.triu_indices(m, 1)
-        dist = _popcount64(h[iu] ^ h[ju])
-        keep = dist <= max_hamming
-        return pa.table(
-            {
-                "a": pa.array(d[iu][keep], type=pa.int64()),
-                "b": pa.array(d[ju][keep], type=pa.int64()),
-                "hamming": pa.array(dist[keep], type=pa.int64()),
-            }
+        bk = g["bkey"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        h = g["simhash"].to_numpy()
+        order = np.lexsort((d, bk))
+        bk, d, h = bk[order], d[order], h[order]
+        newseg = np.empty(len(bk), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = bk[1:] != bk[:-1]
+        seg_id = np.cumsum(newseg) - 1
+        seg_start = np.flatnonzero(newseg)
+        seg_sizes = np.diff(np.concatenate((seg_start, [len(bk)])))
+        oversized = seg_sizes > SIMHASH_BUCKET_CAP
+        out_tabs = []
+        if oversized.any():
+            out_tabs.append(pa.table(
+                {"a": pa.array(np.full(int(oversized.sum()), -1), type=pa.int64()),
+                 "b": pa.array(bk[seg_start[oversized]], type=pa.int64()),
+                 "hamming": pa.array(-seg_sizes[oversized], type=pa.int64())}
+            ))
+        local_pos = np.arange(len(bk)) - seg_start[seg_id]
+        pairable = ~oversized[seg_id]
+        eff_pos = np.where(pairable, local_pos, 0)
+        total = int(eff_pos.sum())
+        if total:
+            b_idx = np.repeat(np.arange(len(bk)), eff_pos)
+            starts = np.repeat(seg_start[seg_id], eff_pos)
+            csum = np.concatenate(([0], np.cumsum(eff_pos)))
+            within = np.arange(total) - np.repeat(csum[:-1], eff_pos)
+            a_idx = starts + within
+            dist = _popcount64(h[a_idx] ^ h[b_idx])
+            keep = dist <= max_hamming
+            out_tabs.append(pa.table(
+                {"a": pa.array(d[a_idx][keep], type=pa.int64()),
+                 "b": pa.array(d[b_idx][keep], type=pa.int64()),
+                 "hamming": pa.array(dist[keep], type=pa.int64())}
+            ))
+        return pa.concat_tables(out_tabs) if out_tabs else empty
+
+    from smse_backend_ray.functions.joins import _bucket_of, _n_buckets
+
+    nbk = _n_buckets()
+
+    def fatten(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__fb", pa.array(_bucket_of(t, ["bkey"], nbk), type=pa.int64())
         )
 
-    from ray.data.aggregate import Min
-
-    pairs_ds = (
+    pairs_ds = _grouped_agg(
         _read_documents(sf_dir)
         .map_batches(sh_batch, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bkey")
-        .map_groups(pair_group, batch_format="pyarrow")
-        # a pair can surface from up to 4 chunks: distributed dedupe
-        .groupby(["a", "b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        .map_batches(fatten, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__fb")
+        .map_groups(pair_group, batch_format="pyarrow"),
+        # a pair can surface from up to 4 chunks: distributed dedupe (the
+        # min is chunk-independent — hamming is a pair property)
+        ["a", "b"],
+        [("hamming", "min", "hamming")],
     )
     t = collect_table(pairs_ds)
     markers = t.filter(pc.equal(t["a"], -1))

@@ -171,3 +171,34 @@ def test_events_joins_adversarial_ts(ray_session, tmp_path_factory):
     want = con.sql(events.sliding_window_agg_sql()).arrow()
     assert got.to_pylist() == want.to_pylist()
     con.close()
+
+
+def test_simhash_oversized_bucket_cap(ray_session, tmp_path_factory):
+    """250 identical docs blow the SIMHASH_BUCKET_CAP in every chunk bucket:
+    the pairs are dropped WITH a logged marker (never silently), matching
+    the SQL twin which excludes oversized buckets entirely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import dedup
+
+    n = 250
+    d = tmp_path_factory.mktemp("cap_docs")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(["identical text body here"] * n),
+            "lang": pa.array(["en"] * n),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = dedup.simhash_pairs(str(d))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}')"
+    )
+    want = con.sql(sqlgen.simhash_pairs_sql()).arrow()
+    assert got.to_pylist() == want.to_pylist() == []
+    con.close()
