@@ -387,7 +387,15 @@ def jaccard_pairs(
 # MinHash + LSH near-dup (scale path; verified against exact Jaccard)
 # ---------------------------------------------------------------------------
 
+_MINHASH_C1 = np.array(
+    [0x9E3779B97F4A7C15 * (p + 1) & 0xFFFFFFFFFFFFFFFF for p in range(MINHASH_PERMS)],
+    dtype=np.uint64,
+)
+_MINHASH_C2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
 def _minhash_sig(shingles: list[str]) -> np.ndarray | None:
+    """Scalar reference (frozen; _minhash_sig_batch must match bitwise)."""
     if not shingles:
         return None
     # deterministic hash per (perm, shingle): md5(perm || shingle) first 8B
@@ -406,6 +414,36 @@ def _minhash_sig(shingles: list[str]) -> np.ndarray | None:
         x ^= x >> np.uint64(31)
         sig[p] = x.min()
     return sig
+
+
+def _minhash_sig_batch(shingle_lists: list[list[str]]) -> np.ndarray:
+    """Vectorized signatures for a whole batch: ONE (rows x 64) permutation
+    matrix + per-doc minimum.reduceat, instead of 64 tiny numpy ops per doc.
+    Returns (n_docs, 64) uint64; rows for shingle-less docs are all-ones
+    (the scalar path's None). Bitwise-equal to _minhash_sig (tested)."""
+    counts = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64,
+                         count=len(shingle_lists))
+    out = np.full((len(shingle_lists), MINHASH_PERMS),
+                  np.iinfo(np.uint64).max, dtype=np.uint64)
+    total = int(counts.sum())
+    if not total:
+        return out
+    base = np.fromiter(
+        (
+            struct.unpack("<Q", hashlib.md5(s.encode()).digest()[:8])[0]
+            for lst in shingle_lists
+            for s in lst
+        ),
+        dtype=np.uint64,
+        count=total,
+    )
+    x = base[:, None] ^ _MINHASH_C1[None, :]
+    x = x * _MINHASH_C2  # uint64 wraps mod 2^64
+    x ^= x >> np.uint64(31)
+    nz = counts > 0
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1][nz]
+    out[nz] = np.minimum.reduceat(x, offsets, axis=0)
+    return out
 
 
 def minhash_lsh_pairs(
@@ -433,12 +471,14 @@ def minhash_lsh_pairs(
     from ray.data.aggregate import Count
 
     def band_rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        lists = [doc_shingles(x) for x in texts]
+        sigs = _minhash_sig_batch(lists)  # one matrix op for the whole batch
+        r = MINHASH_PERMS // LSH_BANDS
         dids, keys = [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = _minhash_sig(doc_shingles(text))
-            if sig is None:
+        for did, lst, sig in zip(t["doc_id"].to_pylist(), lists, sigs):
+            if not lst:
                 continue
-            r = MINHASH_PERMS // LSH_BANDS
             for b in range(LSH_BANDS):
                 h = hashlib.md5(sig[b * r : (b + 1) * r].tobytes()).hexdigest()[:16]
                 dids.append(did)

@@ -27,6 +27,26 @@ def test_minhash_lsh_matches_exact_jaccard(ray_session, sf_dir):
     assert je == jl
 
 
+def test_minhash_sig_batch_matches_scalar():
+    """The batched signature path is bitwise-equal to the frozen scalar
+    _minhash_sig, including empty docs interleaved between non-empty ones."""
+    lists = [
+        ["a b c", "b c d", "c d e"],
+        [],
+        ["x y z"],
+        [],
+        ["a b c"],
+        ["zzz " * 3, "q w e", "naïve café x"],
+    ]
+    got = dedup._minhash_sig_batch(lists)
+    for i, lst in enumerate(lists):
+        want = dedup._minhash_sig(lst)
+        if want is None:
+            assert (got[i] == np.iinfo(np.uint64).max).all()
+        else:
+            assert (got[i] == want).all()
+
+
 def test_simhash_properties():
     a = "the quick brown fox jumps over the lazy dog " * 5
     b = a.replace("lazy", "sleepy")
