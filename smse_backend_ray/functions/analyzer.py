@@ -135,6 +135,38 @@ def term_counts_batch(content) -> tuple:
     return terms, tfs
 
 
+def subtokens_batch(content):
+    """Vectorized split_subtokens over a string Array/ChunkedArray ->
+    list<string> of raw subtokens per row (steps 1-4 + split, empties
+    dropped). Same Arrow C++ chain as term_counts_batch minus the filter/
+    count stages; bitwise-equal per row to the scalar split_subtokens
+    (parity-fuzzed)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(content, "")
+    s = pc.replace_substring_regex(s, pattern=r"[^A-Za-z0-9]+", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1 \2")
+    s = pc.replace_substring_regex(s, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1 \2")
+    s = pc.utf8_lower(s)
+    toks = pc.split_pattern(s, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    n = len(toks)
+    doc_idx = np.repeat(
+        np.arange(n, dtype=np.int64), np.diff(np.asarray(toks.offsets))
+    )
+    keep = pc.greater(pc.binary_length(flat), 0)
+    km = keep.to_numpy(zero_copy_only=False)
+    counts = np.bincount(doc_idx[km], minlength=n)
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(counts))).astype(np.int32), type=pa.int32()
+    )
+    return pa.ListArray.from_arrays(offsets, flat.filter(keep))
+
+
 def analyze_query(text: str) -> dict[str, int]:
     """Query-side analysis: term -> query-term-frequency (qtf).
 

@@ -125,14 +125,53 @@ def exact_dedup(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def _shingle_rows(t: pa.Table) -> pa.Table:
-    ids, shs = [], []
-    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        for s in doc_shingles(text):
-            ids.append(did)
-            shs.append(s)
-    return pa.table(
-        {"doc_id": pa.array(ids, type=pa.int64()), "shingle": pa.array(shs)}
+    """(doc_id, shingle) rows, DISTINCT per doc — fully vectorized: the
+    Arrow-C++ subtoken split, k-gram strings via one join over shifted
+    flat-token views (masked at doc boundaries), and the per-doc distinct
+    via a C++ group_by. Row ORDER differs from the scalar doc_shingles
+    (consumers are all groupbys/aggregates — order-free; the parity test
+    compares as sets)."""
+    from smse_backend_ray.functions.analyzer import subtokens_batch
+
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()), "shingle": pa.array([], type=pa.string())}
     )
+    toks = subtokens_batch(t["text"])
+    flat = toks.values
+    total = len(flat)
+    if total < SHINGLE_K:
+        # tiny batch: scalar fallback keeps the edge cases trivial
+        ids, shs = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for s in doc_shingles(text):
+                ids.append(did)
+                shs.append(s)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "shingle": pa.array(shs)}
+        ) if ids else empty
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    counts = np.diff(off)
+    doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), counts)
+    n_grams = total - (SHINGLE_K - 1)
+    parts = [flat.slice(i, n_grams) for i in range(SHINGLE_K)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    # a gram starting at flat position i is valid iff all K tokens belong to
+    # the same doc: local position <= count(doc) - K
+    local = np.arange(total) - off[doc_idx]
+    valid = (local[:n_grams] <= counts[doc_idx[:n_grams]] - SHINGLE_K)
+    if not valid.any():
+        return empty
+    vm = pa.array(valid)
+    dids = pa.array(
+        t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx[:n_grams][valid]],
+        type=pa.int64(),
+    )
+    distinct = (
+        pa.table({"doc_id": dids, "shingle": grams.filter(vm)})
+        .group_by(["doc_id", "shingle"])
+        .aggregate([])
+    )
+    return distinct
 
 
 # JACCARD_SHINGLE_DF_CAP (imported from config.py — single-sourced with the

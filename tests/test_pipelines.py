@@ -27,6 +27,21 @@ def test_minhash_lsh_matches_exact_jaccard(ray_session, sf_dir):
     assert je == jl
 
 
+def test_shingle_rows_matches_scalar():
+    """Vectorized shingle emission == scalar doc_shingles per doc as a SET
+    (row order is free — all consumers aggregate)."""
+    import pyarrow as pa
+
+    texts = ["the quick brown fox", "a b", "", "x " * 40,
+             "naïve café über tokyo one two three", "a b c"]
+    ids = [7, 3, 9, 1, 4, 2]
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+    got = dedup._shingle_rows(t)
+    gset = set(zip(got["doc_id"].to_pylist(), got["shingle"].to_pylist()))
+    want = {(d, s) for d, x in zip(ids, texts) for s in dedup.doc_shingles(x)}
+    assert gset == want and got.num_rows == len(want)
+
+
 def test_minhash_sig_batch_matches_scalar():
     """The batched signature path is bitwise-equal to the frozen scalar
     _minhash_sig, including empty docs interleaved between non-empty ones."""
