@@ -51,6 +51,13 @@ STOPWORDS = frozenset(ENGLISH_STOPWORDS) | frozenset(CODE_KEYWORDS)
 # rule). Bounds per-shingle pair emission at cap^2/2.
 JACCARD_SHINGLE_DF_CAP = 256
 
+# Hot-shingle exclusion strategy switch (pipelines/dedup._drop_hot_stage):
+# hot sets at or under this size broadcast once as an Arrow array
+# (pc.is_in per batch); larger sets use a distributed bucketed anti-join so
+# no driver-held structure scales with vocabulary. Not semantic — both
+# paths produce identical output (tested).
+HOT_SHINGLE_BROADCAST_MAX = 65536
+
 # SimHash near-dup parameters (engine pipelines/dedup.py AND the DuckDB
 # oracle functions/sqlgen.py mirror these — single-sourced here per the
 # lockstep rule). Banding buckets larger than the cap are skipped (logged);

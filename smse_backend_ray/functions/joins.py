@@ -42,11 +42,25 @@ def _n_buckets() -> int:
     return max(16, 8 * cpus)
 
 
+def hash_strings(col, seed: int = 0):
+    """Vectorized 64-bit hash of an Arrow string column -> np.uint64 array
+    (polars' Rust hash; one C call). Replaces the Python-per-row crc32 that
+    taxed the map side of every dedup exchange. Bucket assignment only needs
+    within-run consistency, so the hash function is NOT frozen — exchange
+    outputs are exact per bucket regardless of placement."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pl.from_arrow(col).hash(seed=seed).to_numpy().astype(np.uint64)
+
+
 def _bucket_of(table, keys, nb):
     """Deterministic per-row bucket from the key columns (int64: Knuth
-    multiplicative; string: crc32; xor-combined across columns)."""
-    import zlib
-
+    multiplicative; string: vectorized hash_strings; xor-combined across
+    columns)."""
     import numpy as np
     import pyarrow as pa
 
@@ -57,11 +71,7 @@ def _bucket_of(table, keys, nb):
             v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             hk = (v * np.uint64(2654435761)) & np.uint64(0xFFFFFFFFFFFFFFFF)
         else:
-            hk = np.fromiter(
-                (zlib.crc32(s.encode()) for s in col.to_pylist()),
-                dtype=np.uint64,
-                count=table.num_rows,
-            )
+            hk = hash_strings(col)
         rot = (i * 7) % 64
         if rot:
             hk = (hk << np.uint64(rot)) | (hk >> np.uint64(64 - rot))
@@ -69,7 +79,10 @@ def _bucket_of(table, keys, nb):
     return (h % np.uint64(nb)).astype(np.int64)
 
 
-def _bucketed_join(left, right, keys, left_schema, right_schema, joiner, nb=None):
+def _bucketed_join(
+    left, right, keys, left_schema, right_schema, joiner, nb=None,
+    keep_left_on_empty_right=False,
+):
     """Common machinery: tag rows with (bucket, side), union, groupby
     bucket, run ``joiner(left_tbl, right_tbl) -> Table`` per FAT group.
     Sides are reconstructed from a marker column; schema-less empty blocks
@@ -121,7 +134,7 @@ def _bucketed_join(left, right, keys, left_schema, right_schema, joiner, nb=None
         lmask = side == 0
         lt = g.filter(pa.array(lmask)).select(lnames)
         rt = g.filter(pa.array(~lmask)).select(rnames)
-        if lt.num_rows == 0 or rt.num_rows == 0:
+        if lt.num_rows == 0 or (rt.num_rows == 0 and not keep_left_on_empty_right):
             return out_schema.empty_table()
         return joiner(lt, rt)
 
@@ -180,6 +193,33 @@ def semi_join(left, right, keys, left_schema, nb=None):
         right_keys_only, batch_format="pyarrow", zero_copy_batch=True
     )
     return _bucketed_join(left, right_k, list(keys), left_schema, right_schema, joiner, nb=nb)
+
+
+def anti_join(left, right, keys, left_schema, nb=None):
+    """LEFT-ANTI join on ``keys`` (column names shared by both sides):
+    keep left rows whose key does NOT appear in right (bucketed; pyarrow
+    C++ 'left anti' per bucket). Buckets where the right side is empty
+    keep every left row. ``nb``: see _bucketed_join."""
+    import pyarrow as pa
+
+    right_schema = pa.schema([(k, left_schema.field(k).type) for k in keys])
+    lnames = [f.name for f in left_schema]
+
+    def joiner(lt: "pa.Table", rt: "pa.Table") -> "pa.Table":
+        return lt.join(rt, keys=list(keys), join_type="left anti").select(lnames)
+
+    def right_keys_only(t: "pa.Table") -> "pa.Table":
+        if t.num_columns == 0 or t.num_rows == 0:
+            return right_schema.empty_table()
+        return t.select(keys)
+
+    right_k = right.map_batches(
+        right_keys_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _bucketed_join(
+        left, right_k, list(keys), left_schema, right_schema, joiner, nb=nb,
+        keep_left_on_empty_right=True,
+    )
 
 
 def with_schema(ds, schema):

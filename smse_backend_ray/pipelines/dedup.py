@@ -29,7 +29,6 @@ from __future__ import annotations
 import hashlib
 import os
 import struct
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -39,6 +38,7 @@ import ray
 import ray.data
 
 from smse_backend_ray.config import (
+    HOT_SHINGLE_BROADCAST_MAX,
     JACCARD_SHINGLE_DF_CAP,
     SIMHASH_BUCKET_CAP,
     SIMHASH_MAX_HAMMING,
@@ -57,8 +57,10 @@ LSH_BANDS = 16  # 16 bands x 4 rows
 EMB_DUP_THRESHOLD = 0.4
 
 
+from smse_backend_ray.functions.joins import anti_join as _anti_join
 from smse_backend_ray.functions.joins import attach_unique as _attach_unique
 from smse_backend_ray.functions.joins import grouped_aggregate as _grouped_agg
+from smse_backend_ray.functions.joins import hash_strings as _hash_strings
 from smse_backend_ray.functions.joins import semi_join as _semi_join
 from smse_backend_ray.functions.joins import with_schema as _with_schema
 
@@ -224,13 +226,10 @@ def _pairs_within_key(ds, key_col: str):
     nb = _pair_groups_count()
 
     def bucket(t: pa.Table) -> pa.Table:
-        keys = t[key_col].to_pylist()
-        h = np.fromiter(
-            (zlib.crc32(k.encode()) for k in keys), dtype=np.int64, count=len(keys)
-        )
+        h = _hash_strings(t[key_col])
         return pa.table(
             {
-                "kb": pa.array(h % nb, type=pa.int64()),
+                "kb": pa.array((h % np.uint64(nb)).astype(np.int64), type=pa.int64()),
                 "k": t[key_col],
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
             }
@@ -342,41 +341,53 @@ def _score_jaccard(inter_ds, sizes_ds, threshold: float) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
 
 
-def _global_hot_shingles(sf_dir: str, df_cap: int, op: str) -> set[str]:
-    """Distributed global shingle-df pass -> the (tiny) set of shingles with
-    df > cap. Logged when non-empty — never a silent drop."""
-    from ray.data.aggregate import Count
-
+def _global_hot_shingles(sf_dir: str, df_cap: int, op: str):
+    """Distributed global shingle-df pass -> (materialized Dataset of
+    shingles with df > cap, their count). Logged when non-empty — never a
+    silent drop. Stays a DATASET: the hot set grows with corpus vocabulary
+    at fixed cap, so it must never be required to fit on the driver."""
     shingles = _read_documents(sf_dir).map_batches(
         _shingle_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    hot_t = collect_table(
-        _grouped_agg(shingles, ["shingle"], [("doc_id", "count", "df")]).filter(
-            expr=f"df > {df_cap}"
-        )
-    )
-    if hot_t.num_rows:
+    hot_ds = _with_schema(
+        _grouped_agg(shingles, ["shingle"], [("doc_id", "count", "df")])
+        .filter(expr=f"df > {df_cap}")
+        .select_columns(["shingle"]),
+        pa.schema([("shingle", pa.string())]),
+    ).materialize()
+    n_hot = hot_ds.count()
+    if n_hot:
         import logging
 
         logging.getLogger(__name__).warning(
             "%s: excluding %d shingles with df > %d from Jaccard sets",
-            op, hot_t.num_rows, df_cap,
+            op, n_hot, df_cap,
         )
-    return set(hot_t["shingle"].to_pylist())
+    return _compact(hot_ds), n_hot
 
 
-def _drop_hot_stage(ds, hot: set[str]):
-    """Filter (doc_id, shingle) rows against a broadcast hot-shingle set."""
-    if not hot:
+def _drop_hot_stage(ds, hot):
+    """Filter (doc_id, shingle) rows down to shingles NOT in the hot set.
+
+    Two shapes by hot-set size: a small set broadcasts once (`ray.put` of
+    an Arrow array, one `pc.is_in` C++ call per batch — no per-row Python);
+    past HOT_SHINGLE_BROADCAST_MAX it switches to a distributed bucketed
+    anti-join so no driver-held structure scales with vocabulary."""
+    hot_ds, n_hot = hot
+    if n_hot == 0:
         return ds
-    hot_ref = ray.put(hot)
+    shingle_schema = pa.schema([("doc_id", pa.int64()), ("shingle", pa.string())])
+    if n_hot <= HOT_SHINGLE_BROADCAST_MAX:
+        hot_arr = collect_table(hot_ds)["shingle"].combine_chunks()
+        hot_ref = ray.put(hot_arr)
 
-    def drop_hot(t: pa.Table) -> pa.Table:
-        h = ray.get(hot_ref)
-        mask = pa.array([s not in h for s in t["shingle"].to_pylist()])
-        return t.filter(mask)
+        def drop_hot(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(t["shingle"], value_set=ray.get(hot_ref)))
+            )
 
-    return ds.map_batches(drop_hot, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(drop_hot, batch_format="pyarrow", zero_copy_batch=True)
+    return _anti_join(ds, hot_ds, ["shingle"], shingle_schema)
 
 
 def jaccard_pairs(

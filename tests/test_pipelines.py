@@ -540,3 +540,91 @@ def test_hourly_agg_null_values(ray_session, tmp_path):
     want = con.sql(events.hourly_window_agg_sql()).arrow()
     con.close()
     assert got.to_pylist() == want.cast(got.schema).to_pylist()
+
+
+def test_drop_hot_stage_paths_agree(ray_session, monkeypatch):
+    """The broadcast (pc.is_in) and distributed anti-join shapes of the
+    hot-shingle filter are interchangeable: same surviving rows."""
+    import pyarrow as pa
+    import ray.data
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2, 2, 3, 3, 4], type=pa.int64()),
+            "shingle": pa.array(["hot a", "cold b", "hot a", "cold c",
+                                 "hot d", "cold b", "cold e"]),
+        }
+    )
+    hot = pa.table({"shingle": pa.array(["hot a", "hot d", "absent f"])})
+    ds = ray.data.from_arrow(rows).repartition(3)
+    hot_ds = ray.data.from_arrow(hot)
+
+    def run():
+        t = dedup.collect_table(
+            dedup._drop_hot_stage(ds, (hot_ds, hot.num_rows)),
+            empty_schema=rows.schema,
+        )
+        return sorted(zip(t["doc_id"].to_pylist(), t["shingle"].to_pylist()))
+
+    want = [(1, "cold b"), (2, "cold c"), (3, "cold b"), (4, "cold e")]
+    assert run() == want  # broadcast path (3 <= cap)
+    monkeypatch.setattr(dedup, "HOT_SHINGLE_BROADCAST_MAX", 0)
+    assert run() == want  # anti-join path
+    # empty hot set is a no-op stage
+    assert dedup._drop_hot_stage(ds, (hot_ds, 0)) is ds
+
+
+def test_anti_join_keeps_left_on_empty_right(ray_session):
+    """Bucketed left-anti join: buckets with no right rows keep every left
+    row (the _bucketed_join empty-side short-circuit must not drop them),
+    and a fully-empty right returns left unchanged."""
+    import pyarrow as pa
+    import ray.data
+
+    from smse_backend_ray.functions import joins
+
+    schema = pa.schema([("doc_id", pa.int64()), ("shingle", pa.string())])
+    left = pa.table(
+        {
+            "doc_id": pa.array(list(range(20)), type=pa.int64()),
+            "shingle": pa.array([f"s{i}" for i in range(20)]),
+        }
+    )
+    right = pa.table({"shingle": pa.array(["s3", "s7", "nope"])})
+
+    got = dedup.collect_table(
+        joins.anti_join(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right),
+            ["shingle"], schema, nb=8,
+        ),
+        empty_schema=schema,
+    )
+    assert sorted(got["doc_id"].to_pylist()) == [
+        i for i in range(20) if i not in (3, 7)
+    ]
+
+    got2 = dedup.collect_table(
+        joins.anti_join(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right.slice(0, 0)),
+            ["shingle"], schema, nb=8,
+        ),
+        empty_schema=schema,
+    )
+    assert sorted(got2["doc_id"].to_pylist()) == list(range(20))
+
+
+def test_hash_strings_vectorized():
+    """hash_strings is deterministic within a run, seed-sensitive, and
+    chunk-layout-independent (ChunkedArray vs flat Array)."""
+    import pyarrow as pa
+
+    from smse_backend_ray.functions.joins import hash_strings
+
+    vals = ["a", "b", "a", "", "longer shingle text here"]
+    flat = hash_strings(pa.array(vals))
+    chunked = hash_strings(pa.chunked_array([vals[:2], vals[2:]]))
+    assert flat.tolist() == chunked.tolist()
+    assert flat[0] == flat[2] and flat[0] != flat[1]
+    assert hash_strings(pa.array(vals), seed=1).tolist() != flat.tolist()
