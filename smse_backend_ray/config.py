@@ -65,6 +65,13 @@ HOT_SHINGLE_BROADCAST_MAX = 65536
 SIMHASH_BUCKET_CAP = 200
 SIMHASH_MAX_HAMMING = 3
 
+# Range-join per-time-bucket pair-expansion cap (pipelines/events.range_join,
+# same treatment as SIMHASH_BUCKET_CAP): a bucket whose window sweep would
+# emit more pairs than this is skipped and replaced by a marker row (logged,
+# never silent) — bounds the quadratic blowup of a pathological corpus where
+# every interval overlaps one window. Sized to never trip on time-local data.
+RANGE_JOIN_BUCKET_PAIR_CAP = 2_000_000
+
 
 # Language-ID marker words (textstats pipeline; frozen — the SQL oracle
 # inlines the same lists). Prediction: no ASCII tokens -> "zh"; zero marker

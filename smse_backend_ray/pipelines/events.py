@@ -21,6 +21,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from smse_backend_ray.config import RANGE_JOIN_BUCKET_PAIR_CAP
 from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.functions.rounding import round_half_away
 from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
@@ -464,6 +465,7 @@ def range_join(
     window_s: int = RANGE_JOIN_WINDOW_S,
     left_type: str = ASOF_LEFT_TYPE,
     right_type: str = ASOF_RIGHT_TYPE,
+    pair_cap: int = RANGE_JOIN_BUCKET_PAIR_CAP,
 ) -> pa.Table:
     """RANGE (interval) join ACROSS ALL USERS: every (left, right) event
     pair with 0 <= left.ts - right.ts <= window. No per-user key exists, so
@@ -523,8 +525,23 @@ def range_join(
         lo = np.searchsorted(rts, lts - w_us, side="left")
         hi = np.searchsorted(rts, lts, side="right")
         n = hi - lo
-        if not n.sum():
+        total = int(n.sum())
+        if not total:
             return empty
+        if total > pair_cap:
+            # pathological bucket (all intervals overlap one window): skip
+            # its pair expansion, emit a marker row the caller logs — the
+            # SIMHASH_BUCKET_CAP treatment. event_id=-1 flags the marker;
+            # match_event_id carries the bucket id, gap_us the -pair count.
+            return pa.table(
+                {
+                    "event_id": pa.array([-1], type=pa.int64()),
+                    "match_event_id": pa.array(
+                        [int(g["bucket"][0].as_py())], type=pa.int64()
+                    ),
+                    "gap_us": pa.array([-total], type=pa.int64()),
+                }
+            )
         le = np.repeat(leid, n)
         lt = np.repeat(lts, n)
         ridx = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi) if b > a])
@@ -544,6 +561,19 @@ def range_join(
         .map_groups(pair_bucket, batch_format="pyarrow")
     )
     t = collect_table(ds)
+    markers = t.filter(pc.equal(t["event_id"], -1))
+    if markers.num_rows:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "range_join: skipped %d oversized time buckets "
+            "(pair cap %d; %d pairs suppressed) — output incomplete in "
+            "those buckets",
+            markers.num_rows,
+            pair_cap,
+            -int(pc.sum(markers["gap_us"]).as_py()),
+        )
+        t = t.filter(pc.not_equal(t["event_id"], -1))
     return t.take(
         pc.sort_indices(
             t,

@@ -628,3 +628,48 @@ def test_hash_strings_vectorized():
     assert flat.tolist() == chunked.tolist()
     assert flat[0] == flat[2] and flat[0] != flat[1]
     assert hash_strings(pa.array(vals), seed=1).tolist() != flat.tolist()
+
+
+def test_range_join_bucket_pair_cap(ray_session, tmp_path, caplog):
+    """A pathological all-overlapping time bucket is capped: its pair
+    expansion is skipped with a logged marker, while sane buckets still
+    emit their exact pairs. Default cap never trips on this fixture."""
+    import logging
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    w_us = events.RANGE_JOIN_WINDOW_S * 1_000_000
+    base = 1_700_000_000_000_000  # µs; aligned far from bucket edges
+    base -= base % w_us
+    ts, etype, eid = [], [], []
+    # bucket A: 20 errors + 20 clicks interleaved inside one window
+    for i in range(20):
+        ts += [base + 1000 * (2 * i), base + 1000 * (2 * i + 1)]
+        etype += ["click", "error"]
+        eid += [2 * i, 2 * i + 1]
+    # bucket B (far away): one click then one error 1 s later -> 1 pair
+    far = base + 1000 * w_us
+    ts += [far, far + 1_000_000]
+    etype += ["click", "error"]
+    eid += [1000, 1001]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid, type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array([7] * len(eid), type=pa.int64()),
+            "event_type": pa.array(etype),
+            "value": pa.array([1.0] * len(eid)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    full = events.range_join(str(tmp_path))
+    # bucket A: error 2i+1 matches clicks 0..2i -> sum(i+1 for i in 0..19)
+    assert full.num_rows == sum(i + 1 for i in range(20)) + 1
+    with caplog.at_level(logging.WARNING, logger="smse_backend_ray.pipelines.events"):
+        capped = events.range_join(str(tmp_path), pair_cap=10)
+    assert capped.num_rows == 1  # only bucket B survives
+    assert capped["event_id"].to_pylist() == [1001]
+    assert capped["match_event_id"].to_pylist() == [1000]
+    assert any("skipped 1 oversized time buckets" in r.message for r in caplog.records)
