@@ -415,7 +415,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,   # rows-only (LSH recall)
         "dedup_simhash": dedup.simhash_pairs,           # rows-only (hash fn)
         "dedup_embedding": dedup.embedding_dup_pairs,
-        "dedup_embedding_ivf": dedup.embedding_dup_pairs_ivf,  # rows-only (blocking recall)
+        # rows-only in the gate, but SELF-VALIDATING: the entry asserts
+        # IVF pairs ⊆ exact pairs and recall ≥ IVF_DEDUP_RECALL_FLOOR
+        # before returning (raises on violation — the driver sees an error,
+        # not silently-wrong rows)
+        "dedup_embedding_ivf": dedup.embedding_dup_pairs_ivf_checked,
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_ivf_full_probe": lambda sf: simsearch.knn_ivf(sf, nprobe=16),
         "events_hourly_agg": events.hourly_window_agg,

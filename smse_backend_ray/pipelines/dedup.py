@@ -990,6 +990,38 @@ def embedding_dup_pairs_ivf(
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
 
 
+# recall the IVF blocking must clear vs the exact sweep on the gate corpus
+# (checked entry below + tests/test_pipelines.py — change both or neither)
+IVF_DEDUP_RECALL_FLOOR = 0.5
+
+
+def embedding_dup_pairs_ivf_checked(
+    sf_dir: str, threshold: float = EMB_DUP_THRESHOLD
+) -> pa.Table:
+    """Self-validating IVF near-dup entry: runs the IVF-blocked sweep AND
+    the exact sweep, then asserts the two invariants the SQL oracle cannot
+    express — (1) precision is exact (IVF pairs ⊆ exact pairs: every
+    returned cosine really clears the threshold) and (2) recall ≥
+    IVF_DEDUP_RECALL_FLOOR. The driver's rows-only gate therefore rides on
+    a checked output, not an unchecked one. Gate-scale only (the exact
+    sweep is O(N²) by definition); the unchecked embedding_dup_pairs_ivf
+    is the production path."""
+    ivf = embedding_dup_pairs_ivf(sf_dir, threshold)
+    exact = embedding_dup_pairs(sf_dir, threshold)
+    ip = set(zip(ivf["a"].to_pylist(), ivf["b"].to_pylist()))
+    ep = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    if ip - ep:
+        raise AssertionError(
+            f"IVF emitted {len(ip - ep)} pairs absent from the exact sweep"
+        )
+    recall = (len(ip & ep) / len(ep)) if ep else 1.0
+    if recall < IVF_DEDUP_RECALL_FLOOR:
+        raise AssertionError(
+            f"IVF blocking recall {recall:.3f} < floor {IVF_DEDUP_RECALL_FLOOR}"
+        )
+    return ivf
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clusters: connected components over verified pairs
 # ---------------------------------------------------------------------------

@@ -138,14 +138,16 @@ def test_embedding_dedup_block_invariant(ray_session, sf_dir):
 
 def test_embedding_dedup_ivf_blocking(ray_session, sf_dir):
     """IVF-bucketed blocking: exact precision (every returned pair really
-    clears the threshold) and usable recall vs the exact sweep."""
+    clears the threshold) and usable recall vs the exact sweep — asserted
+    by the self-validating checked entry (raises on either violation),
+    spot-verified here against the exact sweep directly."""
+    ivf = dedup.embedding_dup_pairs_ivf_checked(sf_dir)
     exact = dedup.embedding_dup_pairs(sf_dir)
-    ivf = dedup.embedding_dup_pairs_ivf(sf_dir)
     ep = _pairs(exact)
     ip = _pairs(ivf)
     assert not (ip - ep)  # precision 1.0
     if ep:
-        assert len(ep & ip) / len(ep) >= 0.5
+        assert len(ep & ip) / len(ep) >= dedup.IVF_DEDUP_RECALL_FLOOR
 
 
 def test_ivf_full_probe_equals_bruteforce(ray_session, sf_dir):
