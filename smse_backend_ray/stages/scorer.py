@@ -81,19 +81,29 @@ class ShardIndex:
             f"segments/shard_id={shard_id}", suffix=".parquet"
         )
         if seg_files:
-            seg = pa.concat_tables(
-                self._read_segment_file(ifs, f) for f in seg_files
-            ).combine_chunks()
+            if len(seg_files) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(8, len(seg_files))) as ex:
+                    parts = list(
+                        ex.map(lambda f: self._read_segment_file(ifs, f), seg_files)
+                    )
+            else:
+                parts = [self._read_segment_file(ifs, seg_files[0])]
+            seg = pa.concat_tables(parts).combine_chunks()
+            # the only full-vocabulary pass: one STABLE C++ sort by term
+            # (stability keeps generation order within a term — file order,
+            # which append_index relies on only for determinism of caches;
+            # scores are order-free across generations, disjoint doc sets).
+            # Term lookup is then a binary search over the sorted column —
+            # no Python-per-row dict build, which at real-corpus vocabulary
+            # (millions of terms) cost seconds per actor.
+            seg = seg.take(pa.compute.sort_indices(seg["term"])).combine_chunks()
+            self._terms_sorted = seg["term"].to_numpy(zero_copy_only=False)
         else:
             seg = None
+            self._terms_sorted = np.empty(0, dtype=object)
         self._seg = seg
-        # the only full-vocabulary pass: one string column -> row index.
-        # A term has ONE row per generation (base build = one generation;
-        # incremental appends add more, with disjoint doc sets).
-        self._term_rows: dict[str, list[int]] = {}
-        if seg is not None:
-            for i, t in enumerate(seg["term"].to_pylist()):
-                self._term_rows.setdefault(t, []).append(i)
         self._ent_cache: dict[str, list[dict]] = {}
         self._dec_cache: dict[str, tuple] = {}
 
@@ -106,8 +116,7 @@ class ShardIndex:
         ]
         if meta_files:
             m = pa.concat_tables(
-                ifs.read_table(f, columns=["doc_id", "repo", "path", "lang"])
-                for f in meta_files
+                ifs.read_tables(meta_files, columns=["doc_id", "repo", "path", "lang"])
             )
             order = pa.compute.sort_indices(m["doc_id"])
             m = m.take(order).combine_chunks()
@@ -144,10 +153,11 @@ class ShardIndex:
         ents = self._ent_cache.get(term)
         if ents is not None:
             return ents
-        rows = self._term_rows.get(term)
-        if rows is None:
+        lo = int(np.searchsorted(self._terms_sorted, term, side="left"))
+        hi = int(np.searchsorted(self._terms_sorted, term, side="right"))
+        if lo == hi:
             return None
-        ents = [{c: self._seg[c][i].as_py() for c in _ENTRY_COLS} for i in rows]
+        ents = [{c: self._seg[c][i].as_py() for c in _ENTRY_COLS} for i in range(lo, hi)]
         self._ent_cache[term] = ents
         return ents
 

@@ -143,6 +143,23 @@ class IndexFS:
 
         return pq.read_table(self._full(path), filesystem=self.fs, **kwargs)
 
+    def read_tables(self, paths, columns=None, max_workers: int = 8) -> list:
+        """Threaded multi-file parquet read, result order == input order.
+        The serve-path shard loader reads dozens of small per-wave files;
+        reading them sequentially dominated ShardIndex load (~0.15 s of
+        0.30 s per shard at 100k docs). Threads, not pads.dataset: the
+        pyarrow.dataset import drags in pandas (~0.35 s per actor worker),
+        the wrong trade for actor cold-start."""
+        paths = list(paths)
+        if not paths:
+            return []
+        if len(paths) == 1:
+            return [self.read_table(paths[0], columns=columns)]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(max_workers, len(paths))) as ex:
+            return list(ex.map(lambda p: self.read_table(p, columns=columns), paths))
+
     def write_table(self, table, rel: str, **kwargs) -> None:
         import pyarrow.parquet as pq
 
