@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from smse_backend_ray.pipelines import (
         dedup,
         events,
+        packing,
         relational,
         sampling,
         simsearch,
@@ -420,6 +421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # before returning (raises on violation — the driver sees an error,
         # not silently-wrong rows)
         "dedup_embedding_ivf": dedup.embedding_dup_pairs_ivf_checked,
+        "doc_substring_dup": dedup.substring_dup_stats,
+        "dedup_survivors": dedup.dedup_survivors,
+        "doc_pack_bins": packing.pack_bins,
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_ivf_full_probe": lambda sf: simsearch.knn_ivf(sf, nprobe=16),
         "events_hourly_agg": events.hourly_window_agg,
@@ -436,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_ray.functions import sqlgen
     from smse_backend_ray.pipelines import dedup as dedup_mod
     from smse_backend_ray.pipelines import events as events_mod
+    from smse_backend_ray.pipelines import packing as packing_mod
     from smse_backend_ray.pipelines import relational as relational_mod
     from smse_backend_ray.pipelines import sampling as sampling_mod
     from smse_backend_ray.pipelines import textstats as textstats_mod
@@ -506,6 +511,15 @@ def oracle_sql() -> dict[str, str]:
             dedup_mod.LSH_BANDS,
         ),
         "dedup_simhash": sqlgen.simhash_pairs_sql(),
+        "doc_substring_dup": sqlgen.substring_dup_sql(
+            dedup_mod.SUBSTR_DUP_K, dedup_mod.SUBSTR_DUP_MIN_DF
+        ),
+        "dedup_survivors": sqlgen.dedup_survivors_sql(
+            dedup_mod.JACCARD_THRESHOLD,
+            dedup_mod.SHINGLE_K,
+            dedup_mod.JACCARD_SHINGLE_DF_CAP,
+        ),
+        "doc_pack_bins": packing_mod.pack_bins_sql(),
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),

@@ -172,6 +172,34 @@ def attach_unique(left, right, lkey, rkey, left_schema, payload_schema, nb=None)
     )
 
 
+def attach_left(left, right, lkey, rkey, left_schema, payload_schema, nb=None):
+    """LEFT-OUTER-join a UNIQUE-keyed right payload onto left rows
+    (bucketed; pyarrow C++ 'left outer' per bucket). Every left row
+    survives; payload columns are null where the key has no right row
+    (including buckets whose right side is entirely empty). ``nb``: see
+    _bucketed_join — pass small for known-small inputs."""
+    import pyarrow as pa
+
+    lnames = [f.name for f in left_schema]
+    pnames = [f.name for f in payload_schema]
+    right_renamed = right.rename_columns({rkey: lkey}) if rkey != lkey else right
+    right_schema = pa.schema(
+        [(lkey, left_schema.field(lkey).type)] + list(payload_schema)
+    )
+
+    def joiner(lt: "pa.Table", rt: "pa.Table") -> "pa.Table":
+        rt = rt.rename_columns(
+            ["__rk" if n == lkey else n for n in rt.column_names]
+        )
+        j = lt.join(rt, keys=[lkey], right_keys=["__rk"], join_type="left outer")
+        return j.select(lnames + pnames)
+
+    return _bucketed_join(
+        left, right_renamed, [lkey], left_schema, right_schema, joiner, nb=nb,
+        keep_left_on_empty_right=True,
+    )
+
+
 def semi_join(left, right, keys, left_schema, nb=None):
     """LEFT-SEMI join on ``keys`` (column names shared by both sides):
     keep left rows whose key appears in right (bucketed; pyarrow C++

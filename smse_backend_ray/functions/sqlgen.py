@@ -700,6 +700,44 @@ FROM lbl ORDER BY doc_id
 """
 
 
+def substring_dup_sql(k: int, min_df: int) -> str:
+    """Exact-substring duplication twin (pipelines/dedup.substring_dup_stats
+    — frozen engine<->SQL pair: distinct word k-grams over the RAW subtoken
+    stream, a gram counts as duplicated when >= min_df distinct docs carry
+    it, dup_frac rounded 4, gram-less docs emit (0, 0, 0.0))."""
+    return f"""
+WITH {_shingles_cte(k).lstrip()},
+df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+per AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM shingles s JOIN df f USING (shingle) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_grams, 0) AS n_grams,
+       COALESCE(per.n_dup, 0) AS n_dup,
+       CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+            ELSE round(CAST(per.n_dup AS DOUBLE) / per.n_grams, 4) END AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def dedup_survivors_sql(
+    threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
+) -> str:
+    """Keep-list twin (pipelines/dedup.dedup_survivors): every doc except
+    the non-representative members of each near-dup cluster (representative
+    = cluster min doc_id = cluster_id)."""
+    inner = dedup_clusters_sql(threshold, k, df_cap)
+    return f"""
+WITH cl AS ({inner})
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id
+"""
+
+
 # cosine computed manually in DOUBLE — DuckDB's list_cosine_similarity runs
 # in float32, which cannot be oracled against at 4-decimal precision
 _EMB_UNNEST = (

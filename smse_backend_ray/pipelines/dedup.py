@@ -83,11 +83,11 @@ def _read_documents(sf_dir: str) -> "ray.data.Dataset":
     return ds.repartition(_parallel_blocks(_parquet_rows(path)))
 
 
-def doc_shingles(text: str) -> list[str]:
-    """Distinct word 3-gram shingles of the raw subtoken stream (sorted)."""
+def doc_shingles(text: str, k: int = SHINGLE_K) -> list[str]:
+    """Distinct word k-gram shingles of the raw subtoken stream (sorted)."""
     toks = split_subtokens(text or "")
     return sorted(
-        {" ".join(toks[i : i + SHINGLE_K]) for i in range(len(toks) - SHINGLE_K + 1)}
+        {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
     )
 
 
@@ -126,13 +126,13 @@ def exact_dedup(sf_dir: str) -> pa.Table:
 # exact n-gram Jaccard pairs (inverted shingle index)
 # ---------------------------------------------------------------------------
 
-def _shingle_rows(t: pa.Table) -> pa.Table:
-    """(doc_id, shingle) rows, DISTINCT per doc — fully vectorized: the
-    Arrow-C++ subtoken split, k-gram strings via one join over shifted
-    flat-token views (masked at doc boundaries), and the per-doc distinct
-    via a C++ group_by. Row ORDER differs from the scalar doc_shingles
-    (consumers are all groupbys/aggregates — order-free; the parity test
-    compares as sets)."""
+def _gram_rows(t: pa.Table, k: int) -> pa.Table:
+    """(doc_id, shingle) word-k-gram rows, DISTINCT per doc — fully
+    vectorized: the Arrow-C++ subtoken split, k-gram strings via one join
+    over shifted flat-token views (masked at doc boundaries), and the
+    per-doc distinct via a C++ group_by. Row ORDER differs from the scalar
+    doc_shingles (consumers are all groupbys/aggregates — order-free; the
+    parity test compares as sets)."""
     from smse_backend_ray.functions.analyzer import subtokens_batch
 
     empty = pa.table(
@@ -141,11 +141,11 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
     toks = subtokens_batch(t["text"])
     flat = toks.values
     total = len(flat)
-    if total < SHINGLE_K:
+    if total < k:
         # tiny batch: scalar fallback keeps the edge cases trivial
         ids, shs = [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            for s in doc_shingles(text):
+            for s in doc_shingles(text, k):
                 ids.append(did)
                 shs.append(s)
         return pa.table(
@@ -154,13 +154,13 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
     off = np.asarray(toks.offsets, dtype=np.int64)
     counts = np.diff(off)
     doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), counts)
-    n_grams = total - (SHINGLE_K - 1)
-    parts = [flat.slice(i, n_grams) for i in range(SHINGLE_K)]
+    n_grams = total - (k - 1)
+    parts = [flat.slice(i, n_grams) for i in range(k)]
     grams = pc.binary_join_element_wise(*parts, " ")
     # a gram starting at flat position i is valid iff all K tokens belong to
     # the same doc: local position <= count(doc) - K
     local = np.arange(total) - off[doc_idx]
-    valid = (local[:n_grams] <= counts[doc_idx[:n_grams]] - SHINGLE_K)
+    valid = (local[:n_grams] <= counts[doc_idx[:n_grams]] - k)
     if not valid.any():
         return empty
     vm = pa.array(valid)
@@ -174,6 +174,11 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
         .aggregate([])
     )
     return distinct
+
+
+def _shingle_rows(t: pa.Table) -> pa.Table:
+    """The Jaccard/minhash shingle stage: _gram_rows at the frozen SHINGLE_K."""
+    return _gram_rows(t, SHINGLE_K)
 
 
 # JACCARD_SHINGLE_DF_CAP (imported from config.py — single-sourced with the
@@ -1228,3 +1233,150 @@ def dedup_clusters(
         }
     )
     return out.take(pc.sort_indices(out["doc_id"]))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication coverage (per-doc duplicated-gram fraction)
+# ---------------------------------------------------------------------------
+
+SUBSTR_DUP_K = 6       # word 6-grams over the raw subtoken stream (frozen with SQL)
+SUBSTR_DUP_MIN_DF = 2  # a gram is "duplicated" when >= 2 distinct docs carry it
+
+
+def _read_doc_ids(sf_dir: str) -> "ray.data.Dataset":
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["doc_id"])
+    return ds.repartition(_parallel_blocks(_parquet_rows(path)))
+
+
+def substring_dup_stats(
+    sf_dir: str, k: int = SUBSTR_DUP_K, min_df: int = SUBSTR_DUP_MIN_DF
+) -> pa.Table:
+    """Exact-substring duplication coverage (the gram-level analog of the
+    suffix-array dedup in Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): for every doc, the fraction of its
+    distinct word k-grams that at least ``min_df`` distinct docs share.
+    Output: (doc_id, n_grams, n_dup, dup_frac rounded 4) for EVERY doc —
+    gram-less docs (fewer than k subtokens) emit (0, 0, 0.0). A training
+    pipeline thresholds dup_frac to drop boilerplate-heavy documents.
+
+    Scale shape — one tokenization pass, two exchanges, no driver state:
+      1. gram rows hash into fat buckets by gram string (a gram lives in
+         exactly ONE bucket, so within-bucket df IS global df); each bucket
+         computes df, flags duplicated grams with one C++ is_in, and
+         pre-aggregates per-doc (n_grams, n_dup) partials;
+      2. a grouped sum by doc_id merges the per-bucket partials;
+      3. a bucketed LEFT-OUTER join (joins.attach_left) attaches the
+         totals to the pruned doc_id read so gram-less docs survive with
+         zeros — never a driver-side dict of per-doc counts."""
+    from smse_backend_ray.functions.joins import attach_left as _attach_left
+
+    nb = _pair_groups_count()
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = _gram_rows(t, k)
+        h = _hash_strings(g["shingle"])
+        return pa.table(
+            {
+                "kb": pa.array((h % np.uint64(nb)).astype(np.int64), type=pa.int64()),
+                "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                "shingle": g["shingle"],
+            }
+        )
+
+    part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams_part", pa.int64()), ("n_dup_part", pa.int64())]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return part_schema.empty_table()
+        df = g.group_by("shingle").aggregate([("doc_id", "count")])
+        dup = df.filter(
+            pc.greater_equal(df["doc_id_count"], min_df)
+        )["shingle"].combine_chunks()
+        flag = pc.cast(pc.is_in(g["shingle"], value_set=dup), pa.int64())
+        per = (
+            pa.table({"doc_id": g["doc_id"], "dup": flag})
+            .group_by("doc_id")
+            .aggregate([("dup", "sum"), ("dup", "count")])
+        )
+        return pa.table(
+            {
+                "doc_id": per["doc_id"],
+                "n_grams_part": pc.cast(per["dup_count"], pa.int64()),
+                "n_dup_part": pc.cast(per["dup_sum"], pa.int64()),
+            }
+        )
+
+    grams = _read_documents(sf_dir).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_doc = _with_schema(
+        _grouped_agg(
+            grams.groupby("kb").map_groups(per_bucket, batch_format="pyarrow"),
+            ["doc_id"],
+            [("n_grams_part", "sum", "n_grams"), ("n_dup_part", "sum", "n_dup")],
+        ),
+        pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()), ("n_dup", pa.int64())]),
+    )
+    joined = _attach_left(
+        _read_doc_ids(sf_dir),
+        per_doc,
+        "doc_id",
+        "doc_id",
+        pa.schema([("doc_id", pa.int64())]),
+        pa.schema([("n_grams", pa.int64()), ("n_dup", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = pc.fill_null(t["n_grams"], 0).to_numpy(zero_copy_only=False)
+        nd = pc.fill_null(t["n_dup"], 0).to_numpy(zero_copy_only=False)
+        frac = np.zeros(len(ng), dtype=np.float64)
+        nz = ng > 0
+        frac[nz] = round_half_away(nd[nz].astype(np.float64) / ng[nz], 4)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(ng, type=pa.int64()),
+                "n_dup": pa.array(nd, type=pa.int64()),
+                "dup_frac": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    out = collect_table(
+        joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return out.take(pc.sort_indices(out["doc_id"]))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup survivors: the keep-list a training run actually materializes
+# ---------------------------------------------------------------------------
+
+
+def dedup_survivors(
+    sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> pa.Table:
+    """The corpus keep-list after near-dup clustering: every doc except the
+    non-representative members of each verified-Jaccard cluster (the
+    representative is the cluster min doc_id — dedup_clusters' cluster_id).
+    This is the table a training pipeline joins against to emit the
+    deduplicated corpus.
+
+    Scale shape: the loser set is candidate-bounded (rows of
+    dedup_clusters, never the corpus), shipped once into a distributed
+    bucketed anti-join against the pruned doc_id read — the corpus side
+    streams, nothing corpus-sized lands on the driver."""
+    clusters = dedup_clusters(sf_dir, threshold)
+    losers = clusters.filter(
+        pc.not_equal(clusters["doc_id"], clusters["cluster_id"])
+    ).select(["doc_id"])
+    schema = pa.schema([("doc_id", pa.int64())])
+    base = _read_doc_ids(sf_dir)
+    if losers.num_rows:
+        surv = _anti_join(base, ray.data.from_arrow(losers), ["doc_id"], schema)
+    else:
+        surv = base
+    t = collect_table(surv, empty_schema=schema)
+    return t.take(pc.sort_indices(t["doc_id"]))

@@ -675,3 +675,106 @@ def test_range_join_bucket_pair_cap(ray_session, tmp_path, caplog):
     assert capped["event_id"].to_pylist() == [1001]
     assert capped["match_event_id"].to_pylist() == [1000]
     assert any("skipped 1 oversized time buckets" in r.message for r in caplog.records)
+
+
+def test_substring_dup_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+
+    t = dedup.substring_dup_stats(sf_dir)
+    want = duck.sql(
+        sqlgen.substring_dup_sql(dedup.SUBSTR_DUP_K, dedup.SUBSTR_DUP_MIN_DF)
+    ).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # invariants: every doc appears once; n_dup <= n_grams; frac in [0, 1]
+    assert t.num_rows == len(set(t["doc_id"].to_pylist()))
+    nd, ng = np.asarray(t["n_dup"]), np.asarray(t["n_grams"])
+    assert (nd <= ng).all()
+    f = np.asarray(t["dup_frac"])
+    assert ((f >= 0) & (f <= 1)).all()
+    assert nd.sum() > 0  # word-soup corpus genuinely shares 6-grams
+
+
+def test_dedup_survivors_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+
+    surv = dedup.dedup_survivors(sf_dir)
+    want = duck.sql(
+        sqlgen.dedup_survivors_sql(
+            dedup.JACCARD_THRESHOLD, dedup.SHINGLE_K, dedup.JACCARD_SHINGLE_DF_CAP
+        )
+    ).arrow()
+    assert surv.to_pylist() == want.to_pylist()
+    # survivors = all docs minus cluster non-representatives; reps survive
+    cl = dedup.dedup_clusters(sf_dir)
+    losers = {
+        d for d, c in zip(cl["doc_id"].to_pylist(), cl["cluster_id"].to_pylist())
+        if d != c
+    }
+    reps = set(cl["cluster_id"].to_pylist())
+    s = set(surv["doc_id"].to_pylist())
+    assert s.isdisjoint(losers)
+    assert reps <= s
+    import pyarrow.parquet as pq
+
+    all_ids = set(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    assert s | losers == all_ids
+
+
+def test_pack_bins_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines import packing
+
+    t = packing.pack_bins(sf_dir)
+    want = duck.sql(packing.pack_bins_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # scan invariant: offsets are the exclusive prefix sum in doc_id order
+    nt = np.asarray(t["n_tokens"])
+    off = np.asarray(t["start_offset"])
+    assert off[0] == 0
+    assert (off[1:] == off[:-1] + nt[:-1]).all()
+    assert (np.asarray(t["bin"]) == off // packing.PACK_WINDOW).all()
+
+
+def test_pack_bins_partition_invariant(ray_session, sf_dir):
+    """The two-level scan's output is independent of the range count R."""
+    from smse_backend_ray.pipelines import packing
+
+    a = packing.pack_bins(sf_dir, n_ranges=3)
+    b = packing.pack_bins(sf_dir, n_ranges=17)
+    assert a.to_pylist() == b.to_pylist()
+
+
+def test_attach_left_semantics(ray_session):
+    """attach_left: every left row survives; payload null where unmatched;
+    empty right side keeps all left rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from smse_backend_ray.functions.joins import attach_left
+
+    lschema = pa.schema([("k", pa.int64()), ("x", pa.string())])
+    pschema = pa.schema([("v", pa.int64())])
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "x": pa.array(list("abcd"))})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"kk": pa.array([2, 4], type=pa.int64()),
+                  "v": pa.array([20, 40], type=pa.int64())})
+    )
+    from smse_backend_ray.functions.collect import collect_table
+
+    out = collect_table(attach_left(left, right, "k", "kk", lschema, pschema, nb=4))
+    rows = {r["k"]: (r["x"], r["v"]) for r in out.to_pylist()}
+    assert rows == {1: ("a", None), 2: ("b", 20), 3: ("c", None), 4: ("d", 40)}
+
+    empty_right = ray.data.from_arrow(
+        pa.table({"kk": pa.array([], type=pa.int64()),
+                  "v": pa.array([], type=pa.int64())})
+    )
+    out2 = collect_table(
+        attach_left(left, empty_right, "k", "kk", lschema, pschema, nb=4)
+    )
+    assert sorted(r["k"] for r in out2.to_pylist()) == [1, 2, 3, 4]
+    assert all(r["v"] is None for r in out2.to_pylist())
