@@ -18,8 +18,9 @@ produce and parse:
          frames) — a stand-in for an ffmpeg demuxer with the same stage
          signature
 
-Payloads in other formats (MP3/MP4 — magic detected) raise
-NotImplementedError naming the missing library (PIL/torchaudio/ffmpeg);
+MP3 payloads get REAL header-level metadata (duration/frames/rate via
+stages/mp3.py frame walking) but no waveform decode; MP4 payloads (magic
+detected) raise NotImplementedError naming the missing library (ffmpeg);
 a real deployment drops those decoders into the same ``DecodeMedia`` /
 ``ExtractFeatures`` actor-pool stages without touching the Ray plumbing.
 ``deterministic_fake=True`` keeps the round-1 hash-derived metadata path for
@@ -377,9 +378,14 @@ def synth_media_table(n: int) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 _FOREIGN_MAGIC = {
-    b"ID3": "MP3 (needs torchaudio)",
     b"\x00\x00\x00\x18ftyp": "MP4 (needs ffmpeg)",
 }
+
+
+def _looks_like_mp3(payload: bytes) -> bool:
+    return payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    )
 
 
 def _foreign_format(payload: bytes) -> str | None:
@@ -412,6 +418,16 @@ class DecodeMedia:
 
     @staticmethod
     def _decode_audio(payload: bytes) -> dict:
+        if _looks_like_mp3(payload):
+            # header-level probe (stages/mp3.py): duration/frames are real;
+            # PCM decode of MP3 remains NotImplemented (ExtractFeatures)
+            from smse_backend_ray.stages.mp3 import mp3_probe
+
+            meta = mp3_probe(payload)
+            return {
+                "width": 0, "height": 0,
+                "duration_s": meta["duration_s"], "frames": meta["n_frames"],
+            }
         rate, samples = decode_wav(payload)
         return {
             "width": 0, "height": 0,
@@ -492,6 +508,12 @@ class ExtractFeatures:
             w, h, px = decode_image_any(payload)
             return self._image_vec(px, w, h)
         if kind == "audio":
+            if _looks_like_mp3(payload):
+                raise NotImplementedError(
+                    "MP3 waveform decode is not available in this environment "
+                    "(no DSP library for the Layer III filterbank); header "
+                    "metadata is available via stages.mp3.mp3_probe"
+                )
             rate, s = decode_wav(payload)
             f = s.astype(np.float64) / 32768.0
             rms = float(np.sqrt((f * f).mean())) if f.size else 0.0

@@ -65,7 +65,22 @@ def test_decode_real_metadata():
 
 def test_decode_foreign_format_raises():
     dec = DecodeMedia()
+    # MP4 stays an honest NotImplementedError
     t = pa.table(
+        {
+            "media_id": pa.array([0], type=pa.int64()),
+            "kind": pa.array(["video"]),
+            "payload": pa.array(
+                [b"\x00\x00\x00\x18ftypisom more bytes"], type=pa.binary()
+            ),
+            "meta": pa.array(["{}"]),
+        }
+    )
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        dec(t)
+    # MP3-tagged payloads now go through the frame prober; a tag with no
+    # valid frame behind it is a data error, not a missing capability
+    t2 = pa.table(
         {
             "media_id": pa.array([0], type=pa.int64()),
             "kind": pa.array(["audio"]),
@@ -73,8 +88,8 @@ def test_decode_foreign_format_raises():
             "meta": pa.array(["{}"]),
         }
     )
-    with pytest.raises(NotImplementedError, match="torchaudio"):
-        dec(t)
+    with pytest.raises(ValueError, match="no valid MPEG"):
+        dec(t2)
 
 
 def test_decode_fake_deterministic():
@@ -259,3 +274,79 @@ def test_audio_pipeline_actor_pool(ray_session):
     assert rate == AUDIO_TARGET_RATE and len(s) == t["n_samples_out"][0].as_py()
     # trim+resample accounting holds: out = round(trimmed * target/in_rate)
     assert all(n >= 0 for n in t["n_samples_out"].to_pylist())
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame prober (stages/mp3.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_probe_synthetic_cbr():
+    from smse_backend_ray.stages.mp3 import make_mp3_frame, mp3_probe
+
+    stream = make_mp3_frame(kbps=128, rate=44100) * 10
+    m = mp3_probe(stream)
+    assert m["n_frames"] == 10
+    assert m["sample_rate"] == 44100
+    assert m["bitrate_kbps"] == 128
+    assert m["channels"] == 2
+    assert not m["vbr"]
+    assert abs(m["duration_s"] - 10 * 1152 / 44100) < 1e-3
+
+
+def test_mp3_probe_vbr_padding_mono_id3():
+    from smse_backend_ray.stages.mp3 import make_mp3_frame, mp3_probe
+
+    frames = (
+        make_mp3_frame(kbps=128, rate=48000, mono=True)
+        + make_mp3_frame(kbps=192, rate=48000, mono=True, pad=True)
+        + make_mp3_frame(kbps=320, rate=48000, mono=True)
+    )
+    # ID3v2 header: 'ID3' + v2.3 + flags 0 + syncsafe size 100
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+    m = mp3_probe(id3 + frames)
+    assert m["n_frames"] == 3
+    assert m["vbr"] and m["channels"] == 1 and m["sample_rate"] == 48000
+    assert abs(m["duration_s"] - 3 * 1152 / 48000) < 1e-3
+
+
+def test_mp3_probe_rejects_garbage():
+    import pytest as _pytest
+
+    from smse_backend_ray.stages.mp3 import mp3_probe
+
+    with _pytest.raises(ValueError):
+        mp3_probe(b"\x00" * 4096)
+
+
+def test_mp3_probe_real_file():
+    """Real-world MP3 shipped as public test data in the container image
+    (gsutil's test fixtures); skipped when the image layout changes."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+    if not os.path.exists(path):
+        _pytest.skip("container test mp3 not present")
+    from smse_backend_ray.stages.mp3 import mp3_probe
+
+    with open(path, "rb") as f:
+        m = mp3_probe(f.read())
+    assert m["n_frames"] >= 1
+    assert m["duration_s"] > 0
+    assert m["sample_rate"] in (8000, 11025, 12000, 16000, 22050, 24000, 32000, 44100, 48000)
+    assert m["layer"] in (1, 2, 3)
+
+
+def test_decode_media_probes_mp3_and_features_stay_honest():
+    import pytest as _pytest
+
+    from smse_backend_ray.stages.mp3 import make_mp3_frame
+    from smse_backend_ray.stages.multimodal import DecodeMedia, ExtractFeatures
+
+    payload = make_mp3_frame() * 5
+    meta = DecodeMedia()._decode_one("audio", payload)
+    assert meta["frames"] == 5 and meta["duration_s"] > 0
+    with _pytest.raises(NotImplementedError):
+        ExtractFeatures()._features_one("audio", payload)
