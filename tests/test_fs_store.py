@@ -108,3 +108,29 @@ def test_indexfs_location_forms(tmp_path):
     c.write_json_atomic("m.json", {"k": 1})
     assert c.read_json("m.json") == {"k": 1}
     assert IndexFS(c).root == c.root  # idempotent wrap
+
+
+def test_read_tables_order_and_edges(tmp_path):
+    """Threaded multi-file read returns tables in INPUT order (the shard
+    loader zips them against wave metadata), honors column pruning, and
+    handles the 0/1-file edges without spawning a pool."""
+    import pyarrow as pa
+
+    ifs = IndexFS(str(tmp_path / "idx"))
+    ifs.mkdirs("d")
+    for i in range(12):
+        ifs.write_table(
+            pa.table({"i": pa.array([i] * 3, type=pa.int64()),
+                      "x": pa.array([f"v{i}"] * 3)}),
+            f"d/part_{i:02d}.parquet",
+        )
+    paths = [f"d/part_{i:02d}.parquet" for i in range(12)]
+    tabs = ifs.read_tables(paths, columns=["i"])
+    assert [t["i"][0].as_py() for t in tabs] == list(range(12))
+    assert all(t.column_names == ["i"] for t in tabs)
+    assert ifs.read_tables([]) == []
+    one = ifs.read_tables([paths[7]])
+    assert len(one) == 1 and one[0]["i"][0].as_py() == 7
+    # shuffled input order is preserved, not path-sorted
+    rev = ifs.read_tables(list(reversed(paths)))
+    assert [t["i"][0].as_py() for t in rev] == list(range(11, -1, -1))
