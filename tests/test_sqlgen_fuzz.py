@@ -31,6 +31,9 @@ ADVERSARIAL_TEXTS = [
     "zzz " * 40,                            # one token repeated
     "0 1 2 33 444 5555",                    # digit runs
     "sample query sample query extra",      # decontamination hit
+    # two docs sharing an 8-token run -> cross-doc 6-gram duplication signal
+    "alpha beta gamma delta epsilon zeta eta theta repeated",
+    "prefix alpha beta gamma delta epsilon zeta eta theta suffix",
 ]
 
 
@@ -202,3 +205,38 @@ def test_simhash_oversized_bucket_cap(ray_session, tmp_path_factory):
     want = con.sql(sqlgen.simhash_pairs_sql()).arrow()
     assert got.to_pylist() == want.to_pylist() == []
     con.close()
+
+
+def test_substring_dup_adversarial(ray_session, adv_dir, adv_duck):
+    t = dedup.substring_dup_stats(adv_dir)
+    want = adv_duck.sql(
+        sqlgen.substring_dup_sql(dedup.SUBSTR_DUP_K, dedup.SUBSTR_DUP_MIN_DF)
+    ).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # the planted shared 8-token run produces real cross-doc 6-gram dups
+    assert sum(t["n_dup"].to_pylist()) > 0
+    # short/empty docs emit the (0, 0, 0.0) row, not a missing row
+    by_id = {r["doc_id"]: r for r in t.to_pylist()}
+    assert by_id[0] == {"doc_id": 0, "n_grams": 0, "n_dup": 0, "dup_frac": 0.0}
+
+
+def test_dedup_survivors_adversarial(ray_session, adv_dir, adv_duck):
+    t = dedup.dedup_survivors(adv_dir)
+    want = adv_duck.sql(
+        sqlgen.dedup_survivors_sql(
+            dedup.JACCARD_THRESHOLD, dedup.SHINGLE_K, dedup.JACCARD_SHINGLE_DF_CAP
+        )
+    ).arrow()
+    assert t.to_pylist() == want.to_pylist()
+
+
+def test_pack_bins_adversarial(ray_session, adv_dir, adv_duck):
+    from smse_backend_ray.pipelines import packing
+
+    t = packing.pack_bins(adv_dir)
+    want = adv_duck.sql(packing.pack_bins_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # zero-token docs occupy zero width: next offset equals theirs
+    rows = t.to_pylist()
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_offset"] == a["start_offset"] + a["n_tokens"]
