@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_preview": textstats.preview,
         "doc_validate": lambda sf: textstats.validate(_index_for(sf)),
         "doc_repetition": textstats.repetition,
+        "doc_logprob": textstats.unigram_logprob,
         "doc_decontaminate": textstats.decontaminate,
         "events_asof_join": events.asof_join,
         "events_range_join": events.range_join,
@@ -484,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_preview": sqlgen.preview_sql(),
         "doc_repetition": sqlgen.repetition_sql(textstats_mod.REP_GRAM_K),
+        "doc_logprob": sqlgen.unigram_logprob_sql(),
         "doc_decontaminate": sqlgen.decontaminate_sql(
             [part for q in ALL_QUERIES for part in q.parts],
             textstats_mod.REP_GRAM_K,

@@ -348,6 +348,30 @@ ORDER BY d.doc_id
 """
 
 
+def unigram_logprob_sql() -> str:
+    """Unigram-LM twin (textstats.unigram_logprob — frozen pair: kept-token
+    stream, p(term) = tf_corpus/total as DOUBLE division, ln, per-doc mean
+    rounded 4, dl=0 docs emit (0, 0.0))."""
+    return f"""
+WITH kept AS ({_doc_kept_tokens()}),
+dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM kept GROUP BY doc_id, term),
+freq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf_corpus FROM dt GROUP BY term),
+tot AS (SELECT CAST(SUM(tf_corpus) AS DOUBLE) AS t FROM freq),
+per AS (
+  SELECT dt.doc_id, CAST(SUM(dt.tf) AS BIGINT) AS dl,
+         SUM(dt.tf * ln(CAST(dt2.tf_corpus AS DOUBLE) / tot.t)) AS lp
+  FROM dt JOIN freq dt2 USING (term) CROSS JOIN tot
+  GROUP BY dt.doc_id
+)
+SELECT d.doc_id, COALESCE(per.dl, 0) AS dl,
+       CASE WHEN COALESCE(per.dl, 0) = 0 THEN 0.0
+            ELSE round(per.lp / per.dl, 4) END AS avg_logprob
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def lang_id_sql() -> str:
     from smse_backend_ray.config import LANG_MARKERS
 

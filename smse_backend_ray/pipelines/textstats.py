@@ -405,3 +405,147 @@ def decontaminate(sf_dir: str) -> pa.Table:
         )
     )
     return out.take(pa.compute.sort_indices(out["doc_id"]))
+
+
+# ---------------------------------------------------------------------------
+# unigram LM average log-probability (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def _term_rows_batch(batch: pa.Table) -> pa.Table:
+    """Exploded (doc_id, term, tf) rows over the KEPT token stream — the
+    vectorized term_counts_batch output flattened (tf aligns with dl)."""
+    from smse_backend_ray.functions.analyzer import term_counts_batch
+    import pyarrow.compute as pc
+
+    terms, tfs = term_counts_batch(batch["text"])
+    counts = np.diff(np.asarray(terms.offsets, dtype=np.int64))
+    doc_ids = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False), counts
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "term": terms.values,
+            "tf": pc.cast(tfs.values, pa.int64()),
+        }
+    )
+
+
+def unigram_logprob(sf_dir: str) -> pa.Table:
+    """Per-doc average unigram log-probability under the corpus's own
+    unigram LM (the CCNet / Wenzek-et-al quality signal: low avg log-prob =
+    rare-token-heavy text a pipeline flags or buckets):
+
+        p(term)    = tf_corpus(term) / total_kept_tokens
+        avg_lp(d)  = round( Σ_t tf_d(t)·ln p(t) / dl(d), 4 )   (0.0 if dl=0)
+
+    Scale shape — the corpus streams twice, no driver vocab:
+      pass 1 builds the vocab-sized (term, tf_corpus) Dataset via a bucketed
+      grouped sum; the only driver scalar is the total token count. Pass 2
+      re-explodes doc terms and attaches tf_corpus with a bucketed join on
+      term (the LM stays distributed — vocabulary never lands on the
+      driver), then per-doc sums reduce by doc_id."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.functions.joins import (
+        attach_left,
+        attach_unique,
+        grouped_aggregate,
+        with_schema,
+    )
+
+    freq_schema = pa.schema([("term", pa.string()), ("tf_corpus", pa.int64())])
+    freq = with_schema(
+        grouped_aggregate(
+            _read_documents(sf_dir).map_batches(
+                _term_rows_batch, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["term"],
+            [("tf", "sum", "tf_corpus")],
+        ),
+        freq_schema,
+    ).materialize()
+    total = float(freq.sum("tf_corpus") or 0)
+
+    import os as _os
+
+    base = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("dl", pa.int64()), ("avg_logprob", pa.float64())]
+    )
+    if total == 0:
+        t = collect_table(base)
+        z = pa.nulls(t.num_rows, pa.int64())
+        t = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dl": pc.fill_null(z, 0),
+                "avg_logprob": pa.array([0.0] * t.num_rows, type=pa.float64()),
+            }
+        )
+        return t.take(pc.sort_indices(t["doc_id"]))
+
+    rows_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+    joined = attach_unique(
+        _read_documents(sf_dir).map_batches(
+            _term_rows_batch, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        freq,
+        "term",
+        "term",
+        rows_schema,
+        pa.schema([("tf_corpus", pa.int64())]),
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = t["tf_corpus"].to_numpy(zero_copy_only=False).astype(np.float64) / total
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lp": pa.array(tf * np.log(p), type=pa.float64()),
+                "tf": t["tf"],
+            }
+        )
+
+    per_doc = with_schema(
+        grouped_aggregate(
+            joined.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True),
+            ["doc_id"],
+            [("lp", "sum", "lp_sum"), ("tf", "sum", "dl")],
+        ),
+        pa.schema([("doc_id", pa.int64()), ("lp_sum", pa.float64()), ("dl", pa.int64())]),
+    )
+    final = attach_left(
+        base,
+        per_doc,
+        "doc_id",
+        "doc_id",
+        pa.schema([("doc_id", pa.int64())]),
+        pa.schema([("lp_sum", pa.float64()), ("dl", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        dl = pc.fill_null(t["dl"], 0).to_numpy(zero_copy_only=False)
+        lp = pc.fill_null(t["lp_sum"], 0.0).to_numpy(zero_copy_only=False)
+        avg = np.zeros(len(dl), dtype=np.float64)
+        nz = dl > 0
+        avg[nz] = round_half_away(lp[nz] / dl[nz], 4)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dl": pa.array(dl, type=pa.int64()),
+                "avg_logprob": pa.array(avg, type=pa.float64()),
+            }
+        )
+
+    out = collect_table(
+        final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=out_schema,
+    )
+    return out.take(pc.sort_indices(out["doc_id"]))

@@ -778,3 +778,16 @@ def test_attach_left_semantics(ray_session):
     )
     assert sorted(r["k"] for r in out2.to_pylist()) == [1, 2, 3, 4]
     assert all(r["v"] is None for r in out2.to_pylist())
+
+
+def test_unigram_logprob_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+
+    t = textstats.unigram_logprob(sf_dir)
+    want = duck.sql(sqlgen.unigram_logprob_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # LM sanity: probs < 1 so every non-empty doc has negative avg log-prob
+    lp = np.asarray(t["avg_logprob"])
+    dl = np.asarray(t["dl"])
+    assert (lp[dl > 0] < 0).all()
+    assert (lp[dl == 0] == 0.0).all()

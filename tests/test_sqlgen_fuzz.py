@@ -240,3 +240,11 @@ def test_pack_bins_adversarial(ray_session, adv_dir, adv_duck):
     rows = t.to_pylist()
     for a, b in zip(rows, rows[1:]):
         assert b["start_offset"] == a["start_offset"] + a["n_tokens"]
+
+
+def test_unigram_logprob_adversarial(ray_session, adv_dir, adv_duck):
+    t = textstats.unigram_logprob(adv_dir)
+    want = adv_duck.sql(sqlgen.unigram_logprob_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    by_id = {r["doc_id"]: r for r in t.to_pylist()}
+    assert by_id[0] == {"doc_id": 0, "dl": 0, "avg_logprob": 0.0}  # empty doc
