@@ -355,12 +355,14 @@ def _q_bm25_bulk(sf_dir: str) -> Any:
 
 
 def _q_multimodal(sf_dir: str) -> Any:
-    """Media pipeline with REAL decoders (PPM/WAV/SMV1 synth payloads ->
-    decode + feature actor pools). Deterministic; rows-only gate (payloads
-    are synthesized in-process, not a driver parquet table)."""
-    from smse_backend_ray.stages.multimodal import media_pipeline
+    """Media pipeline with REAL decoders (PPM/PNG/JPEG/WAV/SMV1 synth
+    payloads -> decode + feature actor pools). Rows-only in the gate but
+    SELF-VALIDATING: the entry asserts the decoded geometry/duration of
+    every row equals the synthesizer's ground truth before returning
+    (stages/multimodal.py media_pipeline_checked)."""
+    from smse_backend_ray.stages.multimodal import media_pipeline_checked
 
-    return media_pipeline(300)
+    return media_pipeline_checked(300)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -607,6 +607,35 @@ def media_pipeline(n: int = 300, fake: bool = False) -> pa.Table:
     return t.append_column("embedding", ft["embedding"])
 
 
+def media_pipeline_checked(n: int = 300) -> pa.Table:
+    """Self-validating media_pipeline (the gate entry): after the real
+    decode+feature pass, recompute the SYNTHESIZER's ground-truth geometry
+    per media_id (synth_media_table's size formulas) and assert the decoded
+    metadata reproduced it exactly through the PPM/PNG/JPEG/WAV/SMV codecs.
+    The driver's rows-only gate therefore rides on a checked output — a
+    codec regression raises instead of returning silently-wrong rows."""
+    t = media_pipeline(n)
+    rows = t.to_pylist()
+    assert len(rows) == n, f"expected {n} rows, got {len(rows)}"
+    for r in rows:
+        i = r["media_id"]
+        kind = MEDIA_KINDS[i % len(MEDIA_KINDS)]
+        assert r["kind"] == kind
+        if kind == "image":
+            want = (16 + i % 8, 12 + i % 5, 1, 0.0)
+        elif kind == "audio":
+            ns = 800 + 160 * (i % 5)
+            want = (0, 0, 0, round(ns / WAV_RATE, 4))
+        else:
+            nf = 2 + i % 4
+            want = (8 + i % 4, 6 + i % 3, nf, round(nf / 24, 4))
+        got = (r["width"], r["height"], r["frames"], r["duration_s"])
+        assert got == want, f"media {i} ({kind}): decoded {got} != synth {want}"
+        emb = r["embedding"]
+        assert len(emb) == FEATURE_DIM and all(np.isfinite(v) for v in emb)
+    return t
+
+
 # ---------------------------------------------------------------------------
 # audio preprocessing kernels + actor-pool stage (reference tasks.py:69-85
 # audio path: load -> mono -> resample -> trim before encoding)

@@ -350,3 +350,10 @@ def test_decode_media_probes_mp3_and_features_stay_honest():
     assert meta["frames"] == 5 and meta["duration_s"] > 0
     with _pytest.raises(NotImplementedError):
         ExtractFeatures()._features_one("audio", payload)
+
+
+def test_media_pipeline_checked(ray_session):
+    from smse_backend_ray.stages.multimodal import media_pipeline_checked
+
+    t = media_pipeline_checked(60)
+    assert t.num_rows == 60
