@@ -791,3 +791,26 @@ def test_unigram_logprob_matches_sql(ray_session, sf_dir, duck):
     dl = np.asarray(t["dl"])
     assert (lp[dl > 0] < 0).all()
     assert (lp[dl == 0] == 0.0).all()
+
+
+def test_substring_dup_all_short_docs(ray_session, tmp_path):
+    """A corpus where every doc has fewer than K subtokens: zero gram rows
+    anywhere, the shared-gram set is empty, and every doc still emits the
+    (0, 0, 0.0) row through the left-outer attach."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 2, 9], type=pa.int64()),
+            "text": pa.array(["one two", "", "a b c"]),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = dedup.substring_dup_stats(str(tmp_path))
+    assert out.to_pylist() == [
+        {"doc_id": 2, "n_grams": 0, "n_dup": 0, "dup_frac": 0.0},
+        {"doc_id": 5, "n_grams": 0, "n_dup": 0, "dup_frac": 0.0},
+        {"doc_id": 9, "n_grams": 0, "n_dup": 0, "dup_frac": 0.0},
+    ]
