@@ -32,14 +32,20 @@ def dsjoin(left, right, join_type, num_partitions, on, right_on=None):
     )
 
 
-def _n_buckets() -> int:
+def cpu_scaled_buckets(mult: int = 8, floor: int = 16) -> int:
+    """The ONE cluster-size-scaled bucket/range-count helper (exchange
+    bucket counts, pair-group counts, packing ranges all derive from it)."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover
         cpus = 8
-    return max(16, 8 * cpus)
+    return max(floor, mult * cpus)
+
+
+def _n_buckets() -> int:
+    return cpu_scaled_buckets()
 
 
 def hash_strings(col, seed: int = 0):

@@ -204,11 +204,9 @@ _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("n", pa.int64()
 
 
 def _pair_groups_count() -> int:
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # pragma: no cover
-        cpus = 8
-    return max(16, 8 * cpus)
+    from smse_backend_ray.functions.joins import cpu_scaled_buckets
+
+    return cpu_scaled_buckets()
 
 
 def _pairs_within_key(ds, key_col: str):
@@ -1345,7 +1343,11 @@ def substring_dup_stats(
         )
 
     out = collect_table(
-        joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_grams", pa.int64()),
+             ("n_dup", pa.int64()), ("dup_frac", pa.float64())]
+        ),
     )
     return out.take(pc.sort_indices(out["doc_id"]))
 

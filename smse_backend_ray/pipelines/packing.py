@@ -42,11 +42,9 @@ PACK_WINDOW = 2048
 
 
 def _n_ranges() -> int:
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # pragma: no cover
-        cpus = 8
-    return max(8, 4 * cpus)
+    from smse_backend_ray.functions.joins import cpu_scaled_buckets
+
+    return cpu_scaled_buckets(mult=4, floor=8)
 
 
 def _token_counts(sf_dir: str) -> "ray.data.Dataset":
@@ -79,8 +77,12 @@ def pack_bins(sf_dir: str, window: int = PACK_WINDOW, n_ranges: int | None = Non
             [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
              ("start_offset", pa.int64()), ("bin", pa.int64())]
         ).empty_table()
-    mn = counts.min("doc_id")
-    mx = counts.max("doc_id")
+    from ray.data.aggregate import Max, Min
+
+    bounds = counts.aggregate(
+        Min("doc_id", alias_name="mn"), Max("doc_id", alias_name="mx")
+    )  # one pass
+    mn, mx = bounds["mn"], bounds["mx"]
     span = (mx - mn) + 1
 
     def rid_of(ids: np.ndarray) -> np.ndarray:

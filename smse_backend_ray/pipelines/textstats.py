@@ -508,18 +508,62 @@ def unigram_logprob(sf_dir: str) -> pa.Table:
         return pa.table(
             {
                 "doc_id": t["doc_id"],
+                "term": t["term"],
                 "lp": pa.array(tf * np.log(p), type=pa.float64()),
                 "tf": t["tf"],
             }
         )
 
+    # per-doc float reduce with a FIXED accumulation order (the repo's
+    # convention for driver-compared float sums — scorer._accumulate):
+    # every doc's rows land in one doc_id-hash bucket, each bucket lexsorts
+    # by (doc_id, term) and accumulates sequentially (np.add.at is ordered,
+    # unlike a C++ group sum whose order follows block arrival) — so the
+    # engine's lp_sum is bit-identical run to run.
+    from smse_backend_ray.functions.joins import cpu_scaled_buckets
+
+    nbk = cpu_scaled_buckets()
+    per_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lp_sum", pa.float64()), ("dl", pa.int64())]
+    )
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((ids * np.uint64(2654435761)) % np.uint64(nbk)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, type=pa.int64()))
+
+    def reduce_fixed(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return per_schema.empty_table()
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        trm = np.asarray(g["term"].to_numpy(zero_copy_only=False), dtype=object)
+        order = np.lexsort((trm, d))
+        d_s = d[order]
+        lp_s = g["lp"].to_numpy(zero_copy_only=False)[order]
+        tf_s = g["tf"].to_numpy(zero_copy_only=False)[order]
+        newseg = np.empty(len(d_s), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = d_s[1:] != d_s[:-1]
+        seg_id = np.cumsum(newseg) - 1
+        nseg = int(seg_id[-1]) + 1
+        lp_sum = np.zeros(nseg, dtype=np.float64)
+        np.add.at(lp_sum, seg_id, lp_s)  # sequential, term-ascending
+        dl = np.zeros(nseg, dtype=np.int64)
+        np.add.at(dl, seg_id, tf_s)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[newseg], type=pa.int64()),
+                "lp_sum": pa.array(lp_sum, type=pa.float64()),
+                "dl": pa.array(dl, type=pa.int64()),
+            }
+        )
+
     per_doc = with_schema(
-        grouped_aggregate(
-            joined.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True),
-            ["doc_id"],
-            [("lp", "sum", "lp_sum"), ("tf", "sum", "dl")],
-        ),
-        pa.schema([("doc_id", pa.int64()), ("lp_sum", pa.float64()), ("dl", pa.int64())]),
+        joined.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_fixed, batch_format="pyarrow"),
+        per_schema,
     )
     final = attach_left(
         base,

@@ -94,6 +94,7 @@ def mp3_probe(payload: bytes) -> dict:
     n = len(payload)
     n_frames = 0
     duration = 0.0
+    kbps_sum = 0
     kbps_seen: set[int] = set()
     first = None
     while pos + 4 <= n:
@@ -105,12 +106,15 @@ def mp3_probe(payload: bytes) -> dict:
                 continue
             break  # trailing garbage / ID3v1 after a valid stream: stop
         version, layer, spf, rate, channels, kbps, frame_len = p
+        if pos + frame_len > n:
+            break  # truncated final frame: don't count partial audio
         if first is None:
             first = (version, layer, rate, channels)
         elif (version, layer, rate, channels) != first:
             break  # stream parameter change = not one coherent stream
         n_frames += 1
         duration += spf / rate
+        kbps_sum += kbps
         kbps_seen.add(kbps)
         pos += frame_len
     if n_frames == 0:
@@ -123,10 +127,9 @@ def mp3_probe(payload: bytes) -> dict:
         "channels": channels,
         "n_frames": n_frames,
         "duration_s": round(duration, 4),
-        "bitrate_kbps": (
-            sorted(kbps_seen)[0] if len(kbps_seen) == 1
-            else round(sum(kbps_seen) / len(kbps_seen))
-        ),
+        # frame-weighted mean: a 99x128k + 1x320k VBR stream reports ~130,
+        # not the midpoint of the distinct rates
+        "bitrate_kbps": round(kbps_sum / n_frames),
         "vbr": len(kbps_seen) > 1,
     }
 

@@ -616,11 +616,15 @@ def media_pipeline_checked(n: int = 300) -> pa.Table:
     codec regression raises instead of returning silently-wrong rows."""
     t = media_pipeline(n)
     rows = t.to_pylist()
-    assert len(rows) == n, f"expected {n} rows, got {len(rows)}"
+    # explicit raises, not bare asserts: python -O must not strip the gate's
+    # validation (same as dedup.embedding_dup_pairs_ivf_checked)
+    if len(rows) != n:
+        raise AssertionError(f"expected {n} rows, got {len(rows)}")
     for r in rows:
         i = r["media_id"]
         kind = MEDIA_KINDS[i % len(MEDIA_KINDS)]
-        assert r["kind"] == kind
+        if r["kind"] != kind:
+            raise AssertionError(f"media {i}: kind {r['kind']} != synth {kind}")
         if kind == "image":
             want = (16 + i % 8, 12 + i % 5, 1, 0.0)
         elif kind == "audio":
@@ -630,9 +634,13 @@ def media_pipeline_checked(n: int = 300) -> pa.Table:
             nf = 2 + i % 4
             want = (8 + i % 4, 6 + i % 3, nf, round(nf / 24, 4))
         got = (r["width"], r["height"], r["frames"], r["duration_s"])
-        assert got == want, f"media {i} ({kind}): decoded {got} != synth {want}"
+        if got != want:
+            raise AssertionError(
+                f"media {i} ({kind}): decoded {got} != synth {want}"
+            )
         emb = r["embedding"]
-        assert len(emb) == FEATURE_DIM and all(np.isfinite(v) for v in emb)
+        if len(emb) != FEATURE_DIM or not all(np.isfinite(v) for v in emb):
+            raise AssertionError(f"media {i}: bad embedding {emb}")
     return t
 
 

@@ -357,3 +357,16 @@ def test_media_pipeline_checked(ray_session):
 
     t = media_pipeline_checked(60)
     assert t.num_rows == 60
+
+
+def test_mp3_probe_truncated_and_vbr_weighting():
+    from smse_backend_ray.stages.mp3 import make_mp3_frame, mp3_probe
+
+    # truncated final frame is NOT counted
+    full = make_mp3_frame() * 5
+    trunc = full[: len(full) - len(make_mp3_frame()) + 4]
+    assert mp3_probe(trunc)["n_frames"] == 4
+    # VBR bitrate is frame-weighted, not a mean of distinct rates
+    stream = make_mp3_frame(kbps=128) * 99 + make_mp3_frame(kbps=320)
+    m = mp3_probe(stream)
+    assert m["vbr"] and m["bitrate_kbps"] == round((99 * 128 + 320) / 100)
