@@ -733,3 +733,116 @@ def audio_pipeline(n: int = 300) -> pa.Table:
     )
     t = collect_table(ds)
     return t.take(pa.compute.sort_indices(t["media_id"]))
+
+
+# ---------------------------------------------------------------------------
+# image preprocessing kernels + actor-pool stage (reference tasks.py:58-67
+# image path: resize -> center-crop -> mean/std normalize before encoding)
+# ---------------------------------------------------------------------------
+
+IMAGE_SIZE = 224  # reference TextPipeline/ImagePipeline target (tasks.py:58-67)
+# CLIP/ImageBind published normalization constants (public)
+IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float64)
+IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float64)
+
+
+def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic vectorized bilinear resize of an HxWx3 uint8 image
+    (align_corners=False / half-pixel centers — the torchvision default).
+    Identity when the size already matches."""
+    h, w = px.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return px.copy()
+    f = px.astype(np.float64)
+
+    def axis_coords(n_out: int, n_in: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        pos = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+        pos = np.clip(pos, 0.0, n_in - 1.0)
+        i0 = np.floor(pos).astype(np.int64)
+        i1 = np.minimum(i0 + 1, n_in - 1)
+        return i0, i1, pos - i0
+
+    y0, y1, fy = axis_coords(out_h, h)
+    x0, x1, fx = axis_coords(out_w, w)
+    fy = fy[:, None, None]
+    fx = fx[None, :, None]
+    top = f[y0][:, x0] * (1 - fx) + f[y0][:, x1] * fx
+    bot = f[y1][:, x0] * (1 - fx) + f[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def center_crop(px: np.ndarray, size: int) -> np.ndarray:
+    """Center-crop to size x size (caller guarantees both dims >= size)."""
+    h, w = px.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return px[top : top + size, left : left + size]
+
+
+def preprocess_image(px: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
+    """Reference image preprocessing (tasks.py:58-67): resize SHORTEST side
+    to ``size`` preserving aspect (bilinear), center-crop size x size, scale
+    to [0,1], normalize per channel with the published mean/std. Returns
+    float32 HxWx3."""
+    h, w = px.shape[:2]
+    if h <= w:
+        nh, nw = size, max(size, int(round(w * size / h)))
+    else:
+        nh, nw = max(size, int(round(h * size / w))), size
+    px = center_crop(resize_bilinear(px, nh, nw), size)
+    f = px.astype(np.float64) / 255.0
+    return ((f - IMAGE_MEAN) / IMAGE_STD).astype(np.float32)
+
+
+class PreprocessImage:
+    """Actor-pool stage: image payload -> model-ready normalized tensor
+    (stored as a float32 binary column + shape) with accounting columns.
+    Same __init__-holds-state shape as DecodeMedia; a PIL/torchvision
+    implementation drops into this slot unchanged."""
+
+    def __init__(self, size: int = IMAGE_SIZE):
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tensors, h_in, w_in, means = [], [], [], []
+        for kind, payload in zip(
+            batch["kind"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if kind != "image":
+                raise ValueError("PreprocessImage fed a non-image row")
+            w, h, px = decode_image_any(payload)
+            t = preprocess_image(px, self.size)
+            tensors.append(t.tobytes())
+            h_in.append(h)
+            w_in.append(w)
+            means.append(float(t.mean()))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "tensor": pa.array(tensors, type=pa.binary()),
+                "tensor_h": pa.array([self.size] * len(tensors), type=pa.int32()),
+                "tensor_w": pa.array([self.size] * len(tensors), type=pa.int32()),
+                "height_in": pa.array(h_in, type=pa.int32()),
+                "width_in": pa.array(w_in, type=pa.int32()),
+                "tensor_mean": pa.array(means, type=pa.float64()),
+            }
+        )
+
+
+def image_pipeline(n: int = 300) -> pa.Table:
+    """Image preprocessing over the synth corpus' image rows: filter ->
+    actor-pool resize/crop/normalize -> tensor table (sorted by media_id).
+    Small batches: each output row carries a size^2 x 3 float32 tensor."""
+    ds = (
+        ray.data.from_arrow(synth_media_table(n))
+        .filter(expr="kind == 'image'")
+        .repartition(8)
+        .map_batches(
+            PreprocessImage,
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=16, concurrency=2,
+        )
+    )
+    t = collect_table(ds)
+    return t.take(pa.compute.sort_indices(t["media_id"]))

@@ -370,3 +370,63 @@ def test_mp3_probe_truncated_and_vbr_weighting():
     stream = make_mp3_frame(kbps=128) * 99 + make_mp3_frame(kbps=320)
     m = mp3_probe(stream)
     assert m["vbr"] and m["bitrate_kbps"] == round((99 * 128 + 320) / 100)
+
+
+# ---------------------------------------------------------------------------
+# image preprocessing (resize / center-crop / normalize)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_bilinear_identity_and_known_values():
+    from smse_backend_ray.stages.multimodal import resize_bilinear
+
+    px = (np.arange(4 * 6 * 3) % 256).astype(np.uint8).reshape(4, 6, 3)
+    assert (resize_bilinear(px, 4, 6) == px).all()
+    # constant image stays constant at any size
+    c = np.full((3, 5, 3), 77, dtype=np.uint8)
+    assert (resize_bilinear(c, 9, 2) == 77).all()
+    # 2x upsample of a 2x2 gradient: half-pixel centers -> corner rows keep
+    # the original corner values
+    g = np.array([[[0] * 3, [100] * 3], [[200] * 3, [255] * 3]], dtype=np.uint8)
+    up = resize_bilinear(g, 4, 4)
+    assert up[0, 0, 0] == 0 and up[0, 3, 0] == 100
+    assert up[3, 0, 0] == 200 and up[3, 3, 0] == 255
+    # interior is monotone along each axis
+    assert np.all(np.diff(up[:, :, 0].astype(int), axis=0) >= 0)
+    assert np.all(np.diff(up[:, :, 0].astype(int), axis=1) >= 0)
+
+
+def test_preprocess_image_shape_and_normalization():
+    from smse_backend_ray.stages.multimodal import (
+        IMAGE_MEAN,
+        IMAGE_SIZE,
+        IMAGE_STD,
+        preprocess_image,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(30, 50), (64, 20), (224, 224), (300, 300)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        t = preprocess_image(px)
+        assert t.shape == (IMAGE_SIZE, IMAGE_SIZE, 3) and t.dtype == np.float32
+    # a mean-valued constant image normalizes to ~0
+    const = np.round(IMAGE_MEAN * 255).astype(np.uint8)
+    px = np.tile(const, (40, 40, 1))
+    t = preprocess_image(px)
+    assert np.abs(t).max() < 0.02
+    # deterministic
+    px2 = rng.integers(0, 256, size=(33, 77, 3), dtype=np.uint8)
+    assert (preprocess_image(px2) == preprocess_image(px2)).all()
+
+
+def test_image_pipeline_actor_pool(ray_session):
+    from smse_backend_ray.stages.multimodal import IMAGE_SIZE, image_pipeline
+
+    t = image_pipeline(60)
+    assert t.num_rows == 20  # every 3rd synth row is an image
+    for r in t.to_pylist():
+        assert r["tensor_h"] == r["tensor_w"] == IMAGE_SIZE
+        v = np.frombuffer(r["tensor"], dtype=np.float32)
+        assert v.size == IMAGE_SIZE * IMAGE_SIZE * 3
+        assert np.isfinite(v).all()
+        assert abs(v.mean() - r["tensor_mean"]) < 1e-6
