@@ -377,29 +377,23 @@ def synth_media_table(n: int) -> pa.Table:
 # actor-pool stages
 # ---------------------------------------------------------------------------
 
-_FOREIGN_MAGIC = {
-    b"\x00\x00\x00\x18ftyp": "MP4 (needs ffmpeg)",
-}
-
-
 def _looks_like_mp3(payload: bytes) -> bool:
     return payload[:3] == b"ID3" or (
         len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     )
 
 
-def _foreign_format(payload: bytes) -> str | None:
-    for magic, name in _FOREIGN_MAGIC.items():
-        if payload.startswith(magic):
-            return name
-    return None
+def _looks_like_mp4(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[4:8] == b"ftyp"
 
 
 class DecodeMedia:
     """Actor-pool stage: decode payload -> typed metadata. Codec dispatch
     happens once per actor in __init__ (ST1 pattern,
-    smse_backend/tasks.py:35-103); real decode for PPM/WAV/SMV1, explicit
-    NotImplementedError naming the missing library for foreign formats."""
+    smse_backend/tasks.py:35-103); real decode for PPM/PNG/JPEG/WAV/SMV1,
+    real header/container probes for MP3/MP4 (stages/mp3.py, mp4.py);
+    waveform/sample decode of the compressed formats raises an explicit
+    NotImplementedError in the feature stage."""
 
     def __init__(self, deterministic_fake: bool = False):
         self.fake = deterministic_fake
@@ -436,6 +430,16 @@ class DecodeMedia:
 
     @staticmethod
     def _decode_video(payload: bytes) -> dict:
+        if _looks_like_mp4(payload):
+            # container-level probe (stages/mp4.py): duration/dims are real;
+            # sample decode of MP4 remains NotImplemented (ExtractFeatures)
+            from smse_backend_ray.stages.mp4 import mp4_probe
+
+            meta = mp4_probe(payload)
+            return {
+                "width": meta["width"], "height": meta["height"],
+                "duration_s": meta["duration_s"], "frames": 0,
+            }
         fps, frames = decode_smv(payload)
         w, h, _ = decode_ppm(frames[0]) if frames else (0, 0, None)
         return {
@@ -455,13 +459,9 @@ class DecodeMedia:
                 "width": 64 + a % 1920, "height": 64 + b % 1080,
                 "duration_s": round(1.0 + (b % 6000) / 100, 2), "frames": 24 * (1 + a % 120),
             }
-        foreign = _foreign_format(payload)
-        if foreign:
-            raise NotImplementedError(
-                f"decoding {foreign} is not available in this environment; "
-                "supported real formats: PPM(P6)/PNG/JPEG image, WAV(PCM16) "
-                "audio, SMV1 video"
-            )
+        # no foreign-magic guard here: MP3/MP4 get real header/container
+        # probes inside the per-kind decoders; unknown bytes fail in the
+        # codecs with a ValueError naming the expected magic
         return self._decoders[kind](payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -525,6 +525,12 @@ class ExtractFeatures:
             segs = [f[i * k : (i + 1) * k] for i in range(4)]
             bands = [float(np.abs(sg).mean()) if sg.size else 0.0 for sg in segs]
             return np.array([rms, zcr, float(np.abs(f).max(initial=0.0)), len(f) / rate, *bands])
+        if _looks_like_mp4(payload):
+            raise NotImplementedError(
+                "MP4 sample decode is not available in this environment "
+                "(needs ffmpeg); container metadata is available via "
+                "stages.mp4.mp4_probe"
+            )
         fps, frames = decode_smv(payload)
         if not frames:
             return np.zeros(FEATURE_DIM)

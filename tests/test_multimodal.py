@@ -65,21 +65,21 @@ def test_decode_real_metadata():
 
 def test_decode_foreign_format_raises():
     dec = DecodeMedia()
-    # MP4 stays an honest NotImplementedError
+    # MP3/MP4 payloads go through real header/container probers; payloads
+    # with the magic but no parsable structure are data errors, not missing
+    # capability
     t = pa.table(
         {
             "media_id": pa.array([0], type=pa.int64()),
             "kind": pa.array(["video"]),
             "payload": pa.array(
-                [b"\x00\x00\x00\x18ftypisom more bytes"], type=pa.binary()
+                [b"\x00\x00\x00\x18ftypisom more bytes now"], type=pa.binary()
             ),
             "meta": pa.array(["{}"]),
         }
     )
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
+    with pytest.raises(ValueError, match="moov"):
         dec(t)
-    # MP3-tagged payloads now go through the frame prober; a tag with no
-    # valid frame behind it is a data error, not a missing capability
     t2 = pa.table(
         {
             "media_id": pa.array([0], type=pa.int64()),
@@ -90,6 +90,11 @@ def test_decode_foreign_format_raises():
     )
     with pytest.raises(ValueError, match="no valid MPEG"):
         dec(t2)
+    # sample decode of the compressed formats stays an honest boundary
+    from smse_backend_ray.stages.mp4 import make_mp4
+
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        ExtractFeatures()._features_one("video", make_mp4())
 
 
 def test_decode_fake_deterministic():
@@ -430,3 +435,41 @@ def test_image_pipeline_actor_pool(ray_session):
         assert v.size == IMAGE_SIZE * IMAGE_SIZE * 3
         assert np.isfinite(v).all()
         assert abs(v.mean() - r["tensor_mean"]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# MP4 box prober (stages/mp4.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_probe_synthetic():
+    from smse_backend_ray.stages.mp4 import make_mp4, mp4_probe
+
+    m = mp4_probe(make_mp4(duration_s=2.5, timescale=1000,
+                           width=640, height=360, n_tracks=2))
+    assert m["brand"] == "isom"
+    assert m["duration_s"] == 2.5 and m["timescale"] == 1000
+    assert m["n_tracks"] == 2
+    assert (m["width"], m["height"]) == (640, 360)
+    # 64-bit mvhd (version 1) parses too
+    m1 = mp4_probe(make_mp4(duration_s=7.25, timescale=600, version=1))
+    assert m1["duration_s"] == 7.25 and m1["timescale"] == 600
+
+
+def test_mp4_probe_rejects_garbage_and_truncation():
+    from smse_backend_ray.stages.mp4 import make_mp4, mp4_probe
+
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_probe(b"\x00" * 64)
+    good = make_mp4()
+    with pytest.raises(ValueError, match="moov"):
+        mp4_probe(good[:20])  # ftyp only
+
+
+def test_decode_media_probes_mp4():
+    from smse_backend_ray.stages.mp4 import make_mp4
+
+    meta = DecodeMedia()._decode_one(
+        "video", make_mp4(duration_s=3.0, width=1280, height=720)
+    )
+    assert meta == {"width": 1280, "height": 720, "duration_s": 3.0, "frames": 0}
