@@ -119,6 +119,13 @@ class EngineConfig:
     # exact dedup of identical (repo, path, commit) keys — reference analog:
     # unique content_path constraint (smse_backend/models/content.py:11)
     dedup: bool = True
+    # positional postings (phrase-query support): docs carry a ``poss``
+    # column (kept-stream token positions, term-major) and segments gain a
+    # ``pos_bytes`` delta-varint stream + ``block_pos_off`` skip pointers.
+    # OFF by default — positions add ~sum(dl) varints to the posting
+    # exchange and the index (~40-60% size), the classic positional-index
+    # trade. Frozen per build (appends/compaction reuse the manifest cfg).
+    with_positions: bool = False
     # map_batches tuning
     batch_size: int = 1024               # docs per analyzer batch
     wave_size: int = 16                  # input partitions committed per wave (resume granularity)
@@ -143,6 +150,7 @@ class EngineConfig:
             bm25=BM25Params(**d["bm25"]) if isinstance(d.get("bm25"), dict) else BM25Params(),
             allowed_langs=tuple(d["allowed_langs"]) if d.get("allowed_langs") else None,
             dedup=bool(d.get("dedup", True)),
+            with_positions=bool(d.get("with_positions", False)),
             batch_size=int(d.get("batch_size", 1024)),
             wave_size=int(d.get("wave_size", 16)),
             driver_agg_max_bytes=int(d.get("driver_agg_max_bytes", 256 * 1024 * 1024)),

@@ -167,6 +167,103 @@ def subtokens_batch(content):
     return pa.ListArray.from_arrays(offsets, flat.filter(keep))
 
 
+def term_positions(text: str) -> list[tuple[str, list[int]]]:
+    """(term, positions) pairs sorted by term ascending; positions are the
+    0-based indexes of the term in the KEPT token stream (``tokenize``),
+    ascending. THE frozen scalar reference for positional indexing:
+    ``term_positions_batch`` below must stay bitwise-equal (parity fuzz),
+    and the DuckDB twin is sqlgen.pos_tokens_cte (row_number over kept
+    tokens). len(positions) == tf, so (term, len(pos)) == term_counts."""
+    d: dict[str, list[int]] = {}
+    for i, t in enumerate(tokenize(text)):
+        d.setdefault(t, []).append(i)
+    return sorted(d.items())
+
+
+def term_positions_batch(content) -> tuple:
+    """Vectorized term_positions over a string Array/ChunkedArray ->
+    (terms list<string>, tfs list<int32>, poss list<int32>).
+
+    terms/tfs are bitwise-equal to ``term_counts_batch`` (parity-tested);
+    ``poss`` holds, per doc, the kept-stream positions flattened in the SAME
+    (term asc, position asc) order the terms/tfs lists imply — so row i's
+    positions for term j are ``poss[i][cum_tf[j-1]:cum_tf[j]]``. One extra
+    numpy lexsort over the kept tokens vs the count-only path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    global _STOP_ARRAY
+    if _STOP_ARRAY is None:
+        _STOP_ARRAY = pa.array(sorted(STOPWORDS))
+    s = pc.fill_null(content, "")
+    s = pc.replace_substring_regex(s, pattern=r"[^A-Za-z0-9]+", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1 \2")
+    s = pc.replace_substring_regex(s, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1 \2")
+    s = pc.utf8_lower(s)
+    toks = pc.split_pattern(s, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    n = len(toks)
+    doc_idx = np.repeat(
+        np.arange(n, dtype=np.int64), np.diff(np.asarray(toks.offsets))
+    )
+    ln = pc.binary_length(flat)
+    keep = pc.and_(
+        pc.and_(
+            pc.greater_equal(ln, MIN_TOKEN_LEN), pc.less_equal(ln, MAX_TOKEN_LEN)
+        ),
+        pc.invert(pc.match_substring_regex(flat, r"^[0-9]+$")),
+    )
+    keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=_STOP_ARRAY)))
+    km = keep.to_numpy(zero_copy_only=False)
+    kept_doc = doc_idx[km]                       # ascending (doc-major scan)
+    kept_terms = flat.filter(keep)
+    total = kept_doc.size
+    counts = np.bincount(kept_doc, minlength=n)  # kept tokens per doc == dl
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    pos = np.arange(total, dtype=np.int64) - starts[kept_doc]  # kept-stream pos
+
+    # factorize terms -> codes ranked in TERM-ASCENDING order (ASCII, so
+    # Arrow's bytewise sort == Python's str sort == the scalar reference)
+    denc = kept_terms.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    dictionary = denc.dictionary
+    codes = np.asarray(denc.indices, dtype=np.int64)
+    sidx = np.asarray(pc.sort_indices(dictionary), dtype=np.int64)
+    rank = np.empty(len(dictionary), dtype=np.int64)
+    rank[sidx] = np.arange(len(dictionary))
+    tcode = rank[codes]
+    dict_sorted = dictionary.take(pa.array(sidx))
+
+    # stable (doc, term) sort keeps positions ascending within each group
+    order = np.lexsort((tcode, kept_doc))
+    d_s, t_s, pos_s = kept_doc[order], tcode[order], pos[order]
+    if total:
+        change = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1]))
+        )
+        gstarts = np.flatnonzero(change)
+        tf = np.diff(np.concatenate((gstarts, [total])))
+    else:
+        gstarts = np.empty(0, dtype=np.int64)
+        tf = np.empty(0, dtype=np.int64)
+    groups_per_doc = np.bincount(d_s[gstarts], minlength=n) if total else np.zeros(n, dtype=np.int64)
+    goff = pa.array(
+        np.concatenate(([0], np.cumsum(groups_per_doc))).astype(np.int32),
+        type=pa.int32(),
+    )
+    poff = pa.array(
+        np.concatenate(([0], np.cumsum(counts))).astype(np.int32), type=pa.int32()
+    )
+    terms = pa.ListArray.from_arrays(goff, dict_sorted.take(pa.array(t_s[gstarts])))
+    tfs = pa.ListArray.from_arrays(goff, pa.array(tf.astype(np.int32), type=pa.int32()))
+    poss = pa.ListArray.from_arrays(poff, pa.array(pos_s.astype(np.int32), type=pa.int32()))
+    return terms, tfs, poss
+
+
 def analyze_query(text: str) -> dict[str, int]:
     """Query-side analysis: term -> query-term-frequency (qtf).
 

@@ -169,6 +169,21 @@ def decode_postings(row: dict, block_size: int) -> tuple[np.ndarray, np.ndarray,
     return _resolve_doc_ids(deltas, n, block_size), tfs, dls
 
 
+def decode_positions(row: dict, tfs: np.ndarray) -> np.ndarray:
+    """Decode a positional segment's ``pos_bytes`` stream -> flat int64
+    positions (kept-stream token indexes), delta-resolved with a reset at
+    every posting start. ``tfs`` is the segment's decoded tf array — the
+    posting boundaries (posting i owns positions [cum_tf[i], cum_tf[i+1]))."""
+    deltas = varint_decode(row["pos_bytes"]).astype(np.int64)
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    pstarts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+    raw = np.cumsum(deltas)
+    corr = raw[pstarts] - deltas[pstarts]
+    return raw - np.repeat(corr, tfs)
+
+
 def decode_block(row: dict, i: int, block_size: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode block i independently -> (doc_ids, tfs, dls)."""
     nb = len(row["block_doc_off"])

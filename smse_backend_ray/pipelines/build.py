@@ -243,9 +243,16 @@ def _run_stats(ifs: IndexFS, cfg: EngineConfig) -> dict:
 def _run_segments(ifs: IndexFS, cfg: EngineConfig, stats: dict) -> None:
     avgdl = stats["avgdl"]
     nb = cfg_buckets(cfg, n_docs=int(stats.get("n_docs") or 0) or None)
-    ds = ifs.ray_read_parquet(DOCS_DIR, columns=["doc_id", "dl", "terms", "tfs"])
+    cols = ["doc_id", "dl", "terms", "tfs"]
+    explode = explode_preagg_batch
+    if cfg.with_positions:
+        from smse_backend_ray.stages.ingest import explode_preagg_batch_pos
+
+        cols.append("poss")
+        explode = explode_preagg_batch_pos
+    ds = ifs.ray_read_parquet(DOCS_DIR, columns=cols)
     runs = ds.map_batches(
-        functools.partial(explode_preagg_batch, n_buckets=nb, n_shards=cfg.n_shards),
+        functools.partial(explode, n_buckets=nb, n_shards=cfg.n_shards),
         batch_format="pyarrow",
         zero_copy_batch=True,
         # large batches: each batch emits one run-row per distinct
@@ -645,9 +652,10 @@ def compact_index(index_dir, cfg: EngineConfig | None = None, vacuum: bool = Tru
         shard = t["doc_id"].to_numpy() % n_shards  # same numpy mod as ingest_batch
         return t.append_column("shard_id", pa.array(shard, type=pa.int32()))
 
+    doc_cols = DOC_SCHEMA_COLS + (["poss"] if cfg.with_positions else [])
     docs = ifs.ray_read_parquet_files(
         ifs.list_files(DOCS_DIR, recursive=True, suffix=".parquet"),
-        columns=DOC_SCHEMA_COLS,
+        columns=doc_cols,
     ).map_batches(reshard, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     docs = docs.repartition(max(8, _cluster_cpus()))
     ifs.atomic_swap_dataset(docs, DOCS_DIR, partition_cols=["shard_id"])

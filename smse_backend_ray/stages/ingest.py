@@ -70,7 +70,13 @@ def ingest_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
         dtype=np.int64,
         count=len(repos),
     )
-    terms_l, tfs_l = term_counts_batch(content)
+    poss_l = None
+    if cfg.with_positions:
+        from smse_backend_ray.functions.analyzer import term_positions_batch
+
+        terms_l, tfs_l, poss_l = term_positions_batch(content)
+    else:
+        terms_l, tfs_l = term_counts_batch(content)
     # dl = per-row sum(tf) via offset prefix-sums (integer, order-free)
     off = np.asarray(tfs_l.offsets, dtype=np.int64)
     csum = np.concatenate(([0], np.cumsum(np.asarray(tfs_l.values, dtype=np.int64))))
@@ -94,6 +100,11 @@ def ingest_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
             "shard_id": pa.array(doc_ids % cfg.n_shards, type=pa.int32()),
         }
     )
+    if poss_l is not None:
+        # kept-stream token positions, flattened term-major per doc (aligned
+        # with terms/tfs; len == dl). Persisted in docs/ so compaction can
+        # re-encode positional segments without re-reading content.
+        cols["poss"] = poss_l
     return pa.table(cols)
 
 
@@ -171,17 +182,19 @@ def encode_runs(
     )
 
 
-def _empty_runs_table() -> pa.Table:
-    return pa.table(
-        {
-            "bucket": pa.array([], type=pa.int32()),
-            "term": pa.array([], type=pa.string()),
-            "n": pa.array([], type=pa.int32()),
-            "docs_b": pa.array([], type=pa.binary()),
-            "tfs_b": pa.array([], type=pa.binary()),
-            "dls_b": pa.array([], type=pa.binary()),
-        }
-    )
+def _empty_runs_table(pos: bool = False) -> pa.Table:
+    cols = {
+        "bucket": pa.array([], type=pa.int32()),
+        "term": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int32()),
+        "docs_b": pa.array([], type=pa.binary()),
+        "tfs_b": pa.array([], type=pa.binary()),
+        "dls_b": pa.array([], type=pa.binary()),
+    }
+    if pos:
+        cols["pos_b"] = pa.array([], type=pa.binary())
+        cols["skey"] = pa.array([], type=pa.int64())
+    return pa.table(cols)
 
 
 def decode_runs(group: pa.Table) -> tuple[list, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -255,6 +268,92 @@ def explode_preagg_batch(batch: pa.Table, n_buckets: int, n_shards: int) -> pa.T
     return runs.append_column("skey", pa.array(skey, type=pa.int64()))
 
 
+def explode_preagg_batch_pos(batch: pa.Table, n_buckets: int, n_shards: int) -> pa.Table:
+    """Positional twin of ``explode_preagg_batch``: same pre-aggregated
+    (term, shard) runs plus a ``pos_b`` payload (the run's kept-stream token
+    positions, raw int32-LE — decode-free, like the other streams; per-
+    posting boundaries are the tf stream, so no extra metadata ships).
+
+    The grouping here is an explicit stable sort instead of Arrow group_by:
+    the doc/tf/dl lists and the position stream are all built from the SAME
+    sorted layout, so their per-run alignment is by construction (group_by's
+    hash-scan member order would have to be re-matched to a separately-
+    gathered position stream). Member order within a run is otherwise
+    irrelevant — BucketEncoder lexsorts every group by (segment, doc_id)
+    and gathers the position runs with it.
+    """
+    terms = batch["terms"]
+    flat_terms = pc.list_flatten(terms)
+    if isinstance(flat_terms, pa.ChunkedArray):
+        flat_terms = flat_terms.combine_chunks()
+    parent = pc.list_parent_indices(terms)
+    doc_np = np.asarray(pc.take(batch["doc_id"], parent), dtype=np.int64)
+    tf_np = np.asarray(pc.list_flatten(batch["tfs"]), dtype=np.int64)
+    dl_np = np.asarray(pc.take(batch["dl"], parent), dtype=np.int64)
+    pos_vals = np.asarray(pc.list_flatten(batch["poss"]), dtype=np.int64)
+    n_flat = len(flat_terms)
+    if n_flat == 0:
+        return _empty_runs_table(pos=True)
+    shard_np = doc_np % n_shards
+    tf_cum = np.concatenate(([0], np.cumsum(tf_np)))  # flat row -> pos slice
+
+    denc = flat_terms.dictionary_encode()
+    codes = np.asarray(denc.indices, dtype=np.int64)
+    dictionary = denc.dictionary
+    key = codes * n_shards + shard_np
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    bounds = np.flatnonzero(np.diff(key_s)) + 1
+    rstarts = np.concatenate(([0], bounds))
+    n_runs = rstarts.size
+
+    # gather each sorted flat-row's position slice (vectorized var-len gather)
+    tf_s = tf_np[order]
+    total_pos = pos_vals.size
+    dst_cum = np.concatenate(([0], np.cumsum(tf_s)))
+    gather = np.repeat(tf_cum[order], tf_s) + (
+        np.arange(total_pos, dtype=np.int64) - np.repeat(dst_cum[:-1], tf_s)
+    )
+    pos_s = pos_vals[gather]
+
+    roff = pa.array(
+        np.concatenate((rstarts, [n_flat])).astype(np.int32), type=pa.int32()
+    )
+    run_terms = dictionary.take(pa.array(key_s[rstarts] // n_shards))
+    runs = encode_runs(
+        run_terms,
+        pa.ListArray.from_arrays(roff, pa.array(doc_np[order], type=pa.int64())),
+        pa.ListArray.from_arrays(roff, pa.array(tf_s, type=pa.int64())),
+        pa.ListArray.from_arrays(roff, pa.array(dl_np[order], type=pa.int64())),
+        n_buckets,
+    )
+    # pos_b: raw int32-LE slices per run (boundary = run's total tf)
+    pos_bounds = np.concatenate((dst_cum[rstarts], [total_pos]))
+    pos_b = pa.Array.from_buffers(
+        pa.binary(), n_runs,
+        [None, pa.py_buffer((pos_bounds * 4).astype(np.int32).tobytes()),
+         pa.py_buffer(pos_s.astype("<i4").tobytes())],
+    )
+    runs = runs.append_column("pos_b", pos_b)
+    skey = (
+        np.asarray(runs["bucket"], dtype=np.int64) * n_shards
+        + (key_s[rstarts] % n_shards)
+    )
+    return runs.append_column("skey", pa.array(skey, type=pa.int64()))
+
+
+def decode_run_positions(group: pa.Table) -> np.ndarray:
+    """pos_b shuffle rows -> one flat int64 position stream (per-posting
+    boundaries come from the decoded tf stream)."""
+    arr = group["pos_b"].combine_chunks()
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return np.frombuffer(
+        data[off[0] : off[-1]].tobytes(), dtype="<i4"
+    ).astype(np.int64, copy=False)
+
+
 class BucketEncoder:
     """Per-group merge + encode (the reduce side of the posting shuffle).
 
@@ -293,10 +392,11 @@ class BucketEncoder:
         ns = cfg.n_shards
         bs = cfg.block_size
 
+        has_pos = "pos_b" in group.column_names
         run_terms, run_lens, flat_docs, flat_tfs, flat_dls = decode_runs(group)
         n = flat_docs.size
         if n == 0:
-            return _empty_segment_table()
+            return _empty_segment_table(pos=has_pos)
 
         # factorize run terms -> sorted unique codes; spread to postings
         terms_sorted = sorted(set(run_terms))
@@ -367,6 +467,42 @@ class BucketEncoder:
                 pa.array(blk_list_offs, type=pa.int32()), pa.array(values, type=vtype)
             )
 
+        pos_cols: dict[str, pa.Array] = {}
+        if has_pos:
+            # gather each sorted posting's position run, delta-encode within
+            # postings (absolute at posting starts), one whole-bucket varint
+            # pass, slice per segment analytically — same shape as the
+            # doc/tf/dl streams above
+            flat_pos = decode_run_positions(group)
+            src_cum = np.concatenate(([0], np.cumsum(flat_tfs)))
+            tf_sorted = tf_s  # == flat_tfs[order]
+            dst_cum = np.concatenate(([0], np.cumsum(tf_sorted)))
+            total_pos = flat_pos.size
+            gather = np.repeat(src_cum[:-1][order], tf_sorted) + (
+                np.arange(total_pos, dtype=np.int64)
+                - np.repeat(dst_cum[:-1], tf_sorted)
+            )
+            pos_sorted = flat_pos[gather]
+            pstarts = dst_cum[:-1]
+            pdeltas = pos_sorted.astype(np.uint64).copy()
+            if total_pos:
+                pdeltas[1:] -= pos_sorted[:-1].astype(np.uint64)
+                pdeltas[pstarts] = pos_sorted[pstarts].astype(np.uint64)
+            pos_stream, pos_lens = varint_encode_with_lens(pdeltas)
+            cum_pos = np.concatenate(([0], np.cumsum(pos_lens)))
+            seg_pos = [
+                pos_stream[cum_pos[dst_cum[s]] : cum_pos[dst_cum[e]]]
+                for s, e in zip(seg_starts, seg_ends)
+            ]
+            blk_pos_off = (
+                cum_pos[dst_cum[blk_starts]]
+                - cum_pos[dst_cum[seg_starts[blk_seg]]]
+            )
+            pos_cols = {
+                "pos_bytes": pa.array(seg_pos, type=pa.binary()),
+                "block_pos_off": list_col(blk_pos_off, pa.int64()),
+            }
+
         return pa.table(
             {
                 "shard_id": pa.array(seg_shard, type=pa.int32()),
@@ -390,27 +526,30 @@ class BucketEncoder:
                 "block_dl_off": list_col(blk_dl_off, pa.int64()),
                 "block_last": list_col(block_last, pa.int64()),
                 "block_max": list_col(block_max, pa.float64()),
+                **pos_cols,
             }
         )
 
 
-def _empty_segment_table() -> pa.Table:
-    return pa.table(
-        {
-            "shard_id": pa.array([], type=pa.int32()),
-            "term": pa.array([], type=pa.string()),
-            "df_shard": pa.array([], type=pa.int64()),
-            "enc_avgdl": pa.array([], type=pa.float64()),
-            "docs_bytes": pa.array([], type=pa.binary()),
-            "tfs_bytes": pa.array([], type=pa.binary()),
-            "dls_bytes": pa.array([], type=pa.binary()),
-            "block_doc_off": pa.array([], type=pa.list_(pa.int64())),
-            "block_tf_off": pa.array([], type=pa.list_(pa.int64())),
-            "block_dl_off": pa.array([], type=pa.list_(pa.int64())),
-            "block_last": pa.array([], type=pa.list_(pa.int64())),
-            "block_max": pa.array([], type=pa.list_(pa.float64())),
-        }
-    )
+def _empty_segment_table(pos: bool = False) -> pa.Table:
+    cols = {
+        "shard_id": pa.array([], type=pa.int32()),
+        "term": pa.array([], type=pa.string()),
+        "df_shard": pa.array([], type=pa.int64()),
+        "enc_avgdl": pa.array([], type=pa.float64()),
+        "docs_bytes": pa.array([], type=pa.binary()),
+        "tfs_bytes": pa.array([], type=pa.binary()),
+        "dls_bytes": pa.array([], type=pa.binary()),
+        "block_doc_off": pa.array([], type=pa.list_(pa.int64())),
+        "block_tf_off": pa.array([], type=pa.list_(pa.int64())),
+        "block_dl_off": pa.array([], type=pa.list_(pa.int64())),
+        "block_last": pa.array([], type=pa.list_(pa.int64())),
+        "block_max": pa.array([], type=pa.list_(pa.float64())),
+    }
+    if pos:
+        cols["pos_bytes"] = pa.array([], type=pa.binary())
+        cols["block_pos_off"] = pa.array([], type=pa.list_(pa.int64()))
+    return pa.table(cols)
 
 
 def cfg_buckets(cfg: EngineConfig, n_docs: int | None = None) -> int:

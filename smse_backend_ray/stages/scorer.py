@@ -58,6 +58,8 @@ SEGMENT_COLS = [
     "enc_avgdl",
 ]
 _ENTRY_COLS = SEGMENT_COLS[1:]
+# positional column family (EngineConfig.with_positions builds only)
+POS_SEGMENT_COLS = ["pos_bytes", "block_pos_off"]
 
 
 class ShardIndex:
@@ -80,6 +82,14 @@ class ShardIndex:
         seg_files = ifs.list_files(
             f"segments/shard_id={shard_id}", suffix=".parquet"
         )
+        # positional indexes carry pos_bytes/block_pos_off in EVERY segment
+        # file (with_positions is frozen per build; appends reuse the
+        # manifest cfg) — one footer read of the first file decides
+        self.has_positions = bool(seg_files) and (
+            "pos_bytes" in ifs.parquet_file(seg_files[0]).schema_arrow.names
+        )
+        self._seg_cols = SEGMENT_COLS + (POS_SEGMENT_COLS if self.has_positions else [])
+        self._entry_cols = self._seg_cols[1:]
         if seg_files:
             if len(seg_files) > 1:
                 from concurrent.futures import ThreadPoolExecutor
@@ -106,6 +116,7 @@ class ShardIndex:
         self._seg = seg
         self._ent_cache: dict[str, list[dict]] = {}
         self._dec_cache: dict[str, tuple] = {}
+        self._pos_cache: dict[str, tuple] = {}
 
         # docs are hive-partitioned by shard_id (optionally nested under
         # wave_* dirs in file-mode builds); read only this shard's meta cols
@@ -133,7 +144,7 @@ class ShardIndex:
 
     def _read_segment_file(self, ifs, f: str) -> pa.Table:
         try:
-            return ifs.read_table(f, columns=SEGMENT_COLS)
+            return ifs.read_table(f, columns=self._seg_cols)
         except (KeyError, pa.ArrowInvalid):
             # pre-enc_avgdl segment files: encoded at the index's build-time
             # avgdl == the current global avgdl. EXACT because a legacy index
@@ -157,7 +168,7 @@ class ShardIndex:
         hi = int(np.searchsorted(self._terms_sorted, term, side="right"))
         if lo == hi:
             return None
-        ents = [{c: self._seg[c][i].as_py() for c in _ENTRY_COLS} for i in range(lo, hi)]
+        ents = [{c: self._seg[c][i].as_py() for c in self._entry_cols} for i in range(lo, hi)]
         self._ent_cache[term] = ents
         return ents
 
@@ -182,6 +193,129 @@ class ShardIndex:
             dec = tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
             self._dec_cache[term] = dec
         return dec
+
+    def _decoded_pos(self, term: str):
+        """(doc_ids, tfs, flat_positions) for a term, concatenated across
+        generations in the SAME ents order as ``_decoded`` — posting k owns
+        positions [cum_tf[k], cum_tf[k+1]). Requires a positional index."""
+        hit = self._pos_cache.get(term)
+        if hit is not None:
+            return hit
+        ents = self._entries(term)
+        if ents is None:
+            return None
+        from smse_backend_ray.functions.codec import decode_positions
+
+        id_parts, tf_parts, pos_parts = [], [], []
+        for e in ents:
+            ids, tfs, _dls = self._ent_decoded(e)
+            id_parts.append(ids)
+            tf_parts.append(tfs)
+            pos_parts.append(decode_positions(e, tfs))
+        out = (
+            np.concatenate(id_parts),
+            np.concatenate(tf_parts),
+            np.concatenate(pos_parts),
+        )
+        self._pos_cache[term] = out
+        return out
+
+    def _conj_candidates(self, terms: list[str]) -> "np.ndarray | None":
+        """doc_ids (sorted) containing EVERY term, or None when any term is
+        absent from this shard. Docs live in exactly one shard, so the
+        per-shard intersection is globally correct."""
+        cand = None
+        for t in terms:
+            dec = self._decoded(t)
+            if dec is None:
+                return None
+            ids = np.sort(dec[0])  # generations concatenate unsorted
+            cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
+            if cand.size == 0:
+                return cand
+        return cand
+
+    def _score_restricted(
+        self, terms, weights, cand: np.ndarray, scope: str, k: int, tombstones=None
+    ) -> dict:
+        """Exact scoring of the candidate doc set in fixed term-asc order
+        (bitwise == the oracle's restricted accumulation)."""
+        id_parts, c_parts = [], []
+        for term, w in zip(terms, weights):
+            dec = self._decoded(term)
+            if dec is None:
+                continue
+            doc_ids, tfs, dls = dec
+            m = np.isin(doc_ids, cand, assume_unique=True)
+            id_parts.append(doc_ids[m])
+            c_parts.append(w * tfnorm_vec(tfs[m], dls[m], self.avgdl, self.params))
+        if not id_parts:
+            return self._empty()
+        uniq, scores = _accumulate(id_parts, c_parts)
+        return self._finalize(uniq, scores, scope, k, tombstones)
+
+    def score_conj(self, terms, weights, scope: str = "", k: int = 30, tombstones=None) -> dict:
+        """Conjunctive (AND) top-k: only docs containing EVERY query term
+        score; scoring itself is the same BM25 sum (frozen semantics mirrored
+        by the oracle and sqlgen.bm25_conj_topk_sql)."""
+        cand = self._conj_candidates(terms)
+        if cand is None or cand.size == 0:
+            return self._empty()
+        return self._score_restricted(terms, weights, cand, scope, k, tombstones)
+
+    def score_phrase(
+        self, phrase: list[str], terms, weights, scope: str = "", k: int = 30, tombstones=None
+    ) -> dict:
+        """Exact-phrase top-k (requires a positional index).
+
+        A doc matches iff the phrase's kept-token sequence occurs contiguously
+        in the doc's kept-token stream: positions(q0) chained through
+        ``P = P[isin(P + j, positions(qj))]``. Matching docs score with the
+        same BM25 sum over the phrase's term multiset (qtf*idf weights).
+        Frozen semantics mirrored by oracle.oracle_phrase_search and
+        sqlgen.phrase_topk_sql. Duplicate phrase terms are handled naturally
+        by the position chain.
+        """
+        if not self.has_positions:
+            raise RuntimeError(
+                "phrase search requires a positional index "
+                "(EngineConfig.with_positions=True at build time)"
+            )
+        uniq = sorted(set(phrase))
+        cand = self._conj_candidates(uniq)
+        if cand is None or cand.size == 0:
+            return self._empty()
+        # per-term (doc-sorted ids, position-slice boundaries, positions)
+        lookup = {}
+        for t in uniq:
+            ids, tfs, flat = self._decoded_pos(t)
+            o = np.argsort(ids, kind="stable")
+            ids_s, tf_s = ids[o], tfs[o]
+            src = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+            dst = np.concatenate(([0], np.cumsum(tf_s)))
+            gidx = np.repeat(src[o], tf_s) + (
+                np.arange(flat.size, dtype=np.int64) - np.repeat(dst[:-1], tf_s)
+            )
+            lookup[t] = (ids_s, dst, flat[gidx])
+        matched = []
+        for d in cand:
+            ids_s, dst, flat = lookup[phrase[0]]
+            j = int(np.searchsorted(ids_s, d))
+            P = flat[dst[j] : dst[j + 1]]
+            for off, t in enumerate(phrase[1:], 1):
+                ids_s, dst, flat_t = lookup[t]
+                j = int(np.searchsorted(ids_s, d))
+                Q = flat_t[dst[j] : dst[j + 1]]
+                P = P[np.isin(P + off, Q, assume_unique=True)]
+                if P.size == 0:
+                    break
+            if P.size:
+                matched.append(int(d))
+        if not matched:
+            return self._empty()
+        return self._score_restricted(
+            terms, weights, np.asarray(matched, dtype=np.int64), scope, k, tombstones
+        )
 
     def _bmax_scale(self, ent: dict) -> float:
         """Conservative rescale of encode-time block_max bounds to the
