@@ -78,6 +78,34 @@ def _incr_index_for(sf_dir: str) -> str:
     return idx_dir
 
 
+_POS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _pos_index_for(sf_dir: str) -> str:
+    """Index built WITH the positional column family (EngineConfig
+    .with_positions) for the exact-phrase entry. Kept separate from the
+    flagship index so the default build stays position-free (the opt-in
+    costs segment bytes; BASELINE.md 'Positional postings')."""
+    if sf_dir in _POS_INDEX_CACHE:
+        return _POS_INDEX_CACHE[sf_dir]
+    from smse_backend_ray.config import EngineConfig
+    from smse_backend_ray.pipelines.build import build_index
+    from smse_backend_ray.sources.corpus import corpus_from_documents
+
+    idx_dir = (
+        f"/tmp/smse_entry_pos_index_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(
+        corpus=corpus_from_documents(sf_dir),
+        index_dir=idx_dir,
+        cfg=EngineConfig(n_shards=8, with_positions=True),
+    )
+    _POS_INDEX_CACHE[sf_dir] = idx_dir
+    return idx_dir
+
+
 # deterministic tombstone set for the compaction entry: doc_id % 17 == 3
 # (SQL twin: docs_where="doc_id % 17 != 3" — both sides share the literal)
 _VACUUM_MOD, _VACUUM_RESIDUE = 17, 3
@@ -377,7 +405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from smse_backend_ray.queryset import (
         BASE_QUERIES,
+        CONJ_QUERIES,
         MULTIPART_QUERIES,
+        PHRASE_QUERIES,
         SCOPED_QUERIES,
     )
 
@@ -397,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_bulk": _q_bm25_bulk,
         "bm25_topk_scoped": _q_bm25(SCOPED_QUERIES),
         "bm25_topk_multipart": _q_bm25(MULTIPART_QUERIES),
+        "bm25_topk_conj": _q_bm25(CONJ_QUERIES),
+        "bm25_topk_phrase": _q_bm25(PHRASE_QUERIES, _pos_index_for),
         "doc_token_stats": textstats.token_stats,
         "doc_quality": textstats.quality,
         "doc_lang_id": textstats.lang_id,
@@ -451,7 +483,9 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_ray.queryset import (
         ALL_QUERIES,
         BASE_QUERIES,
+        CONJ_QUERIES,
         MULTIPART_QUERIES,
+        PHRASE_QUERIES,
         SCOPED_QUERIES,
     )
 
@@ -478,6 +512,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bulk": sqlgen.bm25_topk_sql(BASE_QUERIES, p, meta_cols=False),
         "bm25_topk_scoped": sqlgen.bm25_topk_sql(SCOPED_QUERIES, p),
         "bm25_topk_multipart": sqlgen.bm25_topk_sql(MULTIPART_QUERIES, p),
+        "bm25_topk_conj": sqlgen.bm25_conj_topk_sql(CONJ_QUERIES, p),
+        "bm25_topk_phrase": sqlgen.phrase_topk_sql(PHRASE_QUERIES, p),
         "doc_token_stats": sqlgen.token_stats_sql(),
         "doc_quality": sqlgen.quality_sql(),
         "doc_lang_id": sqlgen.lang_id_sql(),

@@ -917,3 +917,128 @@ ORDER BY query_id, rank
 """,
         docs_where=docs_where,
     )
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive (AND) and exact-phrase BM25 oracles
+# ---------------------------------------------------------------------------
+
+
+def _query_values(queries) -> tuple[str, str]:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    part_vals = ", ".join(
+        f"({qs.query_id}, {q(p)})" for qs in queries for p in qs.parts
+    )
+    meta_vals = ", ".join(
+        f"({qs.query_id}, {q(qs.scope)}, {qs.limit}, "
+        + ("CAST(NULL AS DOUBLE)" if qs.threshold is None else str(qs.threshold))
+        + ")"
+        for qs in queries
+    )
+    return part_vals, meta_vals
+
+
+def _bm25_restricted_sql(
+    queries, params: BM25Params, extra_ctes: str, restrict: str,
+    docs_where: str | None = None,
+) -> str:
+    """Shared tail for restricted-candidate BM25 top-k: the standard scored
+    CTE chain, an extra candidate CTE block, and a join that keeps only
+    (query_id, doc_id) pairs the restriction admits."""
+    part_vals, meta_vals = _query_values(queries)
+    return with_corpus_docs(
+        f"""
+, queries(query_id, part) AS (VALUES {part_vals}),
+qmeta(query_id, scope, lim, threshold) AS (VALUES {meta_vals}),
+{bm25_scored_ctes(params).lstrip()},
+{extra_ctes},
+ranked AS (
+  SELECT sc.query_id, sc.doc_id, round(sc.score, {SCORE_DECIMALS}) AS rscore,
+         d.path, d.repo, d.lang, m.lim
+  FROM scored sc
+  JOIN {restrict} r ON r.query_id = sc.query_id AND r.doc_id = sc.doc_id
+  JOIN docs d ON d.doc_id = sc.doc_id
+  JOIN qmeta m ON m.query_id = sc.query_id
+  WHERE (m.scope = '' OR d.repo = m.scope)
+    AND (m.threshold IS NULL OR round(sc.score, {SCORE_DECIMALS}) >= m.threshold)
+),
+topk AS (
+  SELECT query_id, doc_id, rscore, path, repo, lang, lim,
+         row_number() OVER (PARTITION BY query_id ORDER BY rscore DESC, doc_id ASC) AS rnk
+  FROM ranked
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank,
+       doc_id, path, repo, lang, rscore AS score
+FROM topk WHERE rnk <= lim
+ORDER BY query_id, rank
+""",
+        docs_where=docs_where,
+    )
+
+
+def bm25_conj_topk_sql(queries, params: BM25Params, docs_where: str | None = None) -> str:
+    """Conjunctive (AND-mode) top-k twin (stages/scorer.py score_conj):
+    only docs containing EVERY kept query term score; a kept term absent
+    from the corpus (df = 0) makes the query return no rows — identical to
+    the engine, which short-circuits before the scatter
+    (pipelines/search.py). Frozen engine<->SQL pair."""
+    extra = """
+qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq FROM qtok GROUP BY query_id),
+conj AS (
+  SELECT qt.query_id, tf.doc_id
+  FROM qtok qt
+  JOIN tf ON tf.term = qt.term
+  JOIN qn ON qn.query_id = qt.query_id
+  GROUP BY qt.query_id, tf.doc_id, qn.nq
+  HAVING count(*) = qn.nq
+)"""
+    return _bm25_restricted_sql(queries, params, extra.strip(), "conj", docs_where)
+
+
+def pos_tokens_cte(src: str, id_col: str, text_col: str) -> str:
+    """Ordered kept-token stream with 0-based kept positions:
+    (<id_col>, term, p). Frozen twin of analyzer.term_positions — p indexes
+    into tokenize(text), i.e. positions are assigned AFTER the keep filter,
+    matching the positional segment column family (ingest.py with_positions)."""
+    e = subtoken_expr("src." + text_col)
+    return (
+        f"SELECT {id_col}, term, "
+        f"CAST(row_number() OVER (PARTITION BY {id_col} ORDER BY pos) - 1 AS BIGINT) AS p "
+        f"FROM (SELECT src.{id_col} AS {id_col}, t.term AS term, t.pos AS pos "
+        f"FROM {src} AS src, LATERAL (SELECT unnest({e}) AS term, "
+        f"generate_subscripts({e}, 1) AS pos) t "
+        f"WHERE {token_filter_sql('t.term')})"
+    )
+
+
+def phrase_topk_sql(queries, params: BM25Params, docs_where: str | None = None) -> str:
+    """Exact-phrase top-k twin (stages/scorer.py score_phrase): a doc
+    matches iff the query part's kept-token sequence occurs contiguously in
+    the doc's kept-token stream (offset-chained positions); matching docs
+    score with the standard BM25 sum over the phrase's term multiset.
+
+    Match detection: join doc positions to query positions on term, group by
+    candidate start offset (d.p - q.p); a start is a match iff every phrase
+    offset matched, i.e. the group has exactly phrase-length rows (each
+    (d.p, q.p) pair is unique, so counts cannot inflate — repeated phrase
+    terms are handled naturally). Frozen engine<->SQL pair."""
+    for qs in queries:
+        if len(qs.parts) != 1:
+            raise ValueError(f"phrase query {qs.query_id} must have exactly one part")
+    extra = f"""
+dpos AS ({pos_tokens_cte('docs', 'doc_id', 'content')}),
+qpos AS ({pos_tokens_cte('queries', 'query_id', 'part')}),
+qlen AS (SELECT query_id, CAST(count(*) AS BIGINT) AS L FROM qpos GROUP BY query_id),
+phits AS (
+  SELECT DISTINCT query_id, doc_id FROM (
+    SELECT q.query_id, d.doc_id
+    FROM qpos q
+    JOIN dpos d ON d.term = q.term
+    JOIN qlen ON qlen.query_id = q.query_id
+    GROUP BY q.query_id, d.doc_id, d.p - q.p, qlen.L
+    HAVING count(*) = qlen.L
+  )
+)"""
+    return _bm25_restricted_sql(queries, params, extra.strip(), "phits", docs_where)

@@ -12,6 +12,7 @@ and its DB-side top-k (:97-110), collapsed into one in-memory implementation.
 from __future__ import annotations
 
 import hashlib
+from collections import Counter
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -22,7 +23,7 @@ from smse_backend_ray.config import (
     BM25Params,
 )
 from smse_backend_ray.functions import bm25
-from smse_backend_ray.functions.analyzer import term_counts
+from smse_backend_ray.functions.analyzer import term_counts, tokenize  # noqa: F401 (term_counts re-exported)
 from smse_backend_ray.functions.fusion import fuse_parts
 from smse_backend_ray.functions.normalize import NORMALIZERS
 from smse_backend_ray.functions.rounding import round_half_away
@@ -46,6 +47,7 @@ class OracleIndex:
     params: BM25Params
     docs: dict[int, OracleDoc] = field(default_factory=dict)
     postings: dict[str, dict[int, int]] = field(default_factory=dict)  # term -> {doc_id: tf}
+    tokens: dict[int, list[str]] = field(default_factory=dict)  # doc_id -> kept-token stream
     n_docs: int = 0
     avgdl: float = 0.0
 
@@ -74,8 +76,10 @@ def build_oracle_index(
             # replace winner: remove previous postings for this doc
             for tfs in idx.postings.values():
                 tfs.pop(did, None)
-        tcs = term_counts(r["content"])
-        dl = sum(tf for _, tf in tcs)
+        toks = tokenize(r["content"])
+        tcs = sorted(Counter(toks).items())  # == term_counts(content)
+        dl = len(toks)
+        idx.tokens[did] = toks
         idx.docs[did] = OracleDoc(
             doc_id=did,
             repo=r["repo"],
@@ -111,6 +115,68 @@ def oracle_search(
     normalization :190-197 -> global sort -> limit -> projection.
     """
     qtf, _ = fuse_parts(parts)
+    return _score_and_rank(idx, qtf, None, scope, limit, threshold, normalize)
+
+
+def oracle_conj_search(
+    idx: OracleIndex,
+    parts: list[str],
+    scope: str = "",
+    limit: int = DEFAULT_TOP_K,
+    threshold: float | None = None,
+    normalize: str = "none",
+) -> list[dict]:
+    """Conjunctive (AND-mode) twin of ShardIndex.score_conj: only docs
+    containing EVERY kept query term score; a kept term with df=0 yields no
+    rows. Scoring of the surviving docs is the identical BM25 sum."""
+    qtf, _ = fuse_parts(parts)
+    cand: set[int] | None = None
+    for term in sorted(qtf):
+        post = idx.postings.get(term)
+        if not post:
+            return []
+        cand = set(post) if cand is None else cand & set(post)
+        if not cand:
+            return []
+    return _score_and_rank(idx, qtf, cand, scope, limit, threshold, normalize)
+
+
+def oracle_phrase_search(
+    idx: OracleIndex,
+    text: str,
+    scope: str = "",
+    limit: int = DEFAULT_TOP_K,
+    threshold: float | None = None,
+    normalize: str = "none",
+) -> list[dict]:
+    """Exact-phrase twin of ShardIndex.score_phrase: a doc matches iff the
+    query's kept-token sequence occurs contiguously in the doc's kept-token
+    stream; matches score with the standard BM25 sum over the phrase's term
+    multiset (engine<->SQL pair with sqlgen.phrase_topk_sql)."""
+    phrase = tokenize(text)
+    if not phrase:
+        return []
+    qtf = dict(Counter(phrase))
+    L = len(phrase)
+    cand = {
+        did
+        for did, toks in idx.tokens.items()
+        if any(toks[s : s + L] == phrase for s in range(len(toks) - L + 1))
+    }
+    if not cand:
+        return []
+    return _score_and_rank(idx, qtf, cand, scope, limit, threshold, normalize)
+
+
+def _score_and_rank(
+    idx: OracleIndex,
+    qtf: dict[str, int],
+    cand: "set[int] | None",
+    scope: str,
+    limit: int,
+    threshold: float | None,
+    normalize: str,
+) -> list[dict]:
     scores: dict[int, float] = {}
     for term in sorted(qtf):  # FIXED summation order (term ascending)
         post = idx.postings.get(term)
@@ -118,6 +184,8 @@ def oracle_search(
             continue
         w = qtf[term] * bm25.idf(idx.n_docs, len(post))
         for did, tf in post.items():
+            if cand is not None and did not in cand:
+                continue
             d = idx.docs[did]
             contrib = w * bm25.tfnorm_scalar(tf, d.dl, idx.avgdl, idx.params)
             scores[did] = scores.get(did, 0.0) + contrib

@@ -153,6 +153,41 @@ class SearchEngine:
         return out_t, out_w
 
     # ------------------------------------------------------------------
+    def _job_for(
+        self, qid: int, parts: list[str], scope: str, limit: int, mode: str
+    ) -> dict | None:
+        """Build one scatter job, or None when the query provably has no
+        results (no kept terms; or AND/phrase mode with a kept term whose
+        corpus df is 0 — no doc can contain every term, so skip the
+        scatter entirely). Frozen semantics mirrored by oracle.py
+        (oracle_conj_search/oracle_phrase_search) and sqlgen
+        (bm25_conj_topk_sql/phrase_topk_sql)."""
+        qtf, _majority = fuse_parts(parts)  # raises on no valid parts (400 analog)
+        terms, weights = self.idf_weights(qtf)
+        if not terms:
+            return None
+        if mode not in ("or", "and", "phrase"):
+            raise ValueError(f"unknown query mode {mode!r}")
+        if mode != "or" and len(terms) < len(qtf):
+            return None  # some kept term has df=0 -> conjunction can't match
+        job = {
+            "query_id": qid,
+            "terms": terms,
+            "weights": weights,
+            "scope": scope,
+            "k": max(limit, SHARD_CANDIDATE_K),
+            "tombstones": sorted(self._tombstones),
+        }
+        if mode == "and":
+            job["mode"] = "and"
+        elif mode == "phrase":
+            if len(parts) != 1:
+                raise ValueError("phrase mode requires exactly one query part")
+            from smse_backend_ray.functions.analyzer import tokenize
+
+            job["phrase"] = tokenize(parts[0])
+        return job
+
     def search(
         self,
         parts: list[str] | str,
@@ -162,21 +197,13 @@ class SearchEngine:
         normalize: str = "none",
         query_id: int | None = None,
         log: bool = False,
+        mode: str = "or",
     ) -> pa.Table:
         if isinstance(parts, str):
             parts = [parts]
-        qtf, _majority = fuse_parts(parts)  # raises on no valid parts (400 analog)
-        terms, weights = self.idf_weights(qtf)
         qid = query_id if query_id is not None else self._next_query_id
-        if terms:
-            job = {
-                "query_id": qid,
-                "terms": terms,
-                "weights": weights,
-                "scope": scope,
-                "k": max(limit, SHARD_CANDIDATE_K),
-                "tombstones": sorted(self._tombstones),
-            }
+        job = self._job_for(qid, parts, scope, limit, mode)
+        if job is not None:
             cands = pa.concat_tables(
                 ray.get([a.search.remote([job], self.strategy) for a in self.actors])
             )
@@ -193,20 +220,13 @@ class SearchEngine:
         strategy = strategy or self.strategy
         jobs, metas = [], {}
         for qs in queries:
-            qtf, _ = fuse_parts(list(qs.parts))
-            terms, weights = self.idf_weights(qtf)
             metas[qs.query_id] = qs
-            if terms:
-                jobs.append(
-                    {
-                        "query_id": qs.query_id,
-                        "terms": terms,
-                        "weights": weights,
-                        "scope": qs.scope,
-                        "k": max(qs.limit, SHARD_CANDIDATE_K),
-                        "tombstones": sorted(self._tombstones),
-                    }
-                )
+            job = self._job_for(
+                qs.query_id, list(qs.parts), qs.scope, qs.limit,
+                getattr(qs, "mode", "or"),
+            )
+            if job is not None:
+                jobs.append(job)
         results = [RESULT_SCHEMA.empty_table()]
         if jobs:
             # split the query batch across replica sets (one scatter/gather;

@@ -21,6 +21,10 @@ class QuerySpec:
     scope: str = ""                   # repo filter; "" = all (reference user_id analog)
     limit: int = 10
     threshold: float | None = None
+    # "or" = standard BM25 (any term), "and" = conjunctive (every term),
+    # "phrase" = exact phrase over the kept-token stream (requires a
+    # positional index; parts must be a single string)
+    mode: str = "or"
 
     @property
     def text(self) -> str:
@@ -55,6 +59,29 @@ MULTIPART_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec(200, ("hash table", "hash value")),     # overlapping parts: qtf(hash)=2
     QuerySpec(201, ("sort merge", "batch", "window table")),
     QuerySpec(202, ("fast slow", "scan")),
+)
+
+# Conjunctive (AND-mode) queries: every kept term must appear in the doc.
+# 302's third term has corpus df=0, so the whole query is provably empty —
+# both engine (pipelines/search.py _job_for) and SQL return no rows.
+CONJ_QUERIES: tuple[QuerySpec, ...] = (
+    QuerySpec(300, ("hash join table",), mode="and"),
+    QuerySpec(301, ("sort merge batch window",), mode="and", limit=8),
+    QuerySpec(302, ("customer vector qqzzquux",), mode="and"),
+    QuerySpec(303, ("window filter",), scope="src2", mode="and"),
+    QuerySpec(304, ("data stream", "line"), mode="and", threshold=0.5),
+)
+
+# Exact-phrase queries (single part; served from a positional index).
+# 401 exercises a repeated phrase term; 403 exercises the kept-stream
+# semantics (a stopword between kept words does NOT break adjacency in the
+# kept-token stream on either side); 404 is a guaranteed no-hit.
+PHRASE_QUERIES: tuple[QuerySpec, ...] = (
+    QuerySpec(400, ("sort merge",), mode="phrase"),
+    QuerySpec(401, ("batch batch",), mode="phrase"),
+    QuerySpec(402, ("data line join",), mode="phrase", limit=5),
+    QuerySpec(403, ("the fast key",), mode="phrase"),
+    QuerySpec(404, ("merge qqzzquux",), mode="phrase"),
 )
 
 ALL_QUERIES: tuple[QuerySpec, ...] = BASE_QUERIES + SCOPED_QUERIES + MULTIPART_QUERIES

@@ -519,11 +519,23 @@ class ShardSearcher:
         for job in jobs:
             for sh in self.shards:
                 tomb = job.get("tombstones")
-                r = sh.score_query(
-                    job["terms"], job["weights"], job.get("scope", ""),
-                    job["k"], strategy=strategy,
-                    tombstones=np.asarray(tomb, dtype=np.int64) if tomb else None,
-                )
+                tomb_a = np.asarray(tomb, dtype=np.int64) if tomb else None
+                if job.get("phrase"):
+                    r = sh.score_phrase(
+                        job["phrase"], job["terms"], job["weights"],
+                        job.get("scope", ""), job["k"], tombstones=tomb_a,
+                    )
+                elif job.get("mode") == "and":
+                    r = sh.score_conj(
+                        job["terms"], job["weights"], job.get("scope", ""),
+                        job["k"], tombstones=tomb_a,
+                    )
+                else:
+                    r = sh.score_query(
+                        job["terms"], job["weights"], job.get("scope", ""),
+                        job["k"], strategy=strategy,
+                        tombstones=tomb_a,
+                    )
                 n = len(r["doc_id"])
                 if not n:
                     continue

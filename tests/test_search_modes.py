@@ -1,0 +1,201 @@
+"""Conjunctive (AND) and exact-phrase search modes vs the Python oracle.
+
+Engine path: pipelines/search.py _job_for -> stages/scorer.py score_conj /
+score_phrase over the positional column family. Oracle twins:
+oracle.oracle_conj_search / oracle.oracle_phrase_search (and the DuckDB
+twins sqlgen.bm25_conj_topk_sql / phrase_topk_sql, exercised by the driver
+gate entries bm25_topk_conj / bm25_topk_phrase). Scores must be BITWISE
+equal — the restricted accumulation keeps the frozen term-ascending order.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from smse_backend_ray.config import EngineConfig
+from smse_backend_ray.oracle import (
+    build_oracle_index,
+    oracle_conj_search,
+    oracle_phrase_search,
+    oracle_search,
+)
+from smse_backend_ray.pipelines.build import build_index
+from smse_backend_ray.pipelines.search import SearchEngine
+from smse_backend_ray.queryset import QuerySpec
+
+POS_IDX = "/tmp/smse_test_modes_pos_idx"
+PLAIN_IDX = "/tmp/smse_test_modes_plain_idx"
+
+
+def _corpus(n=120, seed=11) -> list[dict]:
+    rng = np.random.default_rng(seed)
+    vocab = [
+        "hash", "join", "table", "sort", "merge", "batch", "value", "fast",
+        "scan", "row", "alpha", "beta", "key", "window", "filter",
+    ]
+    rows = []
+    for i in range(n):
+        words = list(rng.choice(vocab, size=int(rng.integers(4, 50))))
+        # sprinkle stopwords so kept-stream adjacency differs from raw text
+        if i % 7 == 0:
+            words.insert(1, "the")
+        rows.append(
+            {
+                "repo": f"src{i % 4}",
+                "path": f"docs/{i:04d}.txt",
+                "commit": f"c{i}",
+                "lang": "en",
+                "content": " ".join(words),
+            }
+        )
+    # planted docs: repeated-term phrase + stopword-split phrase
+    rows.append(dict(rows[0], path="docs/planted1.txt", commit="p1",
+                     content="alpha beta alpha beta gamma"))
+    rows.append(dict(rows[0], path="docs/planted2.txt", commit="p2",
+                     content="hash the join sorted output"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def modes_idx(ray_session):
+    rows = _corpus()
+    t = pa.Table.from_pylist(rows)
+    shutil.rmtree(POS_IDX, ignore_errors=True)
+    shutil.rmtree(PLAIN_IDX, ignore_errors=True)
+    build_index(
+        corpus=ray.data.from_arrow(t),
+        index_dir=POS_IDX,
+        cfg=EngineConfig(n_shards=3, with_positions=True, block_size=16),
+    )
+    build_index(
+        corpus=ray.data.from_arrow(t),
+        index_dir=PLAIN_IDX,
+        cfg=EngineConfig(n_shards=3),
+    )
+    return build_oracle_index(t)
+
+
+CONJ_CASES = [
+    (["hash join"], "", None),
+    (["sort merge batch"], "", None),
+    (["alpha beta"], "src0", None),
+    (["window filter", "key"], "", 0.3),
+    (["hash nohitzz"], "", None),  # df=0 term -> provably empty
+]
+
+PHRASE_CASES = [
+    "sort merge",
+    "alpha beta alpha",          # overlapping repeated-term phrase
+    "hash the join",             # stopword dropped from BOTH streams
+    "hash join table",
+    "alpha",                     # single-token phrase == term match
+    "merge nohitzz",             # no-hit
+]
+
+
+def test_conj_matches_oracle(modes_idx):
+    oidx = modes_idx
+    with SearchEngine(POS_IDX) as eng:
+        for parts, scope, thr in CONJ_CASES:
+            got = eng.search(parts, scope=scope, threshold=thr, limit=10,
+                             mode="and").to_pylist()
+            exp = oracle_conj_search(oidx, parts, scope=scope, threshold=thr,
+                                     limit=10)
+            assert len(got) == len(exp), parts
+            for g, e in zip(got, exp):
+                assert g["doc_id"] == e["doc_id"], parts
+                assert g["exact_score"] == e["score"], parts
+
+
+def test_phrase_matches_oracle(modes_idx):
+    oidx = modes_idx
+    with SearchEngine(POS_IDX) as eng:
+        for text in PHRASE_CASES:
+            got = eng.search([text], limit=10, mode="phrase").to_pylist()
+            exp = oracle_phrase_search(oidx, text, limit=10)
+            assert len(got) == len(exp), text
+            for g, e in zip(got, exp):
+                assert g["doc_id"] == e["doc_id"], text
+                assert g["exact_score"] == e["score"], text
+
+
+def test_phrase_finds_planted_docs(modes_idx):
+    oidx = modes_idx
+    # overlapping repeat: "alpha beta alpha" occurs only in planted1
+    hits = {r["doc_id"] for r in oracle_phrase_search(oidx, "alpha beta alpha")}
+    planted1 = [d for d, t in oidx.tokens.items()
+                if t[:5] == ["alpha", "beta", "alpha", "beta", "gamma"]]
+    assert planted1 and set(planted1) <= hits
+    # stopword-split: planted2's raw text is "hash the join ..." — kept
+    # stream is (hash, join, ...) so the phrase "hash join" matches it
+    hits2 = {r["doc_id"] for r in oracle_phrase_search(oidx, "hash join")}
+    planted2 = [d for d, t in oidx.tokens.items() if t[:3] == ["hash", "join", "sorted"]]
+    assert planted2 and set(planted2) <= hits2
+
+
+def test_conj_subset_of_or_mode(modes_idx):
+    oidx = modes_idx
+    parts = ["sort merge batch"]
+    conj = {r["doc_id"] for r in oracle_conj_search(oidx, parts, limit=1000)}
+    disj = {r["doc_id"] for r in oracle_search(oidx, parts, limit=1000)}
+    assert conj <= disj
+    # every conj hit really contains every term
+    for did in conj:
+        for term in ("sort", "merge", "batch"):
+            assert did in oidx.postings[term]
+    with SearchEngine(POS_IDX) as eng:
+        got = {r["doc_id"] for r in eng.search(parts, limit=1000, mode="and").to_pylist()}
+    assert got == conj
+
+
+def test_phrase_requires_positional_index(modes_idx):
+    with SearchEngine(PLAIN_IDX) as eng:
+        with pytest.raises(Exception, match="positional"):
+            eng.search(["sort merge"], mode="phrase")
+        # AND mode needs no positions — works on the plain index
+        assert eng.search(["sort merge"], mode="and").num_rows >= 0
+
+
+def test_phrase_tombstone_filtered(modes_idx):
+    oidx = modes_idx
+    with SearchEngine(POS_IDX) as eng:
+        base = eng.search(["sort merge"], mode="phrase", limit=5).to_pylist()
+        if not base:
+            pytest.skip("no phrase hits in corpus draw")
+        dead = base[0]["doc_id"]
+        eng.delete_doc(dead)
+        try:
+            after = eng.search(["sort merge"], mode="phrase", limit=5).to_pylist()
+            assert dead not in {r["doc_id"] for r in after}
+            exp = [r for r in oracle_phrase_search(oidx, "sort merge", limit=6)
+                   if r["doc_id"] != dead][:5]
+            assert [r["doc_id"] for r in after] == [e["doc_id"] for e in exp]
+        finally:
+            eng.ifs.delete_file(eng.TOMBSTONES)
+
+
+def test_batch_path_modes(modes_idx):
+    oidx = modes_idx
+    specs = (
+        QuerySpec(900, ("hash join",), mode="and"),
+        QuerySpec(901, ("sort merge",), mode="phrase", limit=4),
+        QuerySpec(902, ("alpha beta",)),
+    )
+    with SearchEngine(POS_IDX) as eng:
+        out = eng.search_batch(specs)
+    import pyarrow.compute as pc
+
+    sub = lambda q: out.filter(pc.equal(out["query_id"], q)).to_pylist()  # noqa: E731
+    exp0 = oracle_conj_search(oidx, ["hash join"], limit=10)
+    exp1 = oracle_phrase_search(oidx, "sort merge", limit=4)
+    exp2 = oracle_search(oidx, ["alpha beta"], limit=10)
+    for qid, exp in ((900, exp0), (901, exp1), (902, exp2)):
+        got = sorted(sub(qid), key=lambda r: r["rank"])
+        assert [g["doc_id"] for g in got] == [e["doc_id"] for e in exp], qid
+        assert [g["exact_score"] for g in got] == [e["score"] for e in exp], qid
