@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         BASE_QUERIES,
         CONJ_QUERIES,
         MULTIPART_QUERIES,
+        NEAR_QUERIES,
         PHRASE_QUERIES,
         SCOPED_QUERIES,
     )
@@ -429,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_multipart": _q_bm25(MULTIPART_QUERIES),
         "bm25_topk_conj": _q_bm25(CONJ_QUERIES),
         "bm25_topk_phrase": _q_bm25(PHRASE_QUERIES, _pos_index_for),
+        "bm25_topk_near": _q_bm25(NEAR_QUERIES, _pos_index_for),
         "doc_token_stats": textstats.token_stats,
         "doc_quality": textstats.quality,
         "doc_lang_id": textstats.lang_id,
@@ -485,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         BASE_QUERIES,
         CONJ_QUERIES,
         MULTIPART_QUERIES,
+        NEAR_QUERIES,
         PHRASE_QUERIES,
         SCOPED_QUERIES,
     )
@@ -514,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_multipart": sqlgen.bm25_topk_sql(MULTIPART_QUERIES, p),
         "bm25_topk_conj": sqlgen.bm25_conj_topk_sql(CONJ_QUERIES, p),
         "bm25_topk_phrase": sqlgen.phrase_topk_sql(PHRASE_QUERIES, p),
+        "bm25_topk_near": sqlgen.near_topk_sql(NEAR_QUERIES, p),
         "doc_token_stats": sqlgen.token_stats_sql(),
         "doc_quality": sqlgen.quality_sql(),
         "doc_lang_id": sqlgen.lang_id_sql(),

@@ -161,3 +161,8 @@ class EngineConfig:
 # smse_backend/services/search.py:78; final top-k=10, :139)
 SHARD_CANDIDATE_K = 30
 DEFAULT_TOP_K = 10
+
+# Proximity (mode="near") default window: a doc matches iff some kept-token
+# window of span <= slop contains every distinct query term (frozen pair:
+# scorer.score_near <-> oracle.oracle_near_search <-> sqlgen.near_topk_sql)
+NEAR_DEFAULT_SLOP = 8

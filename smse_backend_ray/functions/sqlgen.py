@@ -1042,3 +1042,56 @@ phits AS (
   )
 )"""
     return _bm25_restricted_sql(queries, params, extra.strip(), "phits", docs_where)
+
+
+def near_topk_sql(queries, params: BM25Params, docs_where: str | None = None) -> str:
+    """Proximity top-k twin (stages/scorer.py score_near): a doc matches iff
+    some kept-token window of span <= the query's slop contains at least one
+    occurrence of every distinct kept query term; matches score with the
+    standard BM25 sum.
+
+    The per-query k-way position join is generated from the query's distinct
+    kept terms computed PYTHON-side with analyzer.tokenize — legitimate
+    because tokenizer equivalence with subtoken_expr/token_filter_sql is
+    itself a frozen, fuzz-tested invariant (tests/test_analyzer.py). A query
+    whose kept terms include a corpus-df=0 term yields no rows via the join
+    (no dpos rows for that term), matching the engine's driver-side
+    short-circuit. Frozen engine<->SQL pair."""
+    from smse_backend_ray.config import NEAR_DEFAULT_SLOP
+    from smse_backend_ray.functions.analyzer import tokenize
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    selects = []
+    for qs in queries:
+        slop = NEAR_DEFAULT_SLOP if getattr(qs, "slop", None) is None else int(qs.slop)
+        terms = sorted({t for p in qs.parts for t in tokenize(p)})
+        if not terms:
+            continue
+        aliases = [f"t{i}" for i in range(len(terms))]
+        frm = f"(SELECT doc_id, p FROM dpos WHERE term = {q(terms[0])}) t0"
+        for i, t in enumerate(terms[1:], 1):
+            frm += (
+                f" JOIN (SELECT doc_id, p FROM dpos WHERE term = {q(t)}) t{i}"
+                f" ON t{i}.doc_id = t0.doc_id"
+            )
+        if len(terms) == 1:
+            where = "TRUE"  # span 0 <= any slop >= 0
+        else:
+            ps = ", ".join(f"{a}.p" for a in aliases)
+            where = f"greatest({ps}) - least({ps}) <= {slop}"
+        selects.append(
+            f"SELECT DISTINCT CAST({qs.query_id} AS BIGINT) AS query_id, "
+            f"t0.doc_id AS doc_id FROM {frm} WHERE {where}"
+        )
+    hits = "\n  UNION ALL\n  ".join(selects) or (
+        "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS doc_id "
+        "WHERE FALSE"
+    )
+    extra = f"""
+dpos AS ({pos_tokens_cte('docs', 'doc_id', 'content')}),
+nearhits AS (
+  {hits}
+)"""
+    return _bm25_restricted_sql(queries, params, extra.strip(), "nearhits", docs_where)

@@ -168,6 +168,59 @@ def oracle_phrase_search(
     return _score_and_rank(idx, qtf, cand, scope, limit, threshold, normalize)
 
 
+def oracle_near_search(
+    idx: OracleIndex,
+    parts: list[str],
+    slop: int,
+    scope: str = "",
+    limit: int = DEFAULT_TOP_K,
+    threshold: float | None = None,
+    normalize: str = "none",
+) -> list[dict]:
+    """Proximity twin of ShardIndex.score_near: a doc matches iff some
+    kept-token window of span <= slop (max pos - min pos) contains at least
+    one occurrence of EVERY distinct kept query term (df=0 kept term -> no
+    rows). Matches score with the standard BM25 sum (engine<->SQL pair with
+    sqlgen.near_topk_sql)."""
+    qtf, _ = fuse_parts(parts)
+    uniq = sorted(qtf)
+    for term in uniq:
+        if not idx.postings.get(term):
+            return []
+    cand = set()
+    for did, toks in idx.tokens.items():
+        pos = {t: [] for t in uniq}
+        for i, tok in enumerate(toks):
+            if tok in pos:
+                pos[tok].append(i)
+        if any(not p for p in pos.values()):
+            continue
+        # sorted-merge shrinking window (independent scalar re-derivation)
+        merged = sorted((p, t) for t in uniq for p in pos[t])
+        count = {t: 0 for t in uniq}
+        missing = len(uniq)
+        best = None
+        i = 0
+        for j, (pj, tj) in enumerate(merged):
+            if count[tj] == 0:
+                missing -= 1
+            count[tj] += 1
+            while missing == 0:
+                span = pj - merged[i][0]
+                if best is None or span < best:
+                    best = span
+                ti = merged[i][1]
+                count[ti] -= 1
+                if count[ti] == 0:
+                    missing += 1
+                i += 1
+        if best is not None and best <= slop:
+            cand.add(did)
+    if not cand:
+        return []
+    return _score_and_rank(idx, qtf, cand, scope, limit, threshold, normalize)
+
+
 def _score_and_rank(
     idx: OracleIndex,
     qtf: dict[str, int],

@@ -154,7 +154,8 @@ class SearchEngine:
 
     # ------------------------------------------------------------------
     def _job_for(
-        self, qid: int, parts: list[str], scope: str, limit: int, mode: str
+        self, qid: int, parts: list[str], scope: str, limit: int, mode: str,
+        slop: int | None = None,
     ) -> dict | None:
         """Build one scatter job, or None when the query provably has no
         results (no kept terms; or AND/phrase mode with a kept term whose
@@ -166,7 +167,7 @@ class SearchEngine:
         terms, weights = self.idf_weights(qtf)
         if not terms:
             return None
-        if mode not in ("or", "and", "phrase"):
+        if mode not in ("or", "and", "phrase", "near"):
             raise ValueError(f"unknown query mode {mode!r}")
         if mode != "or" and len(terms) < len(qtf):
             return None  # some kept term has df=0 -> conjunction can't match
@@ -186,6 +187,14 @@ class SearchEngine:
             from smse_backend_ray.functions.analyzer import tokenize
 
             job["phrase"] = tokenize(parts[0])
+        elif mode == "near":
+            from smse_backend_ray.config import NEAR_DEFAULT_SLOP
+
+            s = NEAR_DEFAULT_SLOP if slop is None else int(slop)
+            if s < 0:
+                raise ValueError("slop must be >= 0")
+            job["mode"] = "near"
+            job["slop"] = s
         return job
 
     def search(
@@ -198,11 +207,12 @@ class SearchEngine:
         query_id: int | None = None,
         log: bool = False,
         mode: str = "or",
+        slop: int | None = None,
     ) -> pa.Table:
         if isinstance(parts, str):
             parts = [parts]
         qid = query_id if query_id is not None else self._next_query_id
-        job = self._job_for(qid, parts, scope, limit, mode)
+        job = self._job_for(qid, parts, scope, limit, mode, slop)
         if job is not None:
             cands = pa.concat_tables(
                 ray.get([a.search.remote([job], self.strategy) for a in self.actors])
@@ -223,7 +233,7 @@ class SearchEngine:
             metas[qs.query_id] = qs
             job = self._job_for(
                 qs.query_id, list(qs.parts), qs.scope, qs.limit,
-                getattr(qs, "mode", "or"),
+                getattr(qs, "mode", "or"), getattr(qs, "slop", None),
             )
             if job is not None:
                 jobs.append(job)

@@ -22,9 +22,11 @@ class QuerySpec:
     limit: int = 10
     threshold: float | None = None
     # "or" = standard BM25 (any term), "and" = conjunctive (every term),
-    # "phrase" = exact phrase over the kept-token stream (requires a
-    # positional index; parts must be a single string)
+    # "phrase" = exact phrase over the kept-token stream, "near" = every
+    # distinct term within a kept-token window of span <= slop (phrase and
+    # near require a positional index; phrase parts must be a single string)
     mode: str = "or"
+    slop: int | None = None               # near mode only; None = config default
 
     @property
     def text(self) -> str:
@@ -82,6 +84,18 @@ PHRASE_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec(402, ("data line join",), mode="phrase", limit=5),
     QuerySpec(403, ("the fast key",), mode="phrase"),
     QuerySpec(404, ("merge qqzzquux",), mode="phrase"),
+)
+
+# Proximity queries: all distinct kept terms within a window of span<=slop.
+# 503's two distinct terms can never share a span-0 window — provably empty
+# on both sides (semantics pin); 504 exercises scope + multi-part union.
+NEAR_QUERIES: tuple[QuerySpec, ...] = (
+    QuerySpec(500, ("hash join",), mode="near", slop=3),
+    QuerySpec(501, ("sort batch",), mode="near", slop=1),
+    QuerySpec(502, ("customer window merge",), mode="near", slop=10, limit=8),
+    QuerySpec(503, ("data value",), mode="near", slop=0),
+    QuerySpec(504, ("table row", "key"), mode="near", slop=6, scope="src5"),
+    QuerySpec(505, ("stream",), mode="near", slop=0),  # k=1: span 0 matches
 )
 
 ALL_QUERIES: tuple[QuerySpec, ...] = BASE_QUERIES + SCOPED_QUERIES + MULTIPART_QUERIES

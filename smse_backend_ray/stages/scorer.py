@@ -52,6 +52,37 @@ def _accumulate(
     return uniq, scores
 
 
+def _min_cover_span(arrs: list[np.ndarray]) -> int:
+    """Minimal (max - min) span of a position set containing at least one
+    position from every array. ``arrs`` are one doc's per-term kept
+    positions: each sorted ascending, mutually disjoint (one token = one
+    term). Classic sorted-merge shrinking-window sweep, O(total log total)."""
+    k = len(arrs)
+    if k == 1:
+        return 0
+    pos = np.concatenate(arrs)
+    lab = np.repeat(np.arange(k), [a.size for a in arrs])
+    o = np.argsort(pos, kind="stable")
+    pos, lab = pos[o], lab[o]
+    count = np.zeros(k, dtype=np.int64)
+    missing = k
+    best = np.iinfo(np.int64).max
+    i = 0
+    for j in range(pos.size):
+        if count[lab[j]] == 0:
+            missing -= 1
+        count[lab[j]] += 1
+        while missing == 0:
+            span = int(pos[j] - pos[i])
+            if span < best:
+                best = span
+            count[lab[i]] -= 1
+            if count[lab[i]] == 0:
+                missing += 1
+            i += 1
+    return best
+
+
 SEGMENT_COLS = [
     "term", "docs_bytes", "tfs_bytes", "dls_bytes",
     "block_doc_off", "block_tf_off", "block_dl_off", "block_last", "block_max",
@@ -276,36 +307,17 @@ class ShardIndex:
         sqlgen.phrase_topk_sql. Duplicate phrase terms are handled naturally
         by the position chain.
         """
-        if not self.has_positions:
-            raise RuntimeError(
-                "phrase search requires a positional index "
-                "(EngineConfig.with_positions=True at build time)"
-            )
+        self._require_positions("phrase")
         uniq = sorted(set(phrase))
         cand = self._conj_candidates(uniq)
         if cand is None or cand.size == 0:
             return self._empty()
-        # per-term (doc-sorted ids, position-slice boundaries, positions)
-        lookup = {}
-        for t in uniq:
-            ids, tfs, flat = self._decoded_pos(t)
-            o = np.argsort(ids, kind="stable")
-            ids_s, tf_s = ids[o], tfs[o]
-            src = np.concatenate(([0], np.cumsum(tfs)))[:-1]
-            dst = np.concatenate(([0], np.cumsum(tf_s)))
-            gidx = np.repeat(src[o], tf_s) + (
-                np.arange(flat.size, dtype=np.int64) - np.repeat(dst[:-1], tf_s)
-            )
-            lookup[t] = (ids_s, dst, flat[gidx])
+        lookup = self._pos_lookup(uniq)
         matched = []
         for d in cand:
-            ids_s, dst, flat = lookup[phrase[0]]
-            j = int(np.searchsorted(ids_s, d))
-            P = flat[dst[j] : dst[j + 1]]
+            P = self._doc_pos(lookup[phrase[0]], d)
             for off, t in enumerate(phrase[1:], 1):
-                ids_s, dst, flat_t = lookup[t]
-                j = int(np.searchsorted(ids_s, d))
-                Q = flat_t[dst[j] : dst[j + 1]]
+                Q = self._doc_pos(lookup[t], d)
                 P = P[np.isin(P + off, Q, assume_unique=True)]
                 if P.size == 0:
                     break
@@ -316,6 +328,62 @@ class ShardIndex:
         return self._score_restricted(
             terms, weights, np.asarray(matched, dtype=np.int64), scope, k, tombstones
         )
+
+    def score_near(
+        self, terms, weights, slop: int, scope: str = "", k: int = 30, tombstones=None
+    ) -> dict:
+        """Proximity top-k (requires a positional index): a doc matches iff
+        some kept-token window of span <= ``slop`` (max position - min
+        position) contains at least one occurrence of EVERY distinct query
+        term. ``terms`` MUST be the full distinct kept term list (the driver
+        short-circuits df=0 terms to an empty result). Matching docs score
+        with the same BM25 sum. Frozen semantics mirrored by
+        oracle.oracle_near_search and sqlgen.near_topk_sql."""
+        self._require_positions("near")
+        cand = self._conj_candidates(terms)
+        if cand is None or cand.size == 0:
+            return self._empty()
+        lookup = self._pos_lookup(terms)
+        matched = []
+        for d in cand:
+            arrs = [self._doc_pos(lookup[t], d) for t in terms]
+            if _min_cover_span(arrs) <= slop:
+                matched.append(int(d))
+        if not matched:
+            return self._empty()
+        return self._score_restricted(
+            terms, weights, np.asarray(matched, dtype=np.int64), scope, k, tombstones
+        )
+
+    def _require_positions(self, what: str) -> None:
+        if not self.has_positions:
+            raise RuntimeError(
+                f"{what} search requires a positional index "
+                "(EngineConfig.with_positions=True at build time)"
+            )
+
+    def _pos_lookup(self, terms: list[str]) -> dict:
+        """term -> (doc-sorted posting ids, position-slice boundaries,
+        doc-grouped flat positions): posting j owns flat[dst[j]:dst[j+1]]."""
+        lookup = {}
+        for t in terms:
+            ids, tfs, flat = self._decoded_pos(t)
+            o = np.argsort(ids, kind="stable")
+            ids_s, tf_s = ids[o], tfs[o]
+            src = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+            dst = np.concatenate(([0], np.cumsum(tf_s)))
+            gidx = np.repeat(src[o], tf_s) + (
+                np.arange(flat.size, dtype=np.int64) - np.repeat(dst[:-1], tf_s)
+            )
+            lookup[t] = (ids_s, dst, flat[gidx])
+        return lookup
+
+    @staticmethod
+    def _doc_pos(entry, d) -> np.ndarray:
+        """One doc's (sorted ascending) kept positions for a term."""
+        ids_s, dst, flat = entry
+        j = int(np.searchsorted(ids_s, d))
+        return flat[dst[j] : dst[j + 1]]
 
     def _bmax_scale(self, ent: dict) -> float:
         """Conservative rescale of encode-time block_max bounds to the
@@ -523,6 +591,11 @@ class ShardSearcher:
                 if job.get("phrase"):
                     r = sh.score_phrase(
                         job["phrase"], job["terms"], job["weights"],
+                        job.get("scope", ""), job["k"], tombstones=tomb_a,
+                    )
+                elif job.get("mode") == "near":
+                    r = sh.score_near(
+                        job["terms"], job["weights"], job["slop"],
                         job.get("scope", ""), job["k"], tombstones=tomb_a,
                     )
                 elif job.get("mode") == "and":

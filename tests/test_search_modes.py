@@ -180,6 +180,71 @@ def test_phrase_tombstone_filtered(modes_idx):
             eng.ifs.delete_file(eng.TOMBSTONES)
 
 
+NEAR_CASES = [
+    (["hash join"], 3, "", None),
+    (["sort merge batch"], 6, "", None),
+    (["alpha beta"], 0, "", None),       # 2 distinct terms, slop 0 -> empty
+    (["alpha"], 0, "", None),            # 1 term, slop 0 -> plain term match
+    (["window filter", "key"], 10, "src1", None),
+    (["hash nohitzz"], 50, "", None),    # df=0 term -> provably empty
+]
+
+
+def test_near_matches_oracle(modes_idx):
+    from smse_backend_ray.oracle import oracle_near_search
+
+    oidx = modes_idx
+    with SearchEngine(POS_IDX) as eng:
+        for parts, slop, scope, thr in NEAR_CASES:
+            got = eng.search(parts, scope=scope, threshold=thr, limit=10,
+                             mode="near", slop=slop).to_pylist()
+            exp = oracle_near_search(oidx, parts, slop, scope=scope,
+                                     threshold=thr, limit=10)
+            assert len(got) == len(exp), (parts, slop)
+            for g, e in zip(got, exp):
+                assert g["doc_id"] == e["doc_id"], (parts, slop)
+                assert g["exact_score"] == e["score"], (parts, slop)
+
+
+def test_near_nests_between_phrase_and_conj(modes_idx):
+    """phrase hits ⊆ near(slop=len-1 one-sided window) ... ⊆ conj hits."""
+    from smse_backend_ray.oracle import oracle_conj_search, oracle_near_search
+
+    oidx = modes_idx
+    parts = ["sort merge"]
+    ph = {r["doc_id"] for r in oracle_phrase_search(oidx, "sort merge", limit=1000)}
+    nr = {r["doc_id"] for r in oracle_near_search(oidx, parts, 1, limit=1000)}
+    cj = {r["doc_id"] for r in oracle_conj_search(oidx, parts, limit=1000)}
+    assert ph <= nr <= cj
+    # a huge slop makes near degenerate to conj
+    nr_all = {r["doc_id"] for r in oracle_near_search(oidx, parts, 10**6, limit=1000)}
+    assert nr_all == cj
+    with SearchEngine(POS_IDX) as eng:
+        got = {r["doc_id"] for r in eng.search(parts, limit=1000, mode="near",
+                                               slop=1).to_pylist()}
+    assert got == nr
+
+
+def test_min_cover_span_unit():
+    from smse_backend_ray.stages.scorer import _min_cover_span
+
+    a = lambda *xs: np.asarray(xs, dtype=np.int64)  # noqa: E731
+    assert _min_cover_span([a(5)]) == 0
+    assert _min_cover_span([a(0, 10), a(4)]) == 4
+    assert _min_cover_span([a(0, 9), a(4), a(5, 100)]) == 5
+    assert _min_cover_span([a(1), a(2), a(3)]) == 2
+    assert _min_cover_span([a(0, 7), a(1, 8), a(2, 6)]) == 2  # best window at tail
+    assert _min_cover_span([a(0), a(1000)]) == 1000
+
+
+def test_near_requires_positional_index(modes_idx):
+    with SearchEngine(PLAIN_IDX) as eng:
+        with pytest.raises(Exception, match="positional"):
+            eng.search(["sort merge"], mode="near", slop=2)
+        with pytest.raises(ValueError):
+            eng.search(["sort merge"], mode="near", slop=-1)
+
+
 def test_batch_path_modes(modes_idx):
     oidx = modes_idx
     specs = (
