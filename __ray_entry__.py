@@ -369,6 +369,18 @@ def _q_bm25(queries, index_for=None) -> Callable[[str], Any]:
     return run
 
 
+def _q_facets(sf_dir: str) -> Any:
+    """Per-query facet counts (repo/lang) over ALL matching docs — the
+    search-UI filter sidebar (no top-k truncation; scope + threshold
+    applied like the result set)."""
+    from smse_backend_ray.pipelines.search import SearchEngine
+    from smse_backend_ray.queryset import BASE_QUERIES, SCOPED_QUERIES
+
+    idx = _index_for(sf_dir)
+    with SearchEngine(idx) as eng:
+        return eng.facet_counts(BASE_QUERIES + SCOPED_QUERIES)
+
+
 def _q_bm25_bulk(sf_dir: str) -> Any:
     """Dataset-streaming bulk search path (pipelines/bulk_search.py): same
     results as the serving path, produced by streaming the index instead of
@@ -431,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_conj": _q_bm25(CONJ_QUERIES),
         "bm25_topk_phrase": _q_bm25(PHRASE_QUERIES, _pos_index_for),
         "bm25_topk_near": _q_bm25(NEAR_QUERIES, _pos_index_for),
+        "bm25_facets": _q_facets,
         "doc_token_stats": textstats.token_stats,
         "doc_quality": textstats.quality,
         "doc_lang_id": textstats.lang_id,
@@ -518,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_conj": sqlgen.bm25_conj_topk_sql(CONJ_QUERIES, p),
         "bm25_topk_phrase": sqlgen.phrase_topk_sql(PHRASE_QUERIES, p),
         "bm25_topk_near": sqlgen.near_topk_sql(NEAR_QUERIES, p),
+        "bm25_facets": sqlgen.facets_sql(BASE_QUERIES + SCOPED_QUERIES, p),
         "doc_token_stats": sqlgen.token_stats_sql(),
         "doc_quality": sqlgen.quality_sql(),
         "doc_lang_id": sqlgen.lang_id_sql(),

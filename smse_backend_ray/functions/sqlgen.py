@@ -1095,3 +1095,39 @@ nearhits AS (
   {hits}
 )"""
     return _bm25_restricted_sql(queries, params, extra.strip(), "nearhits", docs_where)
+
+
+def facets_sql(queries, params: BM25Params, docs_where: str | None = None) -> str:
+    """Facet-counts twin (SearchEngine.facet_counts) for OR-mode queries:
+    per query, repo and lang counts over ALL matching docs (any query term,
+    scope + rounded-score threshold applied, NO top-k truncation). Frozen
+    engine<->SQL pair."""
+    for qs in queries:
+        if getattr(qs, "mode", "or") != "or":
+            raise ValueError("facets_sql covers OR-mode queries (modal facets are pytest-oracled)")
+    part_vals, meta_vals = _query_values(queries)
+    return with_corpus_docs(
+        f"""
+, queries(query_id, part) AS (VALUES {part_vals}),
+qmeta(query_id, scope, lim, threshold) AS (VALUES {meta_vals}),
+{bm25_scored_ctes(params).lstrip()},
+matched AS (
+  SELECT sc.query_id, d.repo, d.lang
+  FROM scored sc
+  JOIN docs d ON d.doc_id = sc.doc_id
+  JOIN qmeta m ON m.query_id = sc.query_id
+  WHERE (m.scope = '' OR d.repo = m.scope)
+    AND (m.threshold IS NULL OR round(sc.score, {SCORE_DECIMALS}) >= m.threshold)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, facet, value,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT query_id, 'repo' AS facet, repo AS value FROM matched
+  UNION ALL
+  SELECT query_id, 'lang' AS facet, lang AS value FROM matched
+)
+GROUP BY query_id, facet, value
+ORDER BY query_id, facet, value
+""",
+        docs_where=docs_where,
+    )

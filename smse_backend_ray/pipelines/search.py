@@ -280,6 +280,62 @@ class SearchEngine:
         return out
 
     # ------------------------------------------------------------------
+    FACET_SCHEMA = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("facet", pa.string()),
+            ("value", pa.string()),
+            ("n_docs", pa.int64()),
+        ]
+    )
+
+    def facet_counts(self, queries) -> pa.Table:
+        """Per-query facet (repo/lang) counts over ALL matching docs — the
+        search-UI filter-sidebar analog. Match semantics (mode, scope,
+        threshold on rounded score, tombstones) are identical to
+        search_batch, WITHOUT top-k truncation. Per-shard partial counts sum
+        exactly (each doc lives in one shard). Frozen pair:
+        sqlgen.facets_sql."""
+        jobs = []
+        for qs in queries:
+            job = self._job_for(
+                qs.query_id, list(qs.parts), qs.scope, qs.limit,
+                getattr(qs, "mode", "or"), getattr(qs, "slop", None),
+            )
+            if job is not None:
+                job["threshold"] = qs.threshold
+                jobs.append(job)
+        if not jobs:
+            return self.FACET_SCHEMA.empty_table()
+        parts = pa.concat_tables(
+            ray.get([a.facets.remote(jobs) for a in self.actors])
+        )
+        if parts.num_rows == 0:
+            return self.FACET_SCHEMA.empty_table()
+        g = parts.group_by(["query_id", "facet", "value"]).aggregate(
+            [("n_docs", "sum")]
+        )
+        out = pa.table(
+            {
+                "query_id": g["query_id"],
+                "facet": g["facet"],
+                "value": g["value"],
+                "n_docs": pa.compute.cast(g["n_docs_sum"], pa.int64()),
+            },
+            schema=self.FACET_SCHEMA,
+        )
+        return out.take(
+            pa.compute.sort_indices(
+                out,
+                sort_keys=[
+                    ("query_id", "ascending"),
+                    ("facet", "ascending"),
+                    ("value", "ascending"),
+                ],
+            )
+        )
+
+    # ------------------------------------------------------------------
     def _merge(
         self,
         cands: pa.Table,

@@ -266,11 +266,11 @@ class ShardIndex:
                 return cand
         return cand
 
-    def _score_restricted(
-        self, terms, weights, cand: np.ndarray, scope: str, k: int, tombstones=None
-    ) -> dict:
-        """Exact scoring of the candidate doc set in fixed term-asc order
-        (bitwise == the oracle's restricted accumulation)."""
+    def _restricted_scores(
+        self, terms, weights, cand: np.ndarray
+    ) -> "tuple[np.ndarray, np.ndarray] | None":
+        """Exact (uniq doc_ids, raw scores) of the candidate doc set in fixed
+        term-asc order (bitwise == the oracle's restricted accumulation)."""
         id_parts, c_parts = [], []
         for term, w in zip(terms, weights):
             dec = self._decoded(term)
@@ -281,9 +281,16 @@ class ShardIndex:
             id_parts.append(doc_ids[m])
             c_parts.append(w * tfnorm_vec(tfs[m], dls[m], self.avgdl, self.params))
         if not id_parts:
+            return None
+        return _accumulate(id_parts, c_parts)
+
+    def _score_restricted(
+        self, terms, weights, cand: np.ndarray, scope: str, k: int, tombstones=None
+    ) -> dict:
+        r = self._restricted_scores(terms, weights, cand)
+        if r is None:
             return self._empty()
-        uniq, scores = _accumulate(id_parts, c_parts)
-        return self._finalize(uniq, scores, scope, k, tombstones)
+        return self._finalize(r[0], r[1], scope, k, tombstones)
 
     def score_conj(self, terms, weights, scope: str = "", k: int = 30, tombstones=None) -> dict:
         """Conjunctive (AND) top-k: only docs containing EVERY query term
@@ -307,11 +314,18 @@ class ShardIndex:
         sqlgen.phrase_topk_sql. Duplicate phrase terms are handled naturally
         by the position chain.
         """
+        matched = self._phrase_matches(phrase)
+        if matched is None or matched.size == 0:
+            return self._empty()
+        return self._score_restricted(terms, weights, matched, scope, k, tombstones)
+
+    def _phrase_matches(self, phrase: list[str]) -> "np.ndarray | None":
+        """doc_ids (sorted) whose kept-token stream contains the phrase."""
         self._require_positions("phrase")
         uniq = sorted(set(phrase))
         cand = self._conj_candidates(uniq)
         if cand is None or cand.size == 0:
-            return self._empty()
+            return cand
         lookup = self._pos_lookup(uniq)
         matched = []
         for d in cand:
@@ -323,11 +337,7 @@ class ShardIndex:
                     break
             if P.size:
                 matched.append(int(d))
-        if not matched:
-            return self._empty()
-        return self._score_restricted(
-            terms, weights, np.asarray(matched, dtype=np.int64), scope, k, tombstones
-        )
+        return np.asarray(matched, dtype=np.int64)
 
     def score_near(
         self, terms, weights, slop: int, scope: str = "", k: int = 30, tombstones=None
@@ -339,21 +349,24 @@ class ShardIndex:
         short-circuits df=0 terms to an empty result). Matching docs score
         with the same BM25 sum. Frozen semantics mirrored by
         oracle.oracle_near_search and sqlgen.near_topk_sql."""
+        matched = self._near_matches(terms, slop)
+        if matched is None or matched.size == 0:
+            return self._empty()
+        return self._score_restricted(terms, weights, matched, scope, k, tombstones)
+
+    def _near_matches(self, terms: list[str], slop: int) -> "np.ndarray | None":
+        """doc_ids (sorted) with all distinct terms in a span<=slop window."""
         self._require_positions("near")
         cand = self._conj_candidates(terms)
         if cand is None or cand.size == 0:
-            return self._empty()
+            return cand
         lookup = self._pos_lookup(terms)
         matched = []
         for d in cand:
             arrs = [self._doc_pos(lookup[t], d) for t in terms]
             if _min_cover_span(arrs) <= slop:
                 matched.append(int(d))
-        if not matched:
-            return self._empty()
-        return self._score_restricted(
-            terms, weights, np.asarray(matched, dtype=np.int64), scope, k, tombstones
-        )
+        return np.asarray(matched, dtype=np.int64)
 
     def _require_positions(self, what: str) -> None:
         if not self.has_positions:
@@ -416,6 +429,13 @@ class ShardIndex:
         """
         if strategy == "wand":
             return self._score_wand(terms, weights, scope, k, tombstones)
+        r = self._or_scores(terms, weights)
+        if r is None:
+            return self._empty()
+        return self._finalize(r[0], r[1], scope, k, tombstones)
+
+    def _or_scores(self, terms, weights) -> "tuple[np.ndarray, np.ndarray] | None":
+        """(uniq doc_ids, raw scores) of every doc containing any term."""
         id_parts: list[np.ndarray] = []
         c_parts: list[np.ndarray] = []
         for term, w in zip(terms, weights):
@@ -426,9 +446,66 @@ class ShardIndex:
             id_parts.append(doc_ids)
             c_parts.append(w * tfnorm_vec(tfs, dls, self.avgdl, self.params))
         if not id_parts:
-            return self._empty()
-        uniq, scores = _accumulate(id_parts, c_parts)
-        return self._finalize(uniq, scores, scope, k, tombstones)
+            return None
+        return _accumulate(id_parts, c_parts)
+
+    def _job_scores(self, job: dict) -> "tuple[np.ndarray, np.ndarray] | None":
+        """(uniq doc_ids, raw scores) of ALL matching docs for a mode job —
+        no scope/threshold/tombstone/top-k applied. Mode semantics identical
+        to the corresponding score_* entry point."""
+        terms, weights = job["terms"], job["weights"]
+        if job.get("phrase"):
+            matched = self._phrase_matches(job["phrase"])
+        elif job.get("mode") == "near":
+            matched = self._near_matches(terms, job["slop"])
+        elif job.get("mode") == "and":
+            matched = self._conj_candidates(terms)
+        else:
+            return self._or_scores(terms, weights)
+        if matched is None or matched.size == 0:
+            return None
+        return self._restricted_scores(terms, weights, matched)
+
+    def facet_counts(
+        self, job: dict, facets=("repo", "lang"), threshold=None, tombstones=None
+    ) -> dict:
+        """Per-facet value counts over ALL matching docs of a job (the
+        search-UI filter-sidebar analog; A3/A4 aggregation family) — no
+        top-k truncation. Match/scope/threshold/tombstone semantics are
+        identical to the corresponding score_* path; threshold applies to
+        the ROUNDED score like the result set. Frozen pair:
+        sqlgen.facets_sql."""
+        r = self._job_scores(job)
+        empty = {"facet": [], "value": [], "n_docs": []}
+        if r is None:
+            return empty
+        doc_ids, scores = r
+        if tombstones is not None and tombstones.size:
+            m = ~np.isin(doc_ids, tombstones)
+            doc_ids, scores = doc_ids[m], scores[m]
+        if threshold is not None:
+            m = round_half_away(scores, SCORE_DECIMALS) >= threshold
+            doc_ids, scores = doc_ids[m], scores[m]
+        if doc_ids.size == 0:
+            return empty
+        pos = np.searchsorted(self.meta_ids, doc_ids)
+        scope = job.get("scope", "")
+        if scope:
+            repo_c = self.meta["repo"].take(pa.array(pos))
+            m = pa.compute.equal(repo_c, scope).to_numpy(zero_copy_only=False)
+            pos = pos[m]
+            if pos.size == 0:
+                return empty
+        idx = pa.array(pos)
+        out = {"facet": [], "value": [], "n_docs": []}
+        for facet in facets:
+            vc = pa.compute.value_counts(self.meta[facet].take(idx).combine_chunks())
+            vals = vc.field("values").to_pylist()
+            cnts = vc.field("counts").to_pylist()
+            out["facet"].extend([facet] * len(vals))
+            out["value"].extend(vals)
+            out["n_docs"].extend(cnts)
+        return out
 
     def _finalize(
         self,
@@ -572,6 +649,34 @@ class ShardSearcher:
 
     def ping(self) -> bool:
         return True
+
+    def facets(self, jobs: list[dict]) -> pa.Table:
+        """Per-query facet counts over this actor's shards (partial counts;
+        the driver sums across shards — each doc lives in exactly one shard,
+        so the global sums are exact)."""
+        cols = {"query_id": [], "facet": [], "value": [], "n_docs": []}
+        for job in jobs:
+            tomb = job.get("tombstones")
+            tomb_a = np.asarray(tomb, dtype=np.int64) if tomb else None
+            for sh in self.shards:
+                r = sh.facet_counts(
+                    job, threshold=job.get("threshold"), tombstones=tomb_a
+                )
+                n = len(r["facet"])
+                if not n:
+                    continue
+                cols["query_id"].extend([job["query_id"]] * n)
+                cols["facet"].extend(r["facet"])
+                cols["value"].extend(r["value"])
+                cols["n_docs"].extend(r["n_docs"])
+        return pa.table(
+            {
+                "query_id": pa.array(cols["query_id"], type=pa.int64()),
+                "facet": pa.array(cols["facet"], type=pa.string()),
+                "value": pa.array(cols["value"], type=pa.string()),
+                "n_docs": pa.array(cols["n_docs"], type=pa.int64()),
+            }
+        )
 
     def search(self, jobs: list[dict], strategy: str = "exact") -> pa.Table:
         """jobs: [{query_id, terms, weights, scope, k}] -> candidate table."""

@@ -245,6 +245,56 @@ def test_near_requires_positional_index(modes_idx):
             eng.search(["sort merge"], mode="near", slop=-1)
 
 
+def _oracle_facets(rows):
+    """Expected facet counts from oracle result rows (untruncated)."""
+    out = {}
+    for r in rows:
+        for facet in ("repo", "lang"):
+            key = (facet, r[facet if facet != "lang" else "lang"])
+            out[key] = out.get(key, 0) + 1
+    return out
+
+
+def test_facet_counts_all_modes(modes_idx):
+    from smse_backend_ray.oracle import oracle_conj_search, oracle_near_search
+
+    oidx = modes_idx
+    BIG = 10**9
+    specs = (
+        QuerySpec(700, ("hash join",)),                      # OR
+        QuerySpec(701, ("sort merge",), mode="phrase"),
+        QuerySpec(702, ("sort merge batch",), mode="and"),
+        QuerySpec(703, ("hash join",), mode="near", slop=3),
+        QuerySpec(704, ("table value",), scope="src2"),      # scoped OR
+        QuerySpec(705, ("hash key row",), threshold=0.5),    # thresholded OR
+        QuerySpec(706, ("qqzz nohit",)),                     # empty
+    )
+    exp = {
+        700: _oracle_facets(oracle_search(oidx, ["hash join"], limit=BIG)),
+        701: _oracle_facets(oracle_phrase_search(oidx, "sort merge", limit=BIG)),
+        702: _oracle_facets(oracle_conj_search(oidx, ["sort merge batch"], limit=BIG)),
+        703: _oracle_facets(oracle_near_search(oidx, ["hash join"], 3, limit=BIG)),
+        704: _oracle_facets(oracle_search(oidx, ["table value"], scope="src2", limit=BIG)),
+        705: _oracle_facets(oracle_search(oidx, ["hash key row"], threshold=0.5, limit=BIG)),
+        706: {},
+    }
+    with SearchEngine(POS_IDX) as eng:
+        t = eng.facet_counts(specs)
+    got = {}
+    for r in t.to_pylist():
+        got.setdefault(r["query_id"], {})[(r["facet"], r["value"])] = r["n_docs"]
+    for qid, e in exp.items():
+        assert got.get(qid, {}) == e, qid
+    # facet counts are richer than top-k: every query's repo counts sum to
+    # its total match count (lang counts sum to the same total)
+    for qid, e in exp.items():
+        if not e:
+            continue
+        repo_total = sum(v for (f, _), v in e.items() if f == "repo")
+        lang_total = sum(v for (f, _), v in e.items() if f == "lang")
+        assert repo_total == lang_total
+
+
 def test_batch_path_modes(modes_idx):
     oidx = modes_idx
     specs = (
