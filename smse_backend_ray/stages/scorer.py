@@ -319,25 +319,42 @@ class ShardIndex:
             return self._empty()
         return self._score_restricted(terms, weights, matched, scope, k, tombstones)
 
+    # doc-rank-offset key base for cross-doc vectorized position math:
+    # global key = rank(doc in cand) * _POS_OFF + kept_position. Safe while
+    # dl + phrase length < 2^32 (a 4-billion-token doc) and ranks < 2^31.
+    _POS_OFF = np.int64(1) << 32
+
+    def _cand_gpos(self, term: str, cand: np.ndarray) -> np.ndarray:
+        """All occurrences of ``term`` in candidate docs as global keys
+        rank*_POS_OFF + position (one vectorized pass; no per-doc Python)."""
+        ids, tfs, flat = self._decoded_pos(term)
+        occ = np.repeat(ids, tfs)
+        i = np.searchsorted(cand, occ)
+        i = np.minimum(i, cand.size - 1)
+        m = cand[i] == occ
+        return i[m].astype(np.int64) * self._POS_OFF + flat[m]
+
     def _phrase_matches(self, phrase: list[str]) -> "np.ndarray | None":
-        """doc_ids (sorted) whose kept-token stream contains the phrase."""
+        """doc_ids (sorted) whose kept-token stream contains the phrase.
+
+        Fully vectorized across candidate docs: occurrences become global
+        keys rank*OFF + pos, and the phrase chain ``P = P[isin(P+j, Q_j)]``
+        runs once over ALL candidates (within-doc +j never crosses an OFF
+        boundary, so cross-doc matches are impossible)."""
         self._require_positions("phrase")
         uniq = sorted(set(phrase))
         cand = self._conj_candidates(uniq)
         if cand is None or cand.size == 0:
             return cand
-        lookup = self._pos_lookup(uniq)
-        matched = []
-        for d in cand:
-            P = self._doc_pos(lookup[phrase[0]], d)
-            for off, t in enumerate(phrase[1:], 1):
-                Q = self._doc_pos(lookup[t], d)
-                P = P[np.isin(P + off, Q, assume_unique=True)]
-                if P.size == 0:
-                    break
-            if P.size:
-                matched.append(int(d))
-        return np.asarray(matched, dtype=np.int64)
+        gpos = {t: self._cand_gpos(t, cand) for t in uniq}
+        P = gpos[phrase[0]]
+        for off, t in enumerate(phrase[1:], 1):
+            if P.size == 0:
+                break
+            P = P[np.isin(P + off, gpos[t], assume_unique=True)]
+        if P.size == 0:
+            return np.empty(0, dtype=np.int64)
+        return cand[np.unique(P // self._POS_OFF)]
 
     def score_near(
         self, terms, weights, slop: int, scope: str = "", k: int = 30, tombstones=None
@@ -355,18 +372,37 @@ class ShardIndex:
         return self._score_restricted(terms, weights, matched, scope, k, tombstones)
 
     def _near_matches(self, terms: list[str], slop: int) -> "np.ndarray | None":
-        """doc_ids (sorted) with all distinct terms in a span<=slop window."""
+        """doc_ids (sorted) with all distinct terms in a span<=slop window.
+
+        Vectorized across candidate docs via global rank*OFF+pos keys: for
+        every occurrence position p (window END), the minimal window ending
+        at p spans p - min_t(latest occurrence of t <= p in the same doc) —
+        the classic last-seen sweep, computed with one sorted merge and one
+        searchsorted per term instead of a per-doc Python two-pointer
+        (bitwise-identical match set; parity-fuzzed against
+        _min_cover_span in tests)."""
         self._require_positions("near")
         cand = self._conj_candidates(terms)
         if cand is None or cand.size == 0:
             return cand
-        lookup = self._pos_lookup(terms)
-        matched = []
-        for d in cand:
-            arrs = [self._doc_pos(lookup[t], d) for t in terms]
-            if _min_cover_span(arrs) <= slop:
-                matched.append(int(d))
-        return np.asarray(matched, dtype=np.int64)
+        if len(terms) == 1:
+            return cand  # a single term's own position is a span-0 window
+        gs = [np.sort(self._cand_gpos(t, cand)) for t in terms]
+        merged = np.sort(np.concatenate(gs))
+        doc_of = merged // self._POS_OFF
+        ok = np.ones(merged.size, dtype=bool)
+        big = np.iinfo(np.int64).max
+        best_min = np.full(merged.size, big, dtype=np.int64)
+        for g in gs:
+            j = np.searchsorted(g, merged, side="right") - 1
+            latest = g[np.maximum(j, 0)]
+            same = (j >= 0) & (latest // self._POS_OFF == doc_of)
+            ok &= same
+            best_min = np.minimum(best_min, np.where(same, latest, big))
+        hit = ok & ((merged - best_min) <= slop)
+        if not hit.any():
+            return np.empty(0, dtype=np.int64)
+        return cand[np.unique(doc_of[hit])]
 
     def _require_positions(self, what: str) -> None:
         if not self.has_positions:
@@ -374,29 +410,6 @@ class ShardIndex:
                 f"{what} search requires a positional index "
                 "(EngineConfig.with_positions=True at build time)"
             )
-
-    def _pos_lookup(self, terms: list[str]) -> dict:
-        """term -> (doc-sorted posting ids, position-slice boundaries,
-        doc-grouped flat positions): posting j owns flat[dst[j]:dst[j+1]]."""
-        lookup = {}
-        for t in terms:
-            ids, tfs, flat = self._decoded_pos(t)
-            o = np.argsort(ids, kind="stable")
-            ids_s, tf_s = ids[o], tfs[o]
-            src = np.concatenate(([0], np.cumsum(tfs)))[:-1]
-            dst = np.concatenate(([0], np.cumsum(tf_s)))
-            gidx = np.repeat(src[o], tf_s) + (
-                np.arange(flat.size, dtype=np.int64) - np.repeat(dst[:-1], tf_s)
-            )
-            lookup[t] = (ids_s, dst, flat[gidx])
-        return lookup
-
-    @staticmethod
-    def _doc_pos(entry, d) -> np.ndarray:
-        """One doc's (sorted ascending) kept positions for a term."""
-        ids_s, dst, flat = entry
-        j = int(np.searchsorted(ids_s, d))
-        return flat[dst[j] : dst[j + 1]]
 
     def _bmax_scale(self, ent: dict) -> float:
         """Conservative rescale of encode-time block_max bounds to the

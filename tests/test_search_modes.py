@@ -245,6 +245,31 @@ def test_near_requires_positional_index(modes_idx):
             eng.search(["sort merge"], mode="near", slop=-1)
 
 
+def test_vectorized_match_paths_random_parity(modes_idx):
+    """The phrase chain and near last-seen sweep run vectorized across ALL
+    candidate docs (global rank*OFF+pos keys) — fuzz them against the
+    independent scalar oracle over random vocab queries."""
+    from smse_backend_ray.oracle import oracle_near_search
+
+    oidx = modes_idx
+    rng = np.random.default_rng(23)
+    vocab = ["hash", "join", "table", "sort", "merge", "batch", "value",
+             "fast", "scan", "row", "alpha", "beta", "key", "window", "filter"]
+    with SearchEngine(POS_IDX) as eng:
+        for _ in range(25):
+            n = int(rng.integers(2, 5))
+            words = list(rng.choice(vocab, size=n, replace=True))
+            text = " ".join(words)
+            got = eng.search([text], limit=50, mode="phrase").to_pylist()
+            exp = oracle_phrase_search(oidx, text, limit=50)
+            assert [g["doc_id"] for g in got] == [e["doc_id"] for e in exp], text
+            slop = int(rng.integers(0, 7))
+            gotn = eng.search([text], limit=50, mode="near", slop=slop).to_pylist()
+            expn = oracle_near_search(oidx, [text], slop, limit=50)
+            assert [g["doc_id"] for g in gotn] == [e["doc_id"] for e in expn], (text, slop)
+            assert [g["exact_score"] for g in gotn] == [e["score"] for e in expn], (text, slop)
+
+
 def _oracle_facets(rows):
     """Expected facet counts from oracle result rows (untruncated)."""
     out = {}
