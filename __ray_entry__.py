@@ -381,6 +381,17 @@ def _q_facets(sf_dir: str) -> Any:
         return eng.facet_counts(BASE_QUERIES + SCOPED_QUERIES)
 
 
+def _q_snippets(sf_dir: str) -> Any:
+    """Query-dependent result snippets (kept-token window around the first
+    matched term) for the flagship query set, from the positional build."""
+    from smse_backend_ray.pipelines.search import SearchEngine
+    from smse_backend_ray.queryset import BASE_QUERIES
+
+    idx = _pos_index_for(sf_dir)
+    with SearchEngine(idx) as eng:
+        return eng.snippets(BASE_QUERIES)
+
+
 def _q_bm25_bulk(sf_dir: str) -> Any:
     """Dataset-streaming bulk search path (pipelines/bulk_search.py): same
     results as the serving path, produced by streaming the index instead of
@@ -444,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_phrase": _q_bm25(PHRASE_QUERIES, _pos_index_for),
         "bm25_topk_near": _q_bm25(NEAR_QUERIES, _pos_index_for),
         "bm25_facets": _q_facets,
+        "bm25_snippets": _q_snippets,
         "doc_token_stats": textstats.token_stats,
         "doc_quality": textstats.quality,
         "doc_lang_id": textstats.lang_id,
@@ -532,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_phrase": sqlgen.phrase_topk_sql(PHRASE_QUERIES, p),
         "bm25_topk_near": sqlgen.near_topk_sql(NEAR_QUERIES, p),
         "bm25_facets": sqlgen.facets_sql(BASE_QUERIES + SCOPED_QUERIES, p),
+        "bm25_snippets": sqlgen.snippets_sql(BASE_QUERIES, p),
         "doc_token_stats": sqlgen.token_stats_sql(),
         "doc_quality": sqlgen.quality_sql(),
         "doc_lang_id": sqlgen.lang_id_sql(),

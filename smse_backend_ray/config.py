@@ -166,3 +166,9 @@ DEFAULT_TOP_K = 10
 # window of span <= slop contains every distinct query term (frozen pair:
 # scorer.score_near <-> oracle.oracle_near_search <-> sqlgen.near_topk_sql)
 NEAR_DEFAULT_SLOP = 8
+
+# Query-dependent snippets (SearchEngine.snippets <-> sqlgen.snippets_sql):
+# anchor = smallest kept position of any kept query term in the doc;
+# snippet = kept tokens [max(0, anchor-LEAD), +WINDOW) joined with spaces
+SNIPPET_LEAD = 2
+SNIPPET_WINDOW = 8

@@ -1097,6 +1097,62 @@ nearhits AS (
     return _bm25_restricted_sql(queries, params, extra.strip(), "nearhits", docs_where)
 
 
+def snippets_sql(
+    queries,
+    params: BM25Params,
+    lead: int | None = None,
+    window: int | None = None,
+    docs_where: str | None = None,
+) -> str:
+    """Snippets twin (SearchEngine.snippets): for each (query, top-k doc),
+    the kept-token window [max(0, anchor-lead), +window) joined with spaces,
+    where anchor = the smallest kept position of any kept query term in the
+    doc. Frozen engine<->SQL pair (constants in config.SNIPPET_*)."""
+    from smse_backend_ray.config import SNIPPET_LEAD, SNIPPET_WINDOW
+
+    lead = SNIPPET_LEAD if lead is None else lead
+    window = SNIPPET_WINDOW if window is None else window
+    part_vals, meta_vals = _query_values(queries)
+    return with_corpus_docs(
+        f"""
+, queries(query_id, part) AS (VALUES {part_vals}),
+qmeta(query_id, scope, lim, threshold) AS (VALUES {meta_vals}),
+{bm25_scored_ctes(params).lstrip()},
+ranked AS (
+  SELECT sc.query_id, sc.doc_id, round(sc.score, {SCORE_DECIMALS}) AS rscore,
+         m.lim
+  FROM scored sc
+  JOIN docs d ON d.doc_id = sc.doc_id
+  JOIN qmeta m ON m.query_id = sc.query_id
+  WHERE (m.scope = '' OR d.repo = m.scope)
+    AND (m.threshold IS NULL OR round(sc.score, {SCORE_DECIMALS}) >= m.threshold)
+),
+topk AS (
+  SELECT query_id, doc_id, lim,
+         row_number() OVER (PARTITION BY query_id ORDER BY rscore DESC, doc_id ASC) AS rnk
+  FROM ranked
+),
+hits AS (SELECT query_id, doc_id, rnk FROM topk WHERE rnk <= lim),
+dpos AS ({pos_tokens_cte('docs', 'doc_id', 'content')}),
+anchors AS (
+  SELECT h.query_id, h.doc_id, h.rnk,
+         greatest(CAST(min(d.p) AS BIGINT) - {lead}, 0) AS s
+  FROM hits h
+  JOIN qtok q ON q.query_id = h.query_id
+  JOIN dpos d ON d.doc_id = h.doc_id AND d.term = q.term
+  GROUP BY h.query_id, h.doc_id, h.rnk
+)
+SELECT CAST(a.query_id AS BIGINT) AS query_id, CAST(a.rnk AS INT) AS rank, a.doc_id,
+       string_agg(d.term, ' ' ORDER BY d.p) AS snippet
+FROM anchors a
+JOIN dpos d ON d.doc_id = a.doc_id AND d.p >= a.s AND d.p < a.s + {window}
+GROUP BY a.query_id, a.rnk, a.doc_id
+ORDER BY a.query_id, a.rnk
+""",
+        docs_where=docs_where,
+    )
+
+
 def facets_sql(queries, params: BM25Params, docs_where: str | None = None) -> str:
     """Facet-counts twin (SearchEngine.facet_counts) for OR-mode queries:
     per query, repo and lang counts over ALL matching docs (any query term,

@@ -280,6 +280,76 @@ class SearchEngine:
         return out
 
     # ------------------------------------------------------------------
+    def snippets(self, queries, lead: int | None = None, window: int | None = None) -> pa.Table:
+        """Query-dependent snippets for the top-k results (search-UI result
+        highlighting; M12 derived-artifact analog made query-aware).
+
+        For each (query, result doc): anchor = the smallest kept position of
+        any kept query term in the doc; snippet = the doc's kept tokens
+        [max(0, anchor-lead), +window) joined with spaces. Doc streams are
+        rebuilt from the docs store's (terms, tfs, poss) columns via a
+        filter-pushdown point read of ONLY the <=k result docs (J2 lookup
+        analog) — requires a positional build. Frozen pair:
+        sqlgen.snippets_sql."""
+        from smse_backend_ray.config import SNIPPET_LEAD, SNIPPET_WINDOW
+
+        lead = SNIPPET_LEAD if lead is None else lead
+        window = SNIPPET_WINDOW if window is None else window
+        res = self.search_batch(queries)
+        schema = pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("rank", pa.int32()),
+                ("doc_id", pa.int64()),
+                ("snippet", pa.string()),
+            ]
+        )
+        if res.num_rows == 0:
+            return schema.empty_table()
+        doc_ids = sorted(set(res["doc_id"].to_pylist()))
+        ds = self.ifs.pads_dataset("docs")
+        if "poss" not in ds.schema.names:
+            raise RuntimeError(
+                "snippets require a positional build "
+                "(EngineConfig.with_positions=True at build time)"
+            )
+        t = ds.to_table(
+            columns=["doc_id", "terms", "tfs", "poss"],
+            filter=pads.field("doc_id").isin(doc_ids),
+        )
+        streams: dict[int, np.ndarray] = {}
+        for r in t.to_pylist():
+            occ_terms = np.repeat(
+                np.asarray(r["terms"], dtype=object),
+                np.asarray(r["tfs"], dtype=np.int64),
+            )
+            poss = np.asarray(r["poss"], dtype=np.int64)
+            stream = np.empty(len(poss), dtype=object)
+            stream[poss] = occ_terms
+            streams[r["doc_id"]] = stream
+        qterms: dict[int, set] = {}
+        for qs in queries:
+            qtf, _ = fuse_parts(list(qs.parts))
+            qterms[qs.query_id] = set(qtf)
+        out_snips = []
+        for row in res.select(["query_id", "doc_id"]).to_pylist():
+            stream = streams[row["doc_id"]]
+            qt = qterms[row["query_id"]]
+            hits = np.flatnonzero(np.isin(stream, list(qt)))
+            # every result doc contains >=1 kept query term (score > 0)
+            start = max(0, int(hits[0]) - lead)
+            out_snips.append(" ".join(stream[start : start + window]))
+        return pa.table(
+            {
+                "query_id": res["query_id"],
+                "rank": res["rank"],
+                "doc_id": res["doc_id"],
+                "snippet": pa.array(out_snips, type=pa.string()),
+            },
+            schema=schema,
+        )
+
+    # ------------------------------------------------------------------
     FACET_SCHEMA = pa.schema(
         [
             ("query_id", pa.int64()),

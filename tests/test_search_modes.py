@@ -320,6 +320,38 @@ def test_facet_counts_all_modes(modes_idx):
         assert repo_total == lang_total
 
 
+def test_snippets_match_token_streams(modes_idx):
+    """Engine snippets == windows computed from the oracle's kept-token
+    streams (anchor = first matched term, [max(0,a-LEAD), +WINDOW))."""
+    from smse_backend_ray.config import SNIPPET_LEAD, SNIPPET_WINDOW
+    from smse_backend_ray.functions.fusion import fuse_parts
+
+    oidx = modes_idx
+    specs = (
+        QuerySpec(800, ("hash join",)),
+        QuerySpec(801, ("alpha beta",), limit=5),
+        QuerySpec(802, ("sort merge",), mode="phrase", limit=4),
+    )
+    with SearchEngine(POS_IDX) as eng:
+        t = eng.snippets(specs)
+        res = eng.search_batch(specs)
+    assert t.num_rows == res.num_rows
+    by_q = {qs.query_id: set(fuse_parts(list(qs.parts))[0]) for qs in specs}
+    for r in t.to_pylist():
+        toks = oidx.tokens[r["doc_id"]]
+        anchor = min(i for i, tok in enumerate(toks) if tok in by_q[r["query_id"]])
+        start = max(0, anchor - SNIPPET_LEAD)
+        assert r["snippet"] == " ".join(toks[start : start + SNIPPET_WINDOW]), r
+        # snippet contains at least one query term
+        assert set(r["snippet"].split()) & by_q[r["query_id"]]
+
+
+def test_snippets_require_positional_build(modes_idx):
+    with SearchEngine(PLAIN_IDX) as eng:
+        with pytest.raises(Exception, match="positional"):
+            eng.snippets((QuerySpec(810, ("hash join",)),))
+
+
 def test_batch_path_modes(modes_idx):
     oidx = modes_idx
     specs = (
