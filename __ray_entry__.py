@@ -392,6 +392,24 @@ def _q_snippets(sf_dir: str) -> Any:
         return eng.snippets(BASE_QUERIES)
 
 
+def _q_mlt(sf_dir: str) -> Any:
+    """More-like-this: related docs for the MLT_N_SRC smallest doc_ids (top
+    tf*idf query terms per source, source excluded from its own results)."""
+    import pyarrow.dataset as pads
+
+    from smse_backend_ray.config import MLT_N_SRC
+    from smse_backend_ray.pipelines.search import SearchEngine
+
+    idx = _index_for(sf_dir)
+    ids = sorted(
+        pads.dataset(os.path.join(idx, "docs"), partitioning="hive")
+        .to_table(columns=["doc_id"])["doc_id"]
+        .to_pylist()
+    )[:MLT_N_SRC]
+    with SearchEngine(idx) as eng:
+        return eng.more_like_this(ids)
+
+
 def _q_bm25_bulk(sf_dir: str) -> Any:
     """Dataset-streaming bulk search path (pipelines/bulk_search.py): same
     results as the serving path, produced by streaming the index instead of
@@ -456,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_near": _q_bm25(NEAR_QUERIES, _pos_index_for),
         "bm25_facets": _q_facets,
         "bm25_snippets": _q_snippets,
+        "bm25_more_like_this": _q_mlt,
         "doc_token_stats": textstats.token_stats,
         "doc_quality": textstats.quality,
         "doc_lang_id": textstats.lang_id,
@@ -498,7 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from smse_backend_ray.config import BM25Params
+    from smse_backend_ray.config import MLT_N_SRC, MLT_TOP_TERMS, BM25Params
     from smse_backend_ray.functions import sqlgen
     from smse_backend_ray.pipelines import dedup as dedup_mod
     from smse_backend_ray.pipelines import events as events_mod
@@ -545,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_near": sqlgen.near_topk_sql(NEAR_QUERIES, p),
         "bm25_facets": sqlgen.facets_sql(BASE_QUERIES + SCOPED_QUERIES, p),
         "bm25_snippets": sqlgen.snippets_sql(BASE_QUERIES, p),
+        "bm25_more_like_this": sqlgen.mlt_sql(MLT_N_SRC, MLT_TOP_TERMS, 10, p),
         "doc_token_stats": sqlgen.token_stats_sql(),
         "doc_quality": sqlgen.quality_sql(),
         "doc_lang_id": sqlgen.lang_id_sql(),

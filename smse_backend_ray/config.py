@@ -172,3 +172,9 @@ NEAR_DEFAULT_SLOP = 8
 # snippet = kept tokens [max(0, anchor-LEAD), +WINDOW) joined with spaces
 SNIPPET_LEAD = 2
 SNIPPET_WINDOW = 8
+
+# More-like-this (SearchEngine.more_like_this <-> sqlgen.mlt_sql): query =
+# the source doc's MLT_TOP_TERMS highest tf*idf terms (ties term-asc),
+# qtf=1 each; the source doc is excluded from its own results
+MLT_TOP_TERMS = 5
+MLT_N_SRC = 10  # gate entry sources: the MLT_N_SRC smallest doc_ids

@@ -1097,6 +1097,66 @@ nearhits AS (
     return _bm25_restricted_sql(queries, params, extra.strip(), "nearhits", docs_where)
 
 
+def mlt_sql(
+    n_src: int, m: int, k: int, params: BM25Params, docs_where: str | None = None
+) -> str:
+    """More-like-this twin (SearchEngine.more_like_this): sources = the
+    ``n_src`` smallest doc_ids; per source, the ``m`` highest tf*idf terms
+    (row_number ties term-asc), qtf=1 each; standard BM25 over those terms
+    with the source doc excluded; (rounded DESC, doc_id ASC) top-k. Frozen
+    engine<->SQL pair."""
+    k1, b = params.k1, params.b
+    idf = "ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))"
+    return with_corpus_docs(
+        f"""
+, toks AS ({_toks()}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (
+  SELECT d.doc_id, COALESCE(x.dl, 0) AS dl
+  FROM docs d LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id) x USING (doc_id)
+),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+srcs AS (SELECT doc_id FROM docs ORDER BY doc_id LIMIT {n_src}),
+mlt_terms AS (
+  SELECT s.doc_id AS src_id, tf.term,
+         row_number() OVER (PARTITION BY s.doc_id
+             ORDER BY tf.tf * {idf} DESC, tf.term ASC) AS r
+  FROM srcs s
+  JOIN tf ON tf.doc_id = s.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats st
+),
+qsel AS (SELECT src_id, term FROM mlt_terms WHERE r <= {m}),
+mscored AS (
+  SELECT q.src_id, tf.doc_id,
+         SUM({idf}
+             * tf.tf * ({k1} + 1)
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))) AS score
+  FROM qsel q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats st
+  WHERE tf.doc_id <> q.src_id
+  GROUP BY q.src_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.src_id, sc.doc_id, round(sc.score, {SCORE_DECIMALS}) AS rscore,
+         d.path, d.repo, d.lang,
+         row_number() OVER (PARTITION BY sc.src_id
+             ORDER BY round(sc.score, {SCORE_DECIMALS}) DESC, sc.doc_id ASC) AS rnk
+  FROM mscored sc JOIN docs d ON d.doc_id = sc.doc_id
+)
+SELECT CAST(src_id AS BIGINT) AS src_id, CAST(rnk AS INT) AS rank, doc_id,
+       path, repo, lang, rscore AS score
+FROM ranked WHERE rnk <= {k}
+ORDER BY src_id, rank
+""",
+        docs_where=docs_where,
+    )
+
+
 def snippets_sql(
     queries,
     params: BM25Params,

@@ -280,6 +280,78 @@ class SearchEngine:
         return out
 
     # ------------------------------------------------------------------
+    MLT_SCHEMA = pa.schema(
+        [
+            ("src_id", pa.int64()),
+            ("rank", pa.int32()),
+            ("doc_id", pa.int64()),
+            ("path", pa.string()),
+            ("repo", pa.string()),
+            ("lang", pa.string()),
+            ("score", pa.float64()),
+        ]
+    )
+
+    def more_like_this(
+        self, src_doc_ids, m: int | None = None, limit: int = DEFAULT_TOP_K
+    ) -> pa.Table:
+        """Related documents: for each source doc, BM25 top-k over the
+        source's ``m`` highest tf*idf terms (qtf=1 each; ties break term
+        ascending), with the source itself excluded via the per-job
+        tombstone path. Source term vectors come from a doc_id
+        filter-pushdown point read of the docs store (J2 analog). Frozen
+        pair: sqlgen.mlt_sql."""
+        from smse_backend_ray.config import MLT_TOP_TERMS
+
+        m = MLT_TOP_TERMS if m is None else m
+        src_doc_ids = sorted({int(d) for d in src_doc_ids})
+        t = self.ifs.pads_dataset("docs").to_table(
+            columns=["doc_id", "terms", "tfs"],
+            filter=pads.field("doc_id").isin(src_doc_ids),
+        )
+        rows = {r["doc_id"]: r for r in t.to_pylist()}
+        jobs = []
+        for sid in src_doc_ids:
+            r = rows.get(sid)
+            if r is None:
+                raise KeyError(f"doc {sid} not found in the index")
+            # warm the df cache for every source term in one pushdown read
+            self.idf_weights({term: 1 for term in r["terms"]})
+            ranked = sorted(
+                (-(tf * idf_fn(self.n_docs, self._df_cache[term])), term)
+                for term, tf in zip(r["terms"], r["tfs"])
+                if self._df_cache.get(term)
+            )
+            sel = sorted(term for _, term in ranked[:m])
+            if not sel:
+                continue
+            jobs.append(
+                {
+                    "query_id": sid,
+                    "terms": sel,
+                    "weights": [
+                        idf_fn(self.n_docs, self._df_cache[term]) for term in sel
+                    ],
+                    "scope": "",
+                    "k": max(limit, SHARD_CANDIDATE_K),
+                    "tombstones": sorted(self._tombstones | {sid}),
+                }
+            )
+        if not jobs:
+            return self.MLT_SCHEMA.empty_table()
+        cands = pa.concat_tables(
+            ray.get([a.search.remote(jobs, self.strategy) for a in self.actors])
+        )
+        results = []
+        for job in jobs:
+            sub = cands.filter(pa.compute.equal(cands["query_id"], job["query_id"]))
+            results.append(self._merge(sub, job["query_id"], limit, None, "none"))
+        out = pa.concat_tables(results)
+        return out.select(
+            ["query_id", "rank", "doc_id", "path", "repo", "lang", "score"]
+        ).rename_columns(self.MLT_SCHEMA.names)
+
+    # ------------------------------------------------------------------
     def snippets(self, queries, lead: int | None = None, window: int | None = None) -> pa.Table:
         """Query-dependent snippets for the top-k results (search-UI result
         highlighting; M12 derived-artifact analog made query-aware).

@@ -352,6 +352,49 @@ def test_snippets_require_positional_build(modes_idx):
             eng.snippets((QuerySpec(810, ("hash join",)),))
 
 
+def test_more_like_this_properties(modes_idx):
+    """MLT invariants: source never appears in its own results; query terms
+    are the source's top tf*idf terms; results equal a hand-built oracle
+    search over those terms with the source excluded."""
+    from smse_backend_ray.functions import bm25
+
+    oidx = modes_idx
+    srcs = sorted(oidx.docs)[:5]
+    with SearchEngine(POS_IDX) as eng:
+        t = eng.more_like_this(srcs, limit=8)
+    assert set(t.column_names) == {
+        "src_id", "rank", "doc_id", "path", "repo", "lang", "score"
+    }
+    got = {}
+    for r in t.to_pylist():
+        assert r["doc_id"] != r["src_id"]
+        got.setdefault(r["src_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    from smse_backend_ray.config import MLT_TOP_TERMS, SCORE_DECIMALS
+    from smse_backend_ray.functions.rounding import round_half_away
+
+    for sid in srcs:
+        toks = oidx.tokens[sid]
+        tf = {}
+        for tok in toks:
+            tf[tok] = tf.get(tok, 0) + 1
+        ranked = sorted(
+            (-(c * bm25.idf(oidx.n_docs, len(oidx.postings[term]))), term)
+            for term, c in tf.items()
+        )
+        sel = sorted(term for _, term in ranked[:MLT_TOP_TERMS])
+        # hand-built restricted oracle: OR search on sel terms, drop source
+        exp = [
+            r for r in oracle_search(oidx, [" ".join(sel)], limit=9)
+            if r["doc_id"] != sid
+        ][:8]
+        # NOTE: " ".join(sel) re-tokenizes to exactly sel (all kept terms)
+        got_rows = sorted(got.get(sid, []))
+        assert [g[1] for g in got_rows] == [e["doc_id"] for e in exp], sid
+        assert [g[2] for g in got_rows] == [
+            round_half_away(e["score"], SCORE_DECIMALS) for e in exp
+        ], sid
+
+
 def test_batch_path_modes(modes_idx):
     oidx = modes_idx
     specs = (
