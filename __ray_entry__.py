@@ -410,6 +410,29 @@ def _q_mlt(sf_dir: str) -> Any:
         return eng.more_like_this(ids)
 
 
+# frozen prefix-query fixture: (query_id, prefix)
+_PREFIXES = ((600, "pa"), (601, "wi"), (602, "s"), (603, "qqzz"))
+
+
+def _q_prefix(sf_dir: str) -> Any:
+    """Prefix (wildcard) queries: deterministic term-asc capped expansion
+    over the df table key range, then standard OR scoring."""
+    import pyarrow as pa
+
+    from smse_backend_ray.pipelines.search import SearchEngine
+
+    idx = _index_for(sf_dir)
+    with SearchEngine(idx) as eng:
+        t = pa.concat_tables(
+            [eng.search_prefix(p, query_id=qid) for qid, p in _PREFIXES]
+        )
+    t = t.select(["query_id", "rank", "doc_id", "path", "repo", "lang", "score"])
+    order = pa.compute.sort_indices(
+        t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]
+    )
+    return t.take(order)
+
+
 def _q_bm25_bulk(sf_dir: str) -> Any:
     """Dataset-streaming bulk search path (pipelines/bulk_search.py): same
     results as the serving path, produced by streaming the index instead of
@@ -475,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets": _q_facets,
         "bm25_snippets": _q_snippets,
         "bm25_more_like_this": _q_mlt,
+        "bm25_topk_prefix": _q_prefix,
         "doc_token_stats": textstats.token_stats,
         "doc_quality": textstats.quality,
         "doc_lang_id": textstats.lang_id,
@@ -517,7 +541,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from smse_backend_ray.config import MLT_N_SRC, MLT_TOP_TERMS, BM25Params
+    from smse_backend_ray.config import (
+        MLT_N_SRC,
+        MLT_TOP_TERMS,
+        PREFIX_MAX_EXPANSIONS,
+        BM25Params,
+    )
     from smse_backend_ray.functions import sqlgen
     from smse_backend_ray.pipelines import dedup as dedup_mod
     from smse_backend_ray.pipelines import events as events_mod
@@ -565,6 +594,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_facets": sqlgen.facets_sql(BASE_QUERIES + SCOPED_QUERIES, p),
         "bm25_snippets": sqlgen.snippets_sql(BASE_QUERIES, p),
         "bm25_more_like_this": sqlgen.mlt_sql(MLT_N_SRC, MLT_TOP_TERMS, 10, p),
+        "bm25_topk_prefix": sqlgen.prefix_topk_sql(
+            _PREFIXES, 10, PREFIX_MAX_EXPANSIONS, p
+        ),
         "doc_token_stats": sqlgen.token_stats_sql(),
         "doc_quality": sqlgen.quality_sql(),
         "doc_lang_id": sqlgen.lang_id_sql(),

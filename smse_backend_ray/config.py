@@ -178,3 +178,9 @@ SNIPPET_WINDOW = 8
 # qtf=1 each; the source doc is excluded from its own results
 MLT_TOP_TERMS = 5
 MLT_N_SRC = 10  # gate entry sources: the MLT_N_SRC smallest doc_ids
+
+# Prefix (wildcard) queries (SearchEngine.search_prefix <->
+# sqlgen.prefix_topk_sql): expansion = vocabulary terms starting with the
+# lowercased prefix, term-ASCENDING, capped at PREFIX_MAX_EXPANSIONS;
+# qtf=1 per expanded term
+PREFIX_MAX_EXPANSIONS = 50

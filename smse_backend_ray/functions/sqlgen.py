@@ -1097,6 +1097,66 @@ nearhits AS (
     return _bm25_restricted_sql(queries, params, extra.strip(), "nearhits", docs_where)
 
 
+def prefix_topk_sql(
+    prefixes, k: int, cap: int, params: BM25Params, docs_where: str | None = None
+) -> str:
+    """Prefix-query twin (SearchEngine.search_prefix): ``prefixes`` is a
+    sequence of (query_id, prefix); expansion = df terms with the prefix,
+    term-ASCENDING, capped at ``cap``; qtf=1 per expanded term; standard
+    (rounded DESC, doc_id ASC) top-k. Frozen engine<->SQL pair."""
+    k1, b = params.k1, params.b
+    idf = "ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))"
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(f"({qid}, {q(p.lower())})" for qid, p in prefixes)
+    return with_corpus_docs(
+        f"""
+, toks AS ({_toks()}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (
+  SELECT d.doc_id, COALESCE(x.dl, 0) AS dl
+  FROM docs d LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id) x USING (doc_id)
+),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+pq(query_id, prefix) AS (VALUES {vals}),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT pq.query_id, df.term,
+           row_number() OVER (PARTITION BY pq.query_id ORDER BY df.term ASC) AS r
+    FROM pq JOIN df ON starts_with(df.term, pq.prefix)
+  ) WHERE r <= {cap}
+),
+pscored AS (
+  SELECT e.query_id, tf.doc_id,
+         SUM({idf}
+             * tf.tf * ({k1} + 1)
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))) AS score
+  FROM exp e
+  JOIN tf ON tf.term = e.term
+  JOIN df ON df.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats st
+  GROUP BY e.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id, round(sc.score, {SCORE_DECIMALS}) AS rscore,
+         d.path, d.repo, d.lang,
+         row_number() OVER (PARTITION BY sc.query_id
+             ORDER BY round(sc.score, {SCORE_DECIMALS}) DESC, sc.doc_id ASC) AS rnk
+  FROM pscored sc JOIN docs d ON d.doc_id = sc.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank, doc_id,
+       path, repo, lang, rscore AS score
+FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rank
+""",
+        docs_where=docs_where,
+    )
+
+
 def mlt_sql(
     n_src: int, m: int, k: int, params: BM25Params, docs_where: str | None = None
 ) -> str:

@@ -280,6 +280,51 @@ class SearchEngine:
         return out
 
     # ------------------------------------------------------------------
+    def search_prefix(
+        self,
+        prefix: str,
+        scope: str = "",
+        limit: int = DEFAULT_TOP_K,
+        threshold: float | None = None,
+        query_id: int = 0,
+        cap: int | None = None,
+    ) -> pa.Table:
+        """Prefix (wildcard) query ``prefix*``: expand to the vocabulary
+        terms starting with the lowercased prefix — term-ASCENDING, capped
+        at ``cap`` (default config.PREFIX_MAX_EXPANSIONS) — then score as a
+        standard OR query with qtf=1 per expanded term. Expansion reads
+        ONLY the [prefix, prefix+1) key range of the term-sorted df table
+        (filter pushdown). Frozen pair: sqlgen.prefix_topk_sql."""
+        from smse_backend_ray.config import PREFIX_MAX_EXPANSIONS
+
+        cap = PREFIX_MAX_EXPANSIONS if cap is None else cap
+        p = prefix.lower()
+        if not p:
+            raise ValueError("empty prefix")
+        hi = p[:-1] + chr(ord(p[-1]) + 1)  # analyzer terms are ASCII
+        tbl = self._df_ds.to_table(
+            columns=["term", "df"],
+            filter=(pads.field("term") >= p) & (pads.field("term") < hi),
+        )
+        pairs = sorted(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))[:cap]
+        if not pairs:
+            return RESULT_SCHEMA.empty_table()
+        terms = [t for t, _ in pairs]
+        weights = [idf_fn(self.n_docs, d) for _, d in pairs]
+        job = {
+            "query_id": query_id,
+            "terms": terms,
+            "weights": weights,
+            "scope": scope,
+            "k": max(limit, SHARD_CANDIDATE_K),
+            "tombstones": sorted(self._tombstones),
+        }
+        cands = pa.concat_tables(
+            ray.get([a.search.remote([job], self.strategy) for a in self.actors])
+        )
+        return self._merge(cands, query_id, limit, threshold, "none")
+
+    # ------------------------------------------------------------------
     MLT_SCHEMA = pa.schema(
         [
             ("src_id", pa.int64()),

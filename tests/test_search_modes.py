@@ -395,6 +395,26 @@ def test_more_like_this_properties(modes_idx):
         ], sid
 
 
+def test_prefix_search_expansion_and_cap(modes_idx):
+    """Prefix expansion = term-asc vocabulary slice (capped); scoring equals
+    an OR oracle search over exactly the expanded terms with qtf=1."""
+    oidx = modes_idx
+    with SearchEngine(POS_IDX) as eng:
+        for prefix, cap in (("s", None), ("ba", None), ("f", 1), ("zzz", None)):
+            vocab = sorted(t for t in oidx.postings if t.startswith(prefix))
+            if cap is not None:
+                vocab = vocab[:cap]
+            got = eng.search_prefix(prefix, limit=10, cap=cap).to_pylist()
+            if not vocab:
+                assert got == []
+                continue
+            exp = oracle_search(oidx, [" ".join(vocab)], limit=10)
+            assert [g["doc_id"] for g in got] == [e["doc_id"] for e in exp], prefix
+            assert [g["exact_score"] for g in got] == [e["score"] for e in exp], prefix
+        with pytest.raises(ValueError):
+            eng.search_prefix("")
+
+
 def test_batch_path_modes(modes_idx):
     oidx = modes_idx
     specs = (
