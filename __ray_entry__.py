@@ -433,6 +433,28 @@ def _q_prefix(sf_dir: str) -> Any:
     return t.take(order)
 
 
+# frozen fuzzy-suggest fixture: (query_id, misspelled term)
+_SUGGEST_QUERIES = (
+    (650, "hach"),    # substitution of "hash"
+    (651, "mergee"),  # insertion on "merge"
+    (652, "tabl"),    # deletion of "table"
+    (653, "data"),    # exact vocab hit (lev 0) + near terms
+    (654, "qqzzxx"),  # no suggestion
+    (655, "sow"),     # two candidates (row, slow) — df-rank tie-break
+)
+
+
+def _q_suggest(sf_dir: str) -> Any:
+    """Fuzzy term suggestions from the SymSpell-style deletion-neighborhood
+    table (built as a Ray Dataset op over the df table)."""
+    from smse_backend_ray.pipelines.suggest import build_suggest, suggest
+
+    idx = _index_for(sf_dir)
+    if not os.path.isdir(os.path.join(idx, "suggest")):
+        build_suggest(idx)
+    return suggest(idx, _SUGGEST_QUERIES)
+
+
 def _q_bm25_bulk(sf_dir: str) -> Any:
     """Dataset-streaming bulk search path (pipelines/bulk_search.py): same
     results as the serving path, produced by streaming the index instead of
@@ -499,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippets": _q_snippets,
         "bm25_more_like_this": _q_mlt,
         "bm25_topk_prefix": _q_prefix,
+        "term_suggest": _q_suggest,
         "doc_token_stats": textstats.token_stats,
         "doc_quality": textstats.quality,
         "doc_lang_id": textstats.lang_id,
@@ -597,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_prefix": sqlgen.prefix_topk_sql(
             _PREFIXES, 10, PREFIX_MAX_EXPANSIONS, p
         ),
+        "term_suggest": sqlgen.suggest_sql(_SUGGEST_QUERIES),
         "doc_token_stats": sqlgen.token_stats_sql(),
         "doc_quality": sqlgen.quality_sql(),
         "doc_lang_id": sqlgen.lang_id_sql(),

@@ -184,3 +184,9 @@ MLT_N_SRC = 10  # gate entry sources: the MLT_N_SRC smallest doc_ids
 # lowercased prefix, term-ASCENDING, capped at PREFIX_MAX_EXPANSIONS;
 # qtf=1 per expanded term
 PREFIX_MAX_EXPANSIONS = 50
+
+# Fuzzy term suggestion (pipelines/suggest.py <-> sqlgen.suggest_sql):
+# SymSpell-style single-deletion neighborhood index over the vocabulary;
+# results = vocab terms with levenshtein <= 1, ranked (lev ASC, df DESC,
+# term ASC), top SUGGEST_TOP
+SUGGEST_TOP = 5

@@ -1097,6 +1097,42 @@ nearhits AS (
     return _bm25_restricted_sql(queries, params, extra.strip(), "nearhits", docs_where)
 
 
+def suggest_sql(queries) -> str:
+    """Fuzzy-suggestion twin (pipelines/suggest.py): vocab terms with
+    levenshtein(query, term) <= 1, ranked (lev ASC, df DESC, term ASC),
+    top config.SUGGEST_TOP. The engine's deletion-neighborhood candidate
+    generation + exact lev<=1 verify is equivalent to this brute-force
+    predicate (single-deletion neighborhoods cover every lev<=1 pair).
+    Frozen engine<->SQL pair."""
+    from smse_backend_ray.config import SUGGEST_TOP
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(f"({qid}, {q(text.lower())})" for qid, text in queries)
+    return with_corpus_docs(
+        f"""
+, toks AS ({_toks()}),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term),
+q(query_id, qt) AS (VALUES {vals}),
+cand AS (
+  SELECT q.query_id, df.term, df.df,
+         CAST(levenshtein(q.qt, df.term) AS BIGINT) AS lev
+  FROM q JOIN df ON levenshtein(q.qt, df.term) <= 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY lev ASC, df DESC, term ASC) AS rnk
+  FROM cand
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank,
+       term, df, lev
+FROM ranked WHERE rnk <= {SUGGEST_TOP}
+ORDER BY query_id, rank
+"""
+    )
+
+
 def prefix_topk_sql(
     prefixes, k: int, cap: int, params: BM25Params, docs_where: str | None = None
 ) -> str:
