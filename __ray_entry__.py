@@ -492,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from smse_backend_ray.queryset import (
         BASE_QUERIES,
         CONJ_QUERIES,
+        EXCLUDE_QUERIES,
         MULTIPART_QUERIES,
         NEAR_QUERIES,
         PHRASE_QUERIES,
@@ -521,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippets": _q_snippets,
         "bm25_more_like_this": _q_mlt,
         "bm25_topk_prefix": _q_prefix,
+        "bm25_topk_exclude": _q_bm25(EXCLUDE_QUERIES),
         "term_suggest": _q_suggest,
         "doc_token_stats": textstats.token_stats,
         "doc_quality": textstats.quality,
@@ -582,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         ALL_QUERIES,
         BASE_QUERIES,
         CONJ_QUERIES,
+        EXCLUDE_QUERIES,
         MULTIPART_QUERIES,
         NEAR_QUERIES,
         PHRASE_QUERIES,
@@ -621,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
             _PREFIXES, 10, PREFIX_MAX_EXPANSIONS, p
         ),
         "term_suggest": sqlgen.suggest_sql(_SUGGEST_QUERIES),
+        "bm25_topk_exclude": sqlgen.bm25_exclude_topk_sql(EXCLUDE_QUERIES, p),
         "doc_token_stats": sqlgen.token_stats_sql(),
         "doc_quality": sqlgen.quality_sql(),
         "doc_lang_id": sqlgen.lang_id_sql(),

@@ -1097,6 +1097,60 @@ nearhits AS (
     return _bm25_restricted_sql(queries, params, extra.strip(), "nearhits", docs_where)
 
 
+def bm25_exclude_topk_sql(queries, params: BM25Params, docs_where: str | None = None) -> str:
+    """Boolean-NOT twin (scorer.excluded_ids via the tombstone filter):
+    standard OR-mode top-k where docs containing ANY kept excluded term
+    (QuerySpec.exclude, analyzed like parts) are dropped BEFORE
+    scope/threshold/ranking. Frozen engine<->SQL pair."""
+    part_vals, meta_vals = _query_values(queries)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    ex_vals = ", ".join(
+        f"({qs.query_id}, {q(p)})"
+        for qs in queries
+        for p in getattr(qs, "exclude", ())
+    ) or "(CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR))"
+    return with_corpus_docs(
+        f"""
+, queries(query_id, part) AS (VALUES {part_vals}),
+qmeta(query_id, scope, lim, threshold) AS (VALUES {meta_vals}),
+qex(query_id, part) AS (VALUES {ex_vals}),
+{bm25_scored_ctes(params).lstrip()},
+extok AS (
+  SELECT DISTINCT query_id, term
+  FROM ({tokens_cte('qex', 'src.query_id', 'part')})
+),
+bad AS (
+  SELECT DISTINCT e.query_id, tf.doc_id
+  FROM extok e JOIN tf ON tf.term = e.term
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id, round(sc.score, {SCORE_DECIMALS}) AS rscore,
+         d.path, d.repo, d.lang, m.lim
+  FROM scored sc
+  JOIN docs d ON d.doc_id = sc.doc_id
+  JOIN qmeta m ON m.query_id = sc.query_id
+  LEFT JOIN bad b ON b.query_id = sc.query_id AND b.doc_id = sc.doc_id
+  WHERE b.doc_id IS NULL
+    AND (m.scope = '' OR d.repo = m.scope)
+    AND (m.threshold IS NULL OR round(sc.score, {SCORE_DECIMALS}) >= m.threshold)
+),
+topk AS (
+  SELECT query_id, doc_id, rscore, path, repo, lang, lim,
+         row_number() OVER (PARTITION BY query_id ORDER BY rscore DESC, doc_id ASC) AS rnk
+  FROM ranked
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank,
+       doc_id, path, repo, lang, rscore AS score
+FROM topk WHERE rnk <= lim
+ORDER BY query_id, rank
+""",
+        docs_where=docs_where,
+    )
+
+
 def suggest_sql(queries) -> str:
     """Fuzzy-suggestion twin (pipelines/suggest.py): vocab terms with
     levenshtein(query, term) <= 1, ranked (lev ASC, df DESC, term ASC),

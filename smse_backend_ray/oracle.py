@@ -106,6 +106,7 @@ def oracle_search(
     limit: int = DEFAULT_TOP_K,
     threshold: float | None = None,
     normalize: str = "none",
+    exclude=(),
 ) -> list[dict]:
     """Exact BM25 top-k. Returns rows with rank, doc meta, exact + rounded score.
 
@@ -115,7 +116,22 @@ def oracle_search(
     normalization :190-197 -> global sort -> limit -> projection.
     """
     qtf, _ = fuse_parts(parts)
-    return _score_and_rank(idx, qtf, None, scope, limit, threshold, normalize)
+    return _score_and_rank(
+        idx, qtf, None, scope, limit, threshold, normalize,
+        excl=_excluded_docs(idx, exclude),
+    )
+
+
+def _excluded_docs(idx: OracleIndex, exclude) -> "set[int] | None":
+    """Docs containing ANY kept excluded term (boolean NOT twin of
+    scorer.excluded_ids / the bad CTE in sqlgen exclusion SQL)."""
+    if not exclude:
+        return None
+    out: set[int] = set()
+    for p in exclude:
+        for t in set(tokenize(p)):
+            out |= set(idx.postings.get(t, ()))
+    return out
 
 
 def oracle_conj_search(
@@ -125,6 +141,7 @@ def oracle_conj_search(
     limit: int = DEFAULT_TOP_K,
     threshold: float | None = None,
     normalize: str = "none",
+    exclude=(),
 ) -> list[dict]:
     """Conjunctive (AND-mode) twin of ShardIndex.score_conj: only docs
     containing EVERY kept query term score; a kept term with df=0 yields no
@@ -138,7 +155,10 @@ def oracle_conj_search(
         cand = set(post) if cand is None else cand & set(post)
         if not cand:
             return []
-    return _score_and_rank(idx, qtf, cand, scope, limit, threshold, normalize)
+    return _score_and_rank(
+        idx, qtf, cand, scope, limit, threshold, normalize,
+        excl=_excluded_docs(idx, exclude),
+    )
 
 
 def oracle_phrase_search(
@@ -229,6 +249,7 @@ def _score_and_rank(
     limit: int,
     threshold: float | None,
     normalize: str,
+    excl: "set[int] | None" = None,
 ) -> list[dict]:
     scores: dict[int, float] = {}
     for term in sorted(qtf):  # FIXED summation order (term ascending)
@@ -238,6 +259,8 @@ def _score_and_rank(
         w = qtf[term] * bm25.idf(idx.n_docs, len(post))
         for did, tf in post.items():
             if cand is not None and did not in cand:
+                continue
+            if excl is not None and did in excl:
                 continue
             d = idx.docs[did]
             contrib = w * bm25.tfnorm_scalar(tf, d.dl, idx.avgdl, idx.params)

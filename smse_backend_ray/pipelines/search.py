@@ -155,7 +155,7 @@ class SearchEngine:
     # ------------------------------------------------------------------
     def _job_for(
         self, qid: int, parts: list[str], scope: str, limit: int, mode: str,
-        slop: int | None = None,
+        slop: int | None = None, exclude: tuple = (),
     ) -> dict | None:
         """Build one scatter job, or None when the query provably has no
         results (no kept terms; or AND/phrase mode with a kept term whose
@@ -195,6 +195,12 @@ class SearchEngine:
                 raise ValueError("slop must be >= 0")
             job["mode"] = "near"
             job["slop"] = s
+        if exclude:
+            from smse_backend_ray.functions.analyzer import tokenize
+
+            ex_terms = sorted({t for p in exclude for t in tokenize(p)})
+            if ex_terms:
+                job["exclude_terms"] = ex_terms
         return job
 
     def search(
@@ -208,11 +214,12 @@ class SearchEngine:
         log: bool = False,
         mode: str = "or",
         slop: int | None = None,
+        exclude: tuple = (),
     ) -> pa.Table:
         if isinstance(parts, str):
             parts = [parts]
         qid = query_id if query_id is not None else self._next_query_id
-        job = self._job_for(qid, parts, scope, limit, mode, slop)
+        job = self._job_for(qid, parts, scope, limit, mode, slop, exclude)
         if job is not None:
             cands = pa.concat_tables(
                 ray.get([a.search.remote([job], self.strategy) for a in self.actors])
@@ -234,6 +241,7 @@ class SearchEngine:
             job = self._job_for(
                 qs.query_id, list(qs.parts), qs.scope, qs.limit,
                 getattr(qs, "mode", "or"), getattr(qs, "slop", None),
+                getattr(qs, "exclude", ()),
             )
             if job is not None:
                 jobs.append(job)
@@ -488,6 +496,7 @@ class SearchEngine:
             job = self._job_for(
                 qs.query_id, list(qs.parts), qs.scope, qs.limit,
                 getattr(qs, "mode", "or"), getattr(qs, "slop", None),
+                getattr(qs, "exclude", ()),
             )
             if job is not None:
                 job["threshold"] = qs.threshold

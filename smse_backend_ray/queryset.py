@@ -27,6 +27,9 @@ class QuerySpec:
     # near require a positional index; phrase parts must be a single string)
     mode: str = "or"
     slop: int | None = None               # near mode only; None = config default
+    # analyzed like parts; docs containing ANY excluded kept term are
+    # dropped from the match set (boolean NOT; works with every mode)
+    exclude: tuple[str, ...] = ()
 
     @property
     def text(self) -> str:
@@ -96,6 +99,17 @@ NEAR_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec(503, ("data value",), mode="near", slop=0),
     QuerySpec(504, ("table row", "key"), mode="near", slop=6, scope="src5"),
     QuerySpec(505, ("stream",), mode="near", slop=0),  # k=1: span 0 matches
+)
+
+# Boolean-NOT queries: docs containing ANY kept excluded term are dropped
+# from the match set before scope/threshold/ranking. 703's exclusion term
+# has df=0 (a no-op); 704 combines exclusion with scope.
+EXCLUDE_QUERIES: tuple[QuerySpec, ...] = (
+    QuerySpec(700, ("hash join",), exclude=("table",)),
+    QuerySpec(701, ("sort merge",), exclude=("batch", "window slow")),
+    QuerySpec(702, ("data line",), exclude=("data",)),   # self-exclusion -> empty
+    QuerySpec(703, ("batch value",), exclude=("qqzzquux",)),
+    QuerySpec(704, ("table row",), scope="src4", exclude=("key",)),
 )
 
 ALL_QUERIES: tuple[QuerySpec, ...] = BASE_QUERIES + SCOPED_QUERIES + MULTIPART_QUERIES

@@ -251,6 +251,19 @@ class ShardIndex:
         self._pos_cache[term] = out
         return out
 
+    def excluded_ids(self, terms: list[str]) -> np.ndarray:
+        """Union of doc_ids containing ANY of ``terms`` in this shard
+        (boolean-NOT support: merged into the tombstone filter, which
+        applies BEFORE scope/threshold/top-k on every scoring path)."""
+        parts = []
+        for t in terms:
+            dec = self._decoded(t)
+            if dec is not None:
+                parts.append(dec[0])
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
     def _conj_candidates(self, terms: list[str]) -> "np.ndarray | None":
         """doc_ids (sorted) containing EVERY term, or None when any term is
         absent from this shard. Docs live in exactly one shard, so the
@@ -642,6 +655,20 @@ class ShardIndex:
         return self._finalize(uniq, scores, scope, k, tombstones)
 
 
+def _job_tombstones(job: dict, sh: ShardIndex) -> "np.ndarray | None":
+    """Effective per-shard tombstone array for a job: the engine-level
+    tombstones plus (boolean NOT) the shard's docs containing any excluded
+    term — both filter BEFORE scope/threshold/top-k in _finalize."""
+    tomb = job.get("tombstones")
+    tomb_a = np.asarray(tomb, dtype=np.int64) if tomb else None
+    ex = job.get("exclude_terms")
+    if ex:
+        e = sh.excluded_ids(ex)
+        if e.size:
+            tomb_a = e if tomb_a is None else np.union1d(tomb_a, e)
+    return tomb_a
+
+
 @ray.remote
 class ShardSearcher:
     """Actor owning one or more shards (actor-pool stage ST1/ST4 analog:
@@ -669,11 +696,11 @@ class ShardSearcher:
         so the global sums are exact)."""
         cols = {"query_id": [], "facet": [], "value": [], "n_docs": []}
         for job in jobs:
-            tomb = job.get("tombstones")
-            tomb_a = np.asarray(tomb, dtype=np.int64) if tomb else None
             for sh in self.shards:
                 r = sh.facet_counts(
-                    job, threshold=job.get("threshold"), tombstones=tomb_a
+                    job,
+                    threshold=job.get("threshold"),
+                    tombstones=_job_tombstones(job, sh),
                 )
                 n = len(r["facet"])
                 if not n:
@@ -704,8 +731,7 @@ class ShardSearcher:
         }
         for job in jobs:
             for sh in self.shards:
-                tomb = job.get("tombstones")
-                tomb_a = np.asarray(tomb, dtype=np.int64) if tomb else None
+                tomb_a = _job_tombstones(job, sh)
                 if job.get("phrase"):
                     r = sh.score_phrase(
                         job["phrase"], job["terms"], job["weights"],

@@ -395,6 +395,44 @@ def test_more_like_this_properties(modes_idx):
         ], sid
 
 
+def test_exclusion_all_modes(modes_idx):
+    """Boolean NOT composes with every mode and with facets; engine equals
+    the oracle's excluded-set semantics bitwise."""
+    from smse_backend_ray.oracle import oracle_conj_search
+
+    oidx = modes_idx
+    cases = [
+        (("hash join",), "or", ("table",)),
+        (("sort merge",), "or", ("batch", "window")),
+        (("alpha beta",), "and", ("gamma",)),
+        (("hash join",), "or", ("hash",)),        # self-exclusion -> empty
+        (("key row",), "or", ("zzznope",)),       # df=0 exclusion no-op
+    ]
+    with SearchEngine(POS_IDX) as eng:
+        for parts, mode, excl in cases:
+            got = eng.search(list(parts), limit=10, mode=mode,
+                             exclude=excl).to_pylist()
+            fn = oracle_conj_search if mode == "and" else oracle_search
+            exp = fn(oidx, list(parts), limit=10, exclude=excl)
+            assert [g["doc_id"] for g in got] == [e["doc_id"] for e in exp], (parts, excl)
+            assert [g["exact_score"] for g in got] == [e["score"] for e in exp], (parts, excl)
+            # no result doc contains an excluded term
+            for g in got:
+                toks = set(oidx.tokens[g["doc_id"]])
+                for p in excl:
+                    from smse_backend_ray.functions.analyzer import tokenize
+                    assert not (set(tokenize(p)) & toks), (g, excl)
+        # facets respect exclusion too
+        spec = QuerySpec(910, ("hash join",), exclude=("table",))
+        fac = eng.facet_counts((spec,))
+        exp_rows = oracle_search(oidx, ["hash join"], limit=10**9, exclude=("table",))
+        exp_counts = _oracle_facets(exp_rows)
+        got_counts = {
+            (r["facet"], r["value"]): r["n_docs"] for r in fac.to_pylist()
+        }
+        assert got_counts == exp_counts
+
+
 def test_prefix_search_expansion_and_cap(modes_idx):
     """Prefix expansion = term-asc vocabulary slice (capped); scoring equals
     an OR oracle search over exactly the expanded terms with qtf=1."""
