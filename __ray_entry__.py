@@ -455,6 +455,27 @@ def _q_suggest(sf_dir: str) -> Any:
     return suggest(idx, _SUGGEST_QUERIES)
 
 
+_EXPLAIN_TEXT = "hash join table batch merge"
+_EXPLAIN_N_DOCS = 5
+
+
+def _q_explain(sf_dir: str) -> Any:
+    """Per-term BM25 score breakdown for the smallest doc_ids (the search
+    debugging/explain API)."""
+    import pyarrow.dataset as pads
+
+    from smse_backend_ray.pipelines.search import SearchEngine
+
+    idx = _index_for(sf_dir)
+    ids = sorted(
+        pads.dataset(os.path.join(idx, "docs"), partitioning="hive")
+        .to_table(columns=["doc_id"])["doc_id"]
+        .to_pylist()
+    )[:_EXPLAIN_N_DOCS]
+    with SearchEngine(idx) as eng:
+        return eng.explain(_EXPLAIN_TEXT, ids)
+
+
 def _q_bm25_bulk(sf_dir: str) -> Any:
     """Dataset-streaming bulk search path (pipelines/bulk_search.py): same
     results as the serving path, produced by streaming the index instead of
@@ -523,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_more_like_this": _q_mlt,
         "bm25_topk_prefix": _q_prefix,
         "bm25_topk_exclude": _q_bm25(EXCLUDE_QUERIES),
+        "bm25_explain": _q_explain,
         "term_suggest": _q_suggest,
         "doc_token_stats": textstats.token_stats,
         "doc_quality": textstats.quality,
@@ -625,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_suggest": sqlgen.suggest_sql(_SUGGEST_QUERIES),
         "bm25_topk_exclude": sqlgen.bm25_exclude_topk_sql(EXCLUDE_QUERIES, p),
+        "bm25_explain": sqlgen.explain_sql(_EXPLAIN_TEXT, _EXPLAIN_N_DOCS, p),
         "doc_token_stats": sqlgen.token_stats_sql(),
         "doc_quality": sqlgen.quality_sql(),
         "doc_lang_id": sqlgen.lang_id_sql(),

@@ -1097,6 +1097,48 @@ nearhits AS (
     return _bm25_restricted_sql(queries, params, extra.strip(), "nearhits", docs_where)
 
 
+def explain_sql(text: str, n_docs: int, params: BM25Params) -> str:
+    """Score-explain twin (SearchEngine.explain): for the ``n_docs``
+    smallest doc_ids, one row per query term present in the doc with the
+    BM25 inputs and the rounded contribution. Frozen engine<->SQL pair."""
+    k1, b = params.k1, params.b
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return with_corpus_docs(
+        f"""
+, toks AS ({_toks()}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (
+  SELECT d.doc_id, COALESCE(x.dl, 0) AS dl
+  FROM docs d LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id) x USING (doc_id)
+),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+srcs AS (SELECT doc_id FROM docs ORDER BY doc_id LIMIT {n_docs}),
+qtok AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS qtf
+  FROM ({tokens_cte(f'(SELECT {q(text)} AS part)', "'q'", 'part')})
+  GROUP BY term
+)
+SELECT s.doc_id, qt.term, qt.qtf, df.df, tf.tf, dl.dl,
+       round(qt.qtf
+             * ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({k1} + 1)
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl)),
+             {SCORE_DECIMALS}) AS contrib
+FROM srcs s
+JOIN tf ON tf.doc_id = s.doc_id
+JOIN qtok qt ON qt.term = tf.term
+JOIN df ON df.term = tf.term
+JOIN dl ON dl.doc_id = s.doc_id
+CROSS JOIN stats st
+ORDER BY s.doc_id, qt.term
+"""
+    )
+
+
 def bm25_exclude_topk_sql(queries, params: BM25Params, docs_where: str | None = None) -> str:
     """Boolean-NOT twin (scorer.excluded_ids via the tombstone filter):
     standard OR-mode top-k where docs containing ANY kept excluded term

@@ -288,6 +288,71 @@ class SearchEngine:
         return out
 
     # ------------------------------------------------------------------
+    EXPLAIN_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("qtf", pa.int64()),
+            ("df", pa.int64()),
+            ("tf", pa.int64()),
+            ("dl", pa.int64()),
+            ("contrib", pa.float64()),
+        ]
+    )
+
+    def explain(self, parts: list[str] | str, doc_ids) -> pa.Table:
+        """Score explanation: one row per (doc, query term present in the
+        doc) with the BM25 inputs and the term's contribution
+        qtf*idf*tfnorm (rounded SCORE_DECIMALS — the sum of a doc's rounded
+        contributions tracks its score up to rounding). Driver-side only:
+        query analysis + a doc_id pushdown point read of the docs store.
+        Frozen pair: sqlgen.explain_sql."""
+        from smse_backend_ray.functions.bm25 import tfnorm_scalar
+        from smse_backend_ray.functions.rounding import round_half_away
+
+        if isinstance(parts, str):
+            parts = [parts]
+        qtf, _ = fuse_parts(parts)
+        self.idf_weights(qtf)  # warm df cache
+        doc_ids = sorted({int(d) for d in doc_ids})
+        t = self.ifs.pads_dataset("docs").to_table(
+            columns=["doc_id", "terms", "tfs", "dl"],
+            filter=pads.field("doc_id").isin(doc_ids),
+        )
+        out = {k: [] for k in ("doc_id", "term", "qtf", "df", "tf", "dl", "contrib")}
+        for r in sorted(t.to_pylist(), key=lambda r: r["doc_id"]):
+            tfs = dict(zip(r["terms"], r["tfs"]))
+            for term in sorted(qtf):
+                tf = tfs.get(term)
+                d = self._df_cache.get(term, 0)
+                if not tf or not d:
+                    continue
+                contrib = (
+                    qtf[term]
+                    * idf_fn(self.n_docs, d)
+                    * tfnorm_scalar(tf, r["dl"], self.avgdl, self.params)
+                )
+                out["doc_id"].append(r["doc_id"])
+                out["term"].append(term)
+                out["qtf"].append(qtf[term])
+                out["df"].append(d)
+                out["tf"].append(int(tf))
+                out["dl"].append(r["dl"])
+                out["contrib"].append(round_half_away(contrib, SCORE_DECIMALS))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "term": pa.array(out["term"], type=pa.string()),
+                "qtf": pa.array(out["qtf"], type=pa.int64()),
+                "df": pa.array(out["df"], type=pa.int64()),
+                "tf": pa.array(out["tf"], type=pa.int64()),
+                "dl": pa.array(out["dl"], type=pa.int64()),
+                "contrib": pa.array(out["contrib"], type=pa.float64()),
+            },
+            schema=self.EXPLAIN_SCHEMA,
+        )
+
+    # ------------------------------------------------------------------
     def search_prefix(
         self,
         prefix: str,

@@ -395,6 +395,31 @@ def test_more_like_this_properties(modes_idx):
         ], sid
 
 
+def test_explain_sums_to_score(modes_idx):
+    """The sum of a doc's explain contributions equals its search score up
+    to contribution-level rounding; inputs (tf, df, dl, qtf) match the
+    oracle index exactly."""
+    from smse_backend_ray.config import SCORE_DECIMALS
+
+    oidx = modes_idx
+    parts = ["hash join table"]
+    with SearchEngine(POS_IDX) as eng:
+        res = eng.search(parts, limit=5).to_pylist()
+        ids = [r["doc_id"] for r in res]
+        ex = eng.explain(parts, ids).to_pylist()
+    by_doc = {}
+    for r in ex:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert r["tf"] == oidx.postings[r["term"]][r["doc_id"]]
+        assert r["df"] == len(oidx.postings[r["term"]])
+        assert r["dl"] == oidx.docs[r["doc_id"]].dl
+    for r in res:
+        total = sum(e["contrib"] for e in by_doc[r["doc_id"]])
+        # contributions round individually; the doc score rounds once
+        n_terms = len(by_doc[r["doc_id"]])
+        assert abs(total - r["score"]) <= n_terms * 10 ** -SCORE_DECIMALS, r
+
+
 def test_exclusion_all_modes(modes_idx):
     """Boolean NOT composes with every mode and with facets; engine equals
     the oracle's excluded-set semantics bitwise."""
