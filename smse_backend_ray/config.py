@@ -185,6 +185,11 @@ MLT_N_SRC = 10  # gate entry sources: the MLT_N_SRC smallest doc_ids
 # qtf=1 per expanded term
 PREFIX_MAX_EXPANSIONS = 50
 
+# Facet counts: per (query, facet) the output keeps the FACET_MAX_VALUES
+# largest values by (n_docs DESC, value ASC) after the cross-shard sum —
+# bounds the result when a facet (e.g. repo) has huge cardinality
+FACET_MAX_VALUES = 100
+
 # Fuzzy term suggestion (pipelines/suggest.py <-> sqlgen.suggest_sql):
 # SymSpell-style single-deletion neighborhood index over the vocabulary;
 # results = vocab terms with levenshtein <= 1, ranked (lev ASC, df DESC,

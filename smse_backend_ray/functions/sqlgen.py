@@ -1410,6 +1410,8 @@ def facets_sql(queries, params: BM25Params, docs_where: str | None = None) -> st
     per query, repo and lang counts over ALL matching docs (any query term,
     scope + rounded-score threshold applied, NO top-k truncation). Frozen
     engine<->SQL pair."""
+    from smse_backend_ray.config import FACET_MAX_VALUES as fmax
+
     for qs in queries:
         if getattr(qs, "mode", "or") != "or":
             raise ValueError("facets_sql covers OR-mode queries (modal facets are pytest-oracled)")
@@ -1427,14 +1429,19 @@ matched AS (
   WHERE (m.scope = '' OR d.repo = m.scope)
     AND (m.threshold IS NULL OR round(sc.score, {SCORE_DECIMALS}) >= m.threshold)
 )
-SELECT CAST(query_id AS BIGINT) AS query_id, facet, value,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM (
-  SELECT query_id, 'repo' AS facet, repo AS value FROM matched
-  UNION ALL
-  SELECT query_id, 'lang' AS facet, lang AS value FROM matched
+SELECT query_id, facet, value, n_docs FROM (
+  SELECT CAST(query_id AS BIGINT) AS query_id, facet, value,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         row_number() OVER (PARTITION BY query_id, facet
+             ORDER BY count(*) DESC, value ASC) AS rnk
+  FROM (
+    SELECT query_id, 'repo' AS facet, repo AS value FROM matched
+    UNION ALL
+    SELECT query_id, 'lang' AS facet, lang AS value FROM matched
+  )
+  GROUP BY query_id, facet, value
 )
-GROUP BY query_id, facet, value
+WHERE rnk <= {fmax}
 ORDER BY query_id, facet, value
 """,
         docs_where=docs_where,

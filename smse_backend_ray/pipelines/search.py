@@ -585,6 +585,29 @@ class SearchEngine:
             },
             schema=self.FACET_SCHEMA,
         )
+        # keep the FACET_MAX_VALUES largest values per (query, facet) by
+        # (n_docs DESC, value ASC) — bounds the result when a facet has
+        # huge cardinality (millions of repos at corpus scale)
+        from smse_backend_ray.config import FACET_MAX_VALUES
+
+        order = pa.compute.sort_indices(
+            out,
+            sort_keys=[
+                ("query_id", "ascending"),
+                ("facet", "ascending"),
+                ("n_docs", "descending"),
+                ("value", "ascending"),
+            ],
+        )
+        out = out.take(order)
+        keys = list(zip(out["query_id"].to_pylist(), out["facet"].to_pylist()))
+        seen: dict = {}
+        keep = np.empty(len(keys), dtype=bool)
+        for i, k in enumerate(keys):
+            c = seen.get(k, 0)
+            keep[i] = c < FACET_MAX_VALUES
+            seen[k] = c + 1
+        out = out.filter(pa.array(keep))
         return out.take(
             pa.compute.sort_indices(
                 out,

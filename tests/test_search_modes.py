@@ -395,6 +395,24 @@ def test_more_like_this_properties(modes_idx):
         ], sid
 
 
+def test_facet_value_cap(modes_idx, monkeypatch):
+    """FACET_MAX_VALUES keeps the largest values per (query, facet) by
+    (n_docs DESC, value ASC) — uncapped results truncate consistently."""
+    import smse_backend_ray.config as cfg
+
+    with SearchEngine(POS_IDX) as eng:
+        full = eng.facet_counts((QuerySpec(920, ("hash join",)),))
+        monkeypatch.setattr(cfg, "FACET_MAX_VALUES", 2)
+        capped = eng.facet_counts((QuerySpec(920, ("hash join",)),))
+    for facet in ("repo", "lang"):
+        fr = [r for r in full.to_pylist() if r["facet"] == facet]
+        cr = [r for r in capped.to_pylist() if r["facet"] == facet]
+        exp = sorted(fr, key=lambda r: (-r["n_docs"], r["value"]))[:2]
+        assert sorted((r["value"], r["n_docs"]) for r in cr) == sorted(
+            (r["value"], r["n_docs"]) for r in exp
+        )
+
+
 def test_explain_sums_to_score(modes_idx):
     """The sum of a doc's explain contributions equals its search score up
     to contribution-level rounding; inputs (tf, df, dl, qtf) match the
