@@ -600,14 +600,16 @@ class SearchEngine:
             ],
         )
         out = out.take(order)
-        keys = list(zip(out["query_id"].to_pylist(), out["facet"].to_pylist()))
-        seen: dict = {}
-        keep = np.empty(len(keys), dtype=bool)
-        for i, k in enumerate(keys):
-            c = seen.get(k, 0)
-            keep[i] = c < FACET_MAX_VALUES
-            seen[k] = c + 1
-        out = out.filter(pa.array(keep))
+        if out.num_rows:
+            qa = out["query_id"].to_numpy()
+            fa = np.asarray(out["facet"].to_pylist(), dtype=object)
+            new = np.empty(len(qa), dtype=bool)
+            new[0] = True
+            new[1:] = (qa[1:] != qa[:-1]) | (fa[1:] != fa[:-1])
+            gid = np.cumsum(new) - 1
+            starts = np.flatnonzero(new)
+            pos = np.arange(len(qa)) - starts[gid]
+            out = out.filter(pa.array(pos < FACET_MAX_VALUES))
         return out.take(
             pa.compute.sort_indices(
                 out,
