@@ -879,18 +879,8 @@ def bm25_topk_sql(
     user_id filter analog, services/search.py:104).
     """
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
-    part_vals = ", ".join(
-        f"({qs.query_id}, {q(p)})" for qs in queries for p in qs.parts
-    )
-    meta_vals = ", ".join(
-        f"({qs.query_id}, {q(qs.scope)}, {qs.limit}, "
-        + ("CAST(NULL AS DOUBLE)" if qs.threshold is None else str(qs.threshold))
-        + ")"
-        for qs in queries
-    )
+    _check_specs(queries, "bm25_topk_sql")
+    part_vals, meta_vals = _query_values(queries)
     return with_corpus_docs(
         f"""
 , queries(query_id, part) AS (VALUES {part_vals}),
@@ -924,15 +914,32 @@ ORDER BY query_id, rank
 # ---------------------------------------------------------------------------
 
 
-def _query_values(queries) -> tuple[str, str]:
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+def _sq(s: str) -> str:
+    """SQL string literal (single-quote escaping)."""
+    return "'" + s.replace("'", "''") + "'"
 
+
+def _check_specs(queries, fn: str, modes=("or",), exclude_ok: bool = False) -> None:
+    """Fail LOUDLY when a QuerySpec carries a field this SQL twin does not
+    implement — a silent ignore would desync the engine<->SQL pair and
+    surface only as an unexplained gate mismatch."""
+    for qs in queries:
+        m = getattr(qs, "mode", "or")
+        if m not in modes:
+            raise ValueError(f"{fn} does not implement mode={m!r} (query {qs.query_id})")
+        if not exclude_ok and getattr(qs, "exclude", ()):
+            raise ValueError(
+                f"{fn} does not implement QuerySpec.exclude (query {qs.query_id}); "
+                "use bm25_exclude_topk_sql or a pytest oracle"
+            )
+
+
+def _query_values(queries) -> tuple[str, str]:
     part_vals = ", ".join(
-        f"({qs.query_id}, {q(p)})" for qs in queries for p in qs.parts
+        f"({qs.query_id}, {_sq(p)})" for qs in queries for p in qs.parts
     )
     meta_vals = ", ".join(
-        f"({qs.query_id}, {q(qs.scope)}, {qs.limit}, "
+        f"({qs.query_id}, {_sq(qs.scope)}, {qs.limit}, "
         + ("CAST(NULL AS DOUBLE)" if qs.threshold is None else str(qs.threshold))
         + ")"
         for qs in queries
@@ -984,6 +991,7 @@ def bm25_conj_topk_sql(queries, params: BM25Params, docs_where: str | None = Non
     from the corpus (df = 0) makes the query return no rows — identical to
     the engine, which short-circuits before the scatter
     (pipelines/search.py). Frozen engine<->SQL pair."""
+    _check_specs(queries, "bm25_conj_topk_sql", modes=("and",))
     extra = """
 qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq FROM qtok GROUP BY query_id),
 conj AS (
@@ -1024,6 +1032,7 @@ def phrase_topk_sql(queries, params: BM25Params, docs_where: str | None = None) 
     offset matched, i.e. the group has exactly phrase-length rows (each
     (d.p, q.p) pair is unique, so counts cannot inflate — repeated phrase
     terms are handled naturally). Frozen engine<->SQL pair."""
+    _check_specs(queries, "phrase_topk_sql", modes=("phrase",))
     for qs in queries:
         if len(qs.parts) != 1:
             raise ValueError(f"phrase query {qs.query_id} must have exactly one part")
@@ -1060,9 +1069,7 @@ def near_topk_sql(queries, params: BM25Params, docs_where: str | None = None) ->
     from smse_backend_ray.config import NEAR_DEFAULT_SLOP
     from smse_backend_ray.functions.analyzer import tokenize
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
+    _check_specs(queries, "near_topk_sql", modes=("near",))
     selects = []
     for qs in queries:
         slop = NEAR_DEFAULT_SLOP if getattr(qs, "slop", None) is None else int(qs.slop)
@@ -1070,10 +1077,10 @@ def near_topk_sql(queries, params: BM25Params, docs_where: str | None = None) ->
         if not terms:
             continue
         aliases = [f"t{i}" for i in range(len(terms))]
-        frm = f"(SELECT doc_id, p FROM dpos WHERE term = {q(terms[0])}) t0"
+        frm = f"(SELECT doc_id, p FROM dpos WHERE term = {_sq(terms[0])}) t0"
         for i, t in enumerate(terms[1:], 1):
             frm += (
-                f" JOIN (SELECT doc_id, p FROM dpos WHERE term = {q(t)}) t{i}"
+                f" JOIN (SELECT doc_id, p FROM dpos WHERE term = {_sq(t)}) t{i}"
                 f" ON t{i}.doc_id = t0.doc_id"
             )
         if len(terms) == 1:
@@ -1102,10 +1109,6 @@ def explain_sql(text: str, n_docs: int, params: BM25Params) -> str:
     smallest doc_ids, one row per query term present in the doc with the
     BM25 inputs and the rounded contribution. Frozen engine<->SQL pair."""
     k1, b = params.k1, params.b
-
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
     return with_corpus_docs(
         f"""
 , toks AS ({_toks()}),
@@ -1119,7 +1122,7 @@ df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
 srcs AS (SELECT doc_id FROM docs ORDER BY doc_id LIMIT {n_docs}),
 qtok AS (
   SELECT term, CAST(count(*) AS BIGINT) AS qtf
-  FROM ({tokens_cte(f'(SELECT {q(text)} AS part)', "'q'", 'part')})
+  FROM ({tokens_cte(f'(SELECT {_sq(text)} AS part)', "'q'", 'part')})
   GROUP BY term
 )
 SELECT s.doc_id, qt.term, qt.qtf, df.df, tf.tf, dl.dl,
@@ -1144,13 +1147,10 @@ def bm25_exclude_topk_sql(queries, params: BM25Params, docs_where: str | None = 
     standard OR-mode top-k where docs containing ANY kept excluded term
     (QuerySpec.exclude, analyzed like parts) are dropped BEFORE
     scope/threshold/ranking. Frozen engine<->SQL pair."""
+    _check_specs(queries, "bm25_exclude_topk_sql", exclude_ok=True)
     part_vals, meta_vals = _query_values(queries)
-
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
     ex_vals = ", ".join(
-        f"({qs.query_id}, {q(p)})"
+        f"({qs.query_id}, {_sq(p)})"
         for qs in queries
         for p in getattr(qs, "exclude", ())
     ) or "(CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR))"
@@ -1202,10 +1202,7 @@ def suggest_sql(queries) -> str:
     Frozen engine<->SQL pair."""
     from smse_backend_ray.config import SUGGEST_TOP
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
-    vals = ", ".join(f"({qid}, {q(text.lower())})" for qid, text in queries)
+    vals = ", ".join(f"({qid}, {_sq(text.lower())})" for qid, text in queries)
     return with_corpus_docs(
         f"""
 , toks AS ({_toks()}),
@@ -1238,11 +1235,7 @@ def prefix_topk_sql(
     (rounded DESC, doc_id ASC) top-k. Frozen engine<->SQL pair."""
     k1, b = params.k1, params.b
     idf = "ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))"
-
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
-    vals = ", ".join(f"({qid}, {q(p.lower())})" for qid, p in prefixes)
+    vals = ", ".join(f"({qid}, {_sq(p.lower())})" for qid, p in prefixes)
     return with_corpus_docs(
         f"""
 , toks AS ({_toks()}),
@@ -1364,6 +1357,7 @@ def snippets_sql(
 
     lead = SNIPPET_LEAD if lead is None else lead
     window = SNIPPET_WINDOW if window is None else window
+    _check_specs(queries, "snippets_sql")
     part_vals, meta_vals = _query_values(queries)
     return with_corpus_docs(
         f"""
@@ -1412,9 +1406,7 @@ def facets_sql(queries, params: BM25Params, docs_where: str | None = None) -> st
     engine<->SQL pair."""
     from smse_backend_ray.config import FACET_MAX_VALUES as fmax
 
-    for qs in queries:
-        if getattr(qs, "mode", "or") != "or":
-            raise ValueError("facets_sql covers OR-mode queries (modal facets are pytest-oracled)")
+    _check_specs(queries, "facets_sql")
     part_vals, meta_vals = _query_values(queries)
     return with_corpus_docs(
         f"""

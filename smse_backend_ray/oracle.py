@@ -168,6 +168,7 @@ def oracle_phrase_search(
     limit: int = DEFAULT_TOP_K,
     threshold: float | None = None,
     normalize: str = "none",
+    exclude=(),
 ) -> list[dict]:
     """Exact-phrase twin of ShardIndex.score_phrase: a doc matches iff the
     query's kept-token sequence occurs contiguously in the doc's kept-token
@@ -185,7 +186,10 @@ def oracle_phrase_search(
     }
     if not cand:
         return []
-    return _score_and_rank(idx, qtf, cand, scope, limit, threshold, normalize)
+    return _score_and_rank(
+        idx, qtf, cand, scope, limit, threshold, normalize,
+        excl=_excluded_docs(idx, exclude),
+    )
 
 
 def oracle_near_search(
@@ -196,6 +200,7 @@ def oracle_near_search(
     limit: int = DEFAULT_TOP_K,
     threshold: float | None = None,
     normalize: str = "none",
+    exclude=(),
 ) -> list[dict]:
     """Proximity twin of ShardIndex.score_near: a doc matches iff some
     kept-token window of span <= slop (max pos - min pos) contains at least
@@ -238,7 +243,10 @@ def oracle_near_search(
             cand.add(did)
     if not cand:
         return []
-    return _score_and_rank(idx, qtf, cand, scope, limit, threshold, normalize)
+    return _score_and_rank(
+        idx, qtf, cand, scope, limit, threshold, normalize,
+        excl=_excluded_docs(idx, exclude),
+    )
 
 
 def _score_and_rank(

@@ -163,12 +163,16 @@ class SearchEngine:
         scatter entirely). Frozen semantics mirrored by oracle.py
         (oracle_conj_search/oracle_phrase_search) and sqlgen
         (bm25_conj_topk_sql/phrase_topk_sql)."""
+        # validate BEFORE any provably-empty early return, so an invalid
+        # request errors loudly instead of silently returning no rows
+        if mode not in ("or", "and", "phrase", "near"):
+            raise ValueError(f"unknown query mode {mode!r}")
+        if mode == "phrase" and len(parts) != 1:
+            raise ValueError("phrase mode requires exactly one query part")
         qtf, _majority = fuse_parts(parts)  # raises on no valid parts (400 analog)
         terms, weights = self.idf_weights(qtf)
         if not terms:
             return None
-        if mode not in ("or", "and", "phrase", "near"):
-            raise ValueError(f"unknown query mode {mode!r}")
         if mode != "or" and len(terms) < len(qtf):
             return None  # some kept term has df=0 -> conjunction can't match
         job = {
@@ -182,8 +186,6 @@ class SearchEngine:
         if mode == "and":
             job["mode"] = "and"
         elif mode == "phrase":
-            if len(parts) != 1:
-                raise ValueError("phrase mode requires exactly one query part")
             from smse_backend_ray.functions.analyzer import tokenize
 
             job["phrase"] = tokenize(parts[0])
@@ -428,13 +430,14 @@ class SearchEngine:
             filter=pads.field("doc_id").isin(src_doc_ids),
         )
         rows = {r["doc_id"]: r for r in t.to_pylist()}
+        for sid in src_doc_ids:
+            if sid not in rows:
+                raise KeyError(f"doc {sid} not found in the index")
+        # warm the df cache for EVERY source's terms in ONE pushdown read
+        self.idf_weights({term: 1 for r in rows.values() for term in r["terms"]})
         jobs = []
         for sid in src_doc_ids:
-            r = rows.get(sid)
-            if r is None:
-                raise KeyError(f"doc {sid} not found in the index")
-            # warm the df cache for every source term in one pushdown read
-            self.idf_weights({term: 1 for term in r["terms"]})
+            r = rows[sid]
             ranked = sorted(
                 (-(tf * idf_fn(self.n_docs, self._df_cache[term])), term)
                 for term, tf in zip(r["terms"], r["tfs"])

@@ -110,14 +110,14 @@ def suggest(index_dir, queries) -> pa.Table:
     out = {"query_id": [], "rank": [], "term": [], "df": [], "lev": []}
     for qid, q in queries:
         ql = q.lower()
-        qkeys = deletion_keys(ql)
         scored = []
+        # the bounded-lev verify IS the membership rule (lev<=1 implies the
+        # deletion neighborhoods intersect), so candidates pooled from other
+        # queries' keys are simply rejected here — no per-pair set rebuild
         for term, d in cand.items():
-            # candidate iff the neighborhoods intersect (SymSpell rule)
-            if qkeys & deletion_keys(term):
-                lev = _lev_le1(ql, term)
-                if lev is not None:
-                    scored.append((lev, -d, term))
+            lev = _lev_le1(ql, term)
+            if lev is not None:
+                scored.append((lev, -d, term))
         scored.sort()
         for r, (lev, negdf, term) in enumerate(scored[:SUGGEST_TOP], 1):
             out["query_id"].append(qid)

@@ -493,7 +493,7 @@ class ShardIndex:
         return self._restricted_scores(terms, weights, matched)
 
     def facet_counts(
-        self, job: dict, facets=("repo", "lang"), threshold=None, tombstones=None
+        self, job: dict, facets=("repo", "lang"), tombstones=None
     ) -> dict:
         """Per-facet value counts over ALL matching docs of a job (the
         search-UI filter-sidebar analog; A3/A4 aggregation family) — no
@@ -506,6 +506,7 @@ class ShardIndex:
         if r is None:
             return empty
         doc_ids, scores = r
+        threshold = job.get("threshold")
         if tombstones is not None and tombstones.size:
             m = ~np.isin(doc_ids, tombstones)
             doc_ids, scores = doc_ids[m], scores[m]
@@ -697,11 +698,7 @@ class ShardSearcher:
         cols = {"query_id": [], "facet": [], "value": [], "n_docs": []}
         for job in jobs:
             for sh in self.shards:
-                r = sh.facet_counts(
-                    job,
-                    threshold=job.get("threshold"),
-                    tombstones=_job_tombstones(job, sh),
-                )
+                r = sh.facet_counts(job, tombstones=_job_tombstones(job, sh))
                 n = len(r["facet"])
                 if not n:
                     continue

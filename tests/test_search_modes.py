@@ -444,19 +444,33 @@ def test_exclusion_all_modes(modes_idx):
     from smse_backend_ray.oracle import oracle_conj_search
 
     oidx = modes_idx
+    from smse_backend_ray.oracle import oracle_near_search
+
     cases = [
         (("hash join",), "or", ("table",)),
         (("sort merge",), "or", ("batch", "window")),
         (("alpha beta",), "and", ("gamma",)),
         (("hash join",), "or", ("hash",)),        # self-exclusion -> empty
         (("key row",), "or", ("zzznope",)),       # df=0 exclusion no-op
+        (("sort merge",), "phrase", ("batch",)),
+        (("hash join",), "near", ("table",)),
     ]
     with SearchEngine(POS_IDX) as eng:
         for parts, mode, excl in cases:
             got = eng.search(list(parts), limit=10, mode=mode,
                              exclude=excl).to_pylist()
-            fn = oracle_conj_search if mode == "and" else oracle_search
-            exp = fn(oidx, list(parts), limit=10, exclude=excl)
+            if mode == "and":
+                exp = oracle_conj_search(oidx, list(parts), limit=10, exclude=excl)
+            elif mode == "phrase":
+                exp = oracle_phrase_search(oidx, parts[0], limit=10, exclude=excl)
+            elif mode == "near":
+                from smse_backend_ray.config import NEAR_DEFAULT_SLOP
+
+                exp = oracle_near_search(
+                    oidx, list(parts), NEAR_DEFAULT_SLOP, limit=10, exclude=excl
+                )
+            else:
+                exp = oracle_search(oidx, list(parts), limit=10, exclude=excl)
             assert [g["doc_id"] for g in got] == [e["doc_id"] for e in exp], (parts, excl)
             assert [g["exact_score"] for g in got] == [e["score"] for e in exp], (parts, excl)
             # no result doc contains an excluded term
