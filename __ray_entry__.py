@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": events.range_join,
         "revenue_by_month": relational.revenue_by_month,
         "nation_revenue": relational.nation_revenue,
+        "order_priority_counts": relational.order_priority_counts,
         "events_sliding_agg": events.sliding_window_agg,
         "multimodal_pipeline": _q_multimodal,  # rows-only (synth media, real codecs)
         "dedup_exact": dedup.exact_dedup,
@@ -701,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": events_mod.range_join_sql(),
         "revenue_by_month": relational_mod.revenue_by_month_sql(),
         "nation_revenue": relational_mod.nation_revenue_sql(),
+        "order_priority_counts": relational_mod.order_priority_counts_sql(),
         "events_sliding_agg": events_mod.sliding_window_agg_sql(),
         "events_hourly_agg": events_mod.hourly_window_agg_sql(),
         "events_sessions": events_mod.user_sessions_sql(),

@@ -192,6 +192,86 @@ def nation_revenue(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t["n_name"]))
 
 
+def order_priority_counts(sf_dir: str) -> pa.Table:
+    """TPC-H Q4 shape (EXISTS semi-join): orders placed in 1996 that have
+    at least one qualifying lineitem (l_discount > 0.05), counted by
+    o_orderpriority. The fact side shrinks to DISTINCT qualifying orderkeys
+    per batch (combiner) before the bucketed distributed semi-join; the
+    orders side prunes to the date window and two columns at the read."""
+    import datetime
+
+    from smse_backend_ray.functions.joins import semi_join
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    def window(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        m = pc.and_(
+            pc.greater_equal(dt, pa.scalar(lo)), pc.less(dt, pa.scalar(hi))
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(window, batch_format="pyarrow", zero_copy_batch=True)
+
+    def qualifying(t: pa.Table) -> pa.Table:
+        m = pc.greater(t["l_discount"], 0.05)
+        k = t.filter(m).select(["l_orderkey"])
+        # per-batch DISTINCT combiner: the semi-join right side carries one
+        # row per (batch, orderkey), not one per lineitem
+        g = k.group_by("l_orderkey").aggregate([])
+        return g.rename_columns(["o_orderkey"])
+
+    quals = _read(sf_dir, "lineitem", ["l_orderkey", "l_discount"]).map_batches(
+        qualifying, batch_format="pyarrow", zero_copy_batch=True
+    )
+    left_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+    )
+    kept = semi_join(orders, quals, keys=["o_orderkey"], left_schema=left_schema)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([("o_orderkey", "count")])
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n": pc.cast(g["o_orderkey_count"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rolled = (
+        kept.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+    t = collect_table(rolled)
+    t = pa.table(
+        {
+            "o_orderpriority": t["o_orderpriority"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+        }
+    )
+    return t.take(pc.sort_indices(t["o_orderpriority"]))
+
+
+def order_priority_counts_sql() -> str:
+    return """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_discount > CAST(0.05 AS DOUBLE)
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def nation_revenue_sql() -> str:
     return """
 SELECT n_name,
