@@ -561,6 +561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_month": relational.revenue_by_month,
         "nation_revenue": relational.nation_revenue,
         "order_priority_counts": relational.order_priority_counts,
+        "cust_order_distribution": relational.cust_order_distribution,
+        "promo_revenue_share": relational.promo_revenue_share,
         "events_sliding_agg": events.sliding_window_agg,
         "multimodal_pipeline": _q_multimodal,  # rows-only (synth media, real codecs)
         "dedup_exact": dedup.exact_dedup,
@@ -703,6 +705,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_month": relational_mod.revenue_by_month_sql(),
         "nation_revenue": relational_mod.nation_revenue_sql(),
         "order_priority_counts": relational_mod.order_priority_counts_sql(),
+        "cust_order_distribution": relational_mod.cust_order_distribution_sql(),
+        "promo_revenue_share": relational_mod.promo_revenue_share_sql(),
         "events_sliding_agg": events_mod.sliding_window_agg_sql(),
         "events_hourly_agg": events_mod.hourly_window_agg_sql(),
         "events_sessions": events_mod.user_sessions_sql(),

@@ -272,6 +272,178 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def cust_order_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape: the count-of-counts histogram of orders per
+    customer, INCLUDING zero-order customers — per-batch combiner ->
+    distributed groupby for per-customer counts, then a bucketed LEFT
+    OUTER attach onto the customer key column (joins.attach_left keeps
+    every customer; missing payload -> 0), then a second tiny rollup."""
+    from ray.data.aggregate import Sum
+
+    from smse_backend_ray.functions.joins import attach_left
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"],
+                "n": pc.cast(g["o_custkey_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = attach_left(
+        cust,
+        counts,
+        "c_custkey",
+        "o_custkey",
+        pa.schema([("c_custkey", pa.int64())]),
+        pa.schema([("c_count", pa.int64())]),
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(pc.cast(t["c_count"], pa.int64()), 0)
+        g = (
+            pa.table({"c_count": c})
+            .group_by("c_count")
+            .aggregate([("c_count", "count")])
+        )
+        return pa.table(
+            {
+                "c_count": g["c_count"],
+                "n": pc.cast(g["c_count_count"], pa.int64()),
+            }
+        )
+
+    rolled = (
+        joined.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .aggregate(Sum("n", alias_name="n_custs"))
+    )
+    t = collect_table(rolled)
+    t = pa.table(
+        {
+            "c_count": pc.cast(t["c_count"], pa.int64()),
+            "n_custs": pc.cast(t["n_custs"], pa.int64()),
+        }
+    )
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("n_custs", "descending"), ("c_count", "descending")]
+        )
+    )
+
+
+def cust_order_distribution_sql() -> str:
+    return """
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs FROM (
+  SELECT c_custkey, CAST(COALESCE(cnt, 0) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN (
+    SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+  ) oc ON c_custkey = o_custkey
+)
+GROUP BY c_count ORDER BY n_custs DESC, c_count DESC
+"""
+
+
+def promo_revenue_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q14 shape: promo revenue share of 1996 shipments. The part
+    dimension becomes a dense partkey -> is-promo bitmap broadcast via
+    ``ray.put`` (one bit-ish byte per part; at dimension cardinalities
+    where the bitmap outgrows the object store, switch to
+    joins.attach_unique); the fact side does a map-side lookup and emits
+    one exact-integer partial row per batch. The final ratio is ONE double
+    division of two exact int64 sums, rounded half-away 4."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.functions.rounding import round_half_away
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = part["p_partkey"].to_numpy()
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+    lut = np.zeros(int(pk.max()) + 1, dtype=bool)
+    lut[pk[promo]] = True
+    ref = ray.put(lut)
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        m = pc.and_(
+            pc.greater_equal(dt, pa.scalar(lo)), pc.less(dt, pa.scalar(hi))
+        )
+        t = t.filter(m)
+        rev = _revenue_scaled(
+            t["l_extendedprice"].to_numpy(), t["l_discount"].to_numpy()
+        )
+        is_promo = ray.get(ref)[t["l_partkey"].to_numpy()]
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "promo": pa.array([int(rev[is_promo].sum())], type=pa.int64()),
+                "total": pa.array([int(rev.sum())], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rolled = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("promo", alias_name="promo_revenue_scaled"),
+                   Sum("total", alias_name="total_revenue_scaled"))
+    )
+    t = collect_table(rolled)
+    p = int(t["promo_revenue_scaled"][0].as_py())
+    tot = int(t["total_revenue_scaled"][0].as_py())
+    pct = round_half_away(100.0 * p / tot, 4) if tot else 0.0
+    return pa.table(
+        {
+            "promo_revenue_scaled": pa.array([p], type=pa.int64()),
+            "total_revenue_scaled": pa.array([tot], type=pa.int64()),
+            "promo_pct": pa.array([pct], type=pa.float64()),
+        }
+    )
+
+
+def promo_revenue_share_sql() -> str:
+    return """
+SELECT promo_revenue_scaled, total_revenue_scaled,
+       CASE WHEN total_revenue_scaled = 0 THEN 0.0
+            ELSE round(100 * CAST(promo_revenue_scaled AS DOUBLE)
+                       / CAST(total_revenue_scaled AS DOUBLE), 4)
+       END AS promo_pct
+FROM (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+      CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) ELSE 0 END) AS BIGINT)
+      AS promo_revenue_scaled,
+    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+      AS total_revenue_scaled
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+"""
+
+
 def nation_revenue_sql() -> str:
     return """
 SELECT n_name,
