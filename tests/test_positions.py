@@ -162,6 +162,74 @@ def test_docs_store_carries_positions(pos_index):
         assert len(poss) == dl
 
 
+def test_positional_append_and_compact_match_rebuild(tmp_path, ray_session):
+    """Incremental append and compaction must preserve the positional
+    column family: phrase/near results on an appended positional index are
+    BITWISE equal to a full rebuild; after tombstone+vacuum compaction they
+    equal a rebuild of the surviving corpus."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smse_backend_ray.pipelines.build import (
+        append_index,
+        build_index,
+        compact_index,
+    )
+    from smse_backend_ray.pipelines.search import SearchEngine
+
+    rows = _synth_corpus(n=80, seed=11)
+    t = pa.Table.from_pylist(rows)
+    cfg = EngineConfig(n_shards=3, with_positions=True, block_size=8)
+
+    full = str(tmp_path / "full")
+    build_index(corpus=ray.data.from_arrow(t), index_dir=full, cfg=cfg)
+
+    incr = str(tmp_path / "incr")
+    parity = pc.bit_wise_and(pa.array(range(len(t))), 1)
+    build_index(
+        corpus=ray.data.from_arrow(t.filter(pc.equal(parity, 0))),
+        index_dir=incr,
+        cfg=cfg,
+    )
+    append_index(ray.data.from_arrow(t.filter(pc.equal(parity, 1))), incr)
+
+    def run(idx, **kw):
+        with SearchEngine(idx) as eng:
+            return [
+                eng.search(["hash join"], mode="phrase", limit=8).to_pylist(),
+                eng.search(["sort merge batch"], mode="near", slop=4, limit=8).to_pylist(),
+            ]
+
+    assert run(incr) == run(full)
+
+    # tombstone a doc that appears in the phrase results, then compact
+    base = run(incr)[0]
+    assert base, "fixture must produce phrase hits"
+    dead = base[0]["doc_id"]
+    with SearchEngine(incr) as eng:
+        eng.delete_doc(dead)
+    compact_index(incr)
+
+    surv = str(tmp_path / "surv")
+    keep = pc.invert(
+        pc.is_in(
+            pa.array(
+                [_did(r) for r in rows],
+                type=pa.int64(),
+            ),
+            value_set=pa.array([dead], type=pa.int64()),
+        )
+    )
+    build_index(corpus=ray.data.from_arrow(t.filter(keep)), index_dir=surv, cfg=cfg)
+    assert run(incr) == run(surv)
+
+
+def _did(r: dict) -> int:
+    from smse_backend_ray.sources.corpus import doc_id_from_key
+
+    return doc_id_from_key(r["repo"], r["path"], r["commit"])
+
+
 def test_default_build_has_no_position_columns(tmp_path):
     import ray.data
 
