@@ -36,6 +36,23 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--scope", default="", help="repo/path prefix filter")
     ap.add_argument("--threshold", type=float, default=None, help="minimum rounded score")
     ap.add_argument("--strategy", choices=["exact", "wand"], default="exact")
+    ap.add_argument(
+        "--mode", choices=["or", "and", "phrase", "near"], default="or",
+        help="query mode (phrase/near need a with_positions build)",
+    )
+    ap.add_argument("--slop", type=int, default=None, help="near-mode window span")
+    ap.add_argument(
+        "--exclude", action="append", default=[],
+        help="boolean-NOT term(s); repeatable, analyzed like query text",
+    )
+    ap.add_argument(
+        "--facets", action="store_true",
+        help="also print repo/lang facet counts over the full match set",
+    )
+    ap.add_argument(
+        "--snippets", action="store_true",
+        help="also print kept-token snippets (needs a with_positions build)",
+    )
     ap.add_argument("--bulk", action="store_true", help="use the offline Dataset pipeline")
     ap.add_argument(
         "--num-actors",
@@ -80,6 +97,9 @@ def main(argv: list[str] | None = None) -> int:
                 scope=args.scope,
                 limit=args.limit,
                 threshold=args.threshold,
+                mode=args.mode,
+                slop=args.slop,
+                exclude=tuple(args.exclude),
             )
             for i, q in enumerate(queries)
         ]
@@ -89,6 +109,12 @@ def main(argv: list[str] | None = None) -> int:
             res = eng.search_batch(specs)  # one scatter/gather for the batch
             for row in res.to_pylist():
                 print(json.dumps({"query": queries[row["query_id"]], **row}, default=str))
+            if args.facets:
+                for row in eng.facet_counts(specs).to_pylist():
+                    print(json.dumps({"facet_row": True, **row}))
+            if args.snippets:
+                for row in eng.snippets(specs).to_pylist():
+                    print(json.dumps({"snippet_row": True, **row}))
     ray.shutdown()
     return 0
 
