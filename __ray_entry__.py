@@ -581,6 +581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_bins": packing.pack_bins,
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_ivf_full_probe": lambda sf: simsearch.knn_ivf(sf, nprobe=16),
+        # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
+        # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
+        "knn_pq": simsearch.knn_pq_checked,
         "events_hourly_agg": events.hourly_window_agg,
         "events_sessions": events.user_sessions,
         "events_recent": events.recent_events,

@@ -347,3 +347,206 @@ def knn_ivf(
     )
     cands = collect_table(ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True))
     return _topk_merge([cands], k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-resident codes + asymmetric distance
+# ---------------------------------------------------------------------------
+# The complementary scale path to IVF: IVF prunes WHICH vectors are read,
+# PQ shrinks HOW MUCH each vector costs — d float32 (256 B at d=64) down to
+# PQ_M bytes + one norm, so multi-billion-vector tables fit node RAM. Codes
+# score against a per-query lookup table (one np.take + row-sum per batch,
+# no matmul). Approximate by construction -> gate entry is SELF-VALIDATING
+# (recall vs exact brute force asserted in-entry, like the IVF dedup entry).
+
+PQ_M = 16          # subspaces (d must be divisible by PQ_M)
+PQ_K = 64          # centroids per subspace (codes fit uint8)
+PQ_ITERS = 10
+PQ_RERANK = 5      # ADC shortlist size = PQ_RERANK * k, exact-rescored
+PQ_RECALL_FLOOR = 0.9  # mean top-k overlap vs brute force, pinned in-entry
+
+
+def train_pq_codebooks(
+    sf_dir: str, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS,
+    train_target: int | None = None,
+) -> np.ndarray:
+    """(m, k, d/m) float64 codebooks: per-subspace Lloyd k-means trained
+    DRIVER-SIDE on the same bounded deterministic hash sample the IVF
+    trainer uses (sampling.sample_key; the sample never exceeds
+    train_target rows, so driver compute is bounded regardless of corpus
+    size). Init = sub-slices of the first k vectors by vec_id. Empty
+    clusters keep their previous centroid (deterministic)."""
+    import pyarrow.dataset as pads
+
+    from smse_backend_ray.pipelines.sampling import SAMPLE_MOD, sample_key
+
+    target = train_target if train_target is not None else IVF_TRAIN_TARGET
+    rows = _parquet_rows(_emb_path(sf_dir))
+    dsrc = pads.dataset(_emb_path(sf_dir))
+    if rows is not None and rows > target:
+        full = dsrc.to_table(columns=["vec_id", "embedding"])
+        thr = np.uint64((SAMPLE_MOD * target) // rows)
+        keep = sample_key(full["vec_id"].to_numpy()) < thr
+        V = _emb_matrix(full["embedding"])[keep]
+    else:
+        V = _emb_matrix(dsrc.to_table(columns=["embedding"])["embedding"])
+    d = V.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    init = pads.dataset(_emb_path(sf_dir)).to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < k
+    )
+    init = init.take(pc.sort_indices(init["vec_id"]))
+    I = _emb_matrix(init["embedding"])
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        X = V[:, j * sub : (j + 1) * sub]
+        C = I[:, j * sub : (j + 1) * sub].copy()
+        for _ in range(iters):
+            dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, X)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
+        books[j] = C
+    return books
+
+
+def pq_encode(sf_dir: str, books: np.ndarray) -> "ray.data.Dataset":
+    """Dataset of (vec_id, codes fixed-list<uint8>[m], norm float64):
+    one vectorized argmin per subspace per batch; the EXACT vector norm is
+    kept so only the dot product is approximated (better ranking than
+    reconstructed norms, one float of overhead)."""
+    m, _, sub = books.shape
+    ref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        B = ray.get(ref)
+        V = _emb_matrix(t["embedding"])
+        n = len(V)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            X = V[:, j * sub : (j + 1) * sub]
+            dist = ((X[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = dist.argmin(axis=1).astype(np.uint8)
+        norms = np.sqrt((V * V).sum(axis=1))
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), type=pa.uint8()), m
+                ),
+                "norm": pa.array(norms, type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    ).repartition(_parallel_blocks(_parquet_rows(_emb_path(sf_dir))))
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_pq(
+    sf_dir: str, k: int = TOP_K, *, m: int = PQ_M, nk: int = PQ_K,
+    train_target: int | None = None,
+) -> pa.Table:
+    """ADC search over PQ codes: per query, LUT[j, c] = dot(q_j, book_j[c]);
+    a batch's approximate dots are LUT gathers summed across subspaces —
+    no matmul against raw vectors, the per-vector cost is m byte lookups.
+    cosine_hat = dot_hat / (||q|| * exact ||v||), ranked
+    (round(cosine_hat,4) DESC, vec_id ASC)."""
+    books = train_pq_codebooks(sf_dir, m=m, k=nk, train_target=train_target)
+    qids, Q = _load_queries(sf_dir)
+    qnorms = np.sqrt((Q * Q).sum(axis=1))
+    sub = books.shape[2]
+    # (n_queries, m, nk) lookup tables: LUT[q, j, c] = dot(q_subspace_j, book_j[c])
+    luts = np.einsum("qms,mks->qmk", Q.reshape(len(Q), books.shape[0], sub), books)
+    ref = ray.put((qids, qnorms, luts))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        q_ids, q_n, L = ray.get(ref)
+        vids = np.asarray(t["vec_id"])
+        codes_arr = t["codes"].combine_chunks() if isinstance(t["codes"], pa.ChunkedArray) else t["codes"]
+        mm = L.shape[1]
+        codes = np.asarray(codes_arr.values).reshape(-1, mm)
+        norms = np.asarray(t["norm"])
+        out = {"query_vec_id": [], "vec_id": [], "cosine": []}
+        kk = min(k, len(vids))
+        for qi in range(len(q_ids)):
+            dots = L[qi][np.arange(mm)[None, :], codes].sum(axis=1)
+            s = round_half_away(dots / (q_n[qi] * norms), 4)
+            order = np.lexsort((vids, -s))[:kk]
+            out["query_vec_id"].extend([int(q_ids[qi])] * len(order))
+            out["vec_id"].extend(vids[order].tolist())
+            out["cosine"].extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out["query_vec_id"], type=pa.int64()),
+                "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                "cosine": pa.array(out["cosine"], type=pa.float64()),
+            }
+        )
+
+    cands = collect_table(
+        pq_encode(sf_dir, books).map_batches(
+            batch_topk, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    # ADC shortlist -> EXACT rerank (the production PQ shape: the code scan
+    # finds PQ_RERANK*k candidates cheaply; only those few raw vectors are
+    # point-read and exactly rescored — recall limited only by whether the
+    # true top-k survive the shortlist)
+    short = _topk_merge([cands], PQ_RERANK * k)
+    import pyarrow.dataset as pads
+
+    cand_ids = sorted(set(short["vec_id"].to_pylist()))
+    raw = pads.dataset(_emb_path(sf_dir)).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(cand_ids),
+    )
+    rid = np.asarray(raw["vec_id"])
+    RV = _emb_matrix(raw["embedding"])
+    rn = np.sqrt((RV * RV).sum(axis=1))
+    order = np.argsort(rid)
+    rid, RV, rn = rid[order], RV[order], rn[order]
+    s_q = np.asarray(short["query_vec_id"])
+    s_v = np.asarray(short["vec_id"])
+    pos = np.searchsorted(rid, s_v)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    qi = np.asarray([qpos[int(x)] for x in s_q])
+    exact = (Q[qi] * RV[pos]).sum(axis=1) / (qnorms[qi] * rn[pos])
+    rescored = pa.table(
+        {
+            "query_vec_id": short["query_vec_id"],
+            "vec_id": short["vec_id"],
+            "cosine": pa.array(round_half_away(exact, 4), type=pa.float64()),
+        }
+    )
+    return _topk_merge([rescored], k)
+
+
+def knn_pq_checked(sf_dir: str, k: int = TOP_K) -> pa.Table:
+    """Gate entry: knn_pq with an IN-ENTRY recall assertion against the
+    exact brute-force top-k (mean overlap >= PQ_RECALL_FLOOR) — the driver
+    sees an error, never silently-wrong rows (same pattern as
+    dedup_embedding_ivf)."""
+    approx = knn_pq(sf_dir, k)
+    exact = knn_bruteforce(sf_dir, k)
+
+    def sets(t: pa.Table) -> dict:
+        out: dict[int, set] = {}
+        for r in t.to_pylist():
+            out.setdefault(r["query_vec_id"], set()).add(r["vec_id"])
+        return out
+
+    a, e = sets(approx), sets(exact)
+    recalls = [len(a.get(q, set()) & e[q]) / len(e[q]) for q in e]
+    recall = float(np.mean(recalls)) if recalls else 0.0
+    if recall < PQ_RECALL_FLOOR:
+        raise AssertionError(
+            f"PQ recall {recall:.3f} below pinned floor {PQ_RECALL_FLOOR}"
+        )
+    return approx

@@ -1,0 +1,67 @@
+"""Product-quantization ANN (simsearch.py PQ family): codebook determinism,
+encode/decode geometry, and the recall gate vs exact brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_codebooks_deterministic_and_shaped(ray_session):
+    from smse_backend_ray.pipelines.simsearch import PQ_K, PQ_M, train_pq_codebooks
+
+    b1 = train_pq_codebooks(SF)
+    b2 = train_pq_codebooks(SF)
+    assert b1.shape == (PQ_M, PQ_K, 64 // PQ_M)
+    assert np.array_equal(b1, b2)
+
+
+def test_encode_layout(ray_session):
+    from smse_backend_ray.functions.collect import collect_table
+    from smse_backend_ray.pipelines.simsearch import (
+        PQ_M,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(SF)
+    t = collect_table(pq_encode(SF, books))
+    assert t.num_rows == 500
+    codes = np.asarray(t["codes"].combine_chunks().values).reshape(-1, PQ_M)
+    assert codes.dtype == np.uint8 and codes.shape == (500, PQ_M)
+    assert (np.asarray(t["norm"]) > 0).all()
+
+
+def test_pq_recall_and_rerank_exactness(ray_session):
+    from smse_backend_ray.pipelines.simsearch import (
+        PQ_RECALL_FLOOR,
+        knn_bruteforce,
+        knn_pq,
+        knn_pq_checked,
+    )
+
+    approx = knn_pq(SF)
+    exact = knn_bruteforce(SF)
+    ex = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_vec_id"], {})[r["vec_id"]] = r["cosine"]
+    hits = 0
+    total = 0
+    for r in approx.to_pylist():
+        q = r["query_vec_id"]
+        total += 1
+        if r["vec_id"] in ex[q]:
+            hits += 1
+            # rerank rescores EXACTLY: returned cosine == brute-force cosine
+            assert r["cosine"] == ex[q][r["vec_id"]]
+    assert hits / total >= PQ_RECALL_FLOOR
+    knn_pq_checked(SF)  # the in-entry gate passes
+
+
+def test_pq_rejects_bad_dim(ray_session):
+    from smse_backend_ray.pipelines.simsearch import train_pq_codebooks
+
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(SF, m=7)
