@@ -584,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
         # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
         "knn_pq": simsearch.knn_pq_checked,
+        "knn_ivfpq": simsearch.knn_ivfpq_checked,
         "events_hourly_agg": events.hourly_window_agg,
         "events_sessions": events.user_sessions,
         "events_recent": events.recent_events,

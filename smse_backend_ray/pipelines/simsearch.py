@@ -550,3 +550,192 @@ def knn_pq_checked(sf_dir: str, k: int = TOP_K) -> pa.Table:
             f"PQ recall {recall:.3f} below pinned floor {PQ_RECALL_FLOOR}"
         )
     return approx
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: probe-pruned I/O x byte codes x exact rerank (the composed index)
+# ---------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 8
+IVFPQ_RECALL_FLOOR = 0.8  # nprobe=8 of 16 clusters; pinned in-entry
+
+
+def build_ivfpq_codes(
+    sf_dir: str, out_dir=None, n_clusters: int = IVF_CLUSTERS,
+    m: int = PQ_M, nk: int = PQ_K, train_target: int | None = None,
+):
+    """The composed layout: PQ codes HIVE-PARTITIONED BY IVF CLUSTER.
+    Reads the existing cluster-partitioned raw layout (build_ivf_index),
+    encodes each batch to codes + exact norm keeping cluster_id, writes a
+    sibling codes layout. A probe of p/c clusters then reads p/c of a
+    17-B-per-vector table instead of p/c of the raw vectors. Returns
+    (codes IndexFS, centroids, codebooks)."""
+    import io
+    import posixpath
+
+    from smse_backend_ray.state.fs import IndexFS, resolve
+
+    layout, cents = build_ivf_index(
+        sf_dir, n_clusters=n_clusters, train_target=train_target
+    )
+    books = train_pq_codebooks(sf_dir, m=m, k=nk, train_target=train_target)
+    if out_dir is None:
+        out_dir = (
+            f"/tmp/smse_ivfpq_{os.getpid()}_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{n_clusters}_{m}"
+        )
+    codes0 = resolve(out_dir)
+    if codes0.exists():
+        return codes0, cents, books
+    ref = ray.put(books)
+    mm, _, sub = books.shape
+
+    def encode(t: pa.Table) -> pa.Table:
+        B = ray.get(ref)
+        V = _emb_matrix(t["embedding"])
+        n = len(V)
+        codes = np.empty((n, mm), dtype=np.uint8)
+        for j in range(mm):
+            X = V[:, j * sub : (j + 1) * sub]
+            dist = ((X[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = dist.argmin(axis=1).astype(np.uint8)
+        norms = np.sqrt((V * V).sum(axis=1))
+        cl = t["cluster_id"]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), type=pa.uint8()), mm
+                ),
+                "norm": pa.array(norms, type=pa.float64()),
+                "cluster": cl,
+                "cluster_id": cl,
+            }
+        )
+
+    files = sorted(layout.list_files("", recursive=True, suffix=".parquet"))
+    ds = ray.data.read_parquet(
+        files, columns=["vec_id", "embedding", "cluster_id"], **layout._ray_fs_kwargs()
+    ).map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+    parent = IndexFS((codes0.fs, posixpath.dirname(codes0.root)))
+    parent.atomic_write_dataset(
+        ds, posixpath.basename(codes0.root), partition_cols=["cluster"]
+    )
+    return codes0, cents, books
+
+
+def knn_ivfpq(
+    sf_dir: str, k: int = TOP_K, nprobe: int = IVFPQ_NPROBE,
+    *, train_target: int | None = None,
+) -> pa.Table:
+    """IVF-PQ search: probe the ``nprobe`` nearest clusters per query, read
+    ONLY those clusters' code partitions (path-pruned), ADC-score the codes
+    (LUT gathers, no matmul), keep a PQ_RERANK*k shortlist, then exact-
+    rescore just the shortlist from the source table. The 100 TB shape:
+    I/O ~ nprobe/c of a 17-B-per-vector table; exact math touches <=
+    PQ_RERANK*k vectors per query."""
+    codes_fs, cents, books = build_ivfpq_codes(
+        sf_dir, train_target=train_target
+    )
+    qids, Q = _load_queries(sf_dir)
+    qnorms = np.sqrt((Q * Q).sum(axis=1))
+    qd = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    probed_union = sorted({int(c) for row in probe for c in row})
+    mm, _, sub = books.shape
+    luts = np.einsum("qms,mks->qmk", Q.reshape(len(Q), mm, sub), books)
+    ref = ray.put((qids, qnorms, luts, probe))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        q_ids, q_n, L, prb = ray.get(ref)
+        vids = np.asarray(t["vec_id"])
+        clusters = np.asarray(t["cluster_id"])
+        codes_arr = (
+            t["codes"].combine_chunks()
+            if isinstance(t["codes"], pa.ChunkedArray)
+            else t["codes"]
+        )
+        codes = np.asarray(codes_arr.values).reshape(-1, L.shape[1])
+        norms = np.asarray(t["norm"])
+        out = {"query_vec_id": [], "vec_id": [], "cosine": []}
+        for qi in range(len(q_ids)):
+            m = np.isin(clusters, prb[qi])
+            if not m.any():
+                continue
+            dots = L[qi][np.arange(L.shape[1])[None, :], codes[m]].sum(axis=1)
+            s = round_half_away(dots / (q_n[qi] * norms[m]), 4)
+            v = vids[m]
+            order = np.lexsort((v, -s))[: min(PQ_RERANK * k, len(v))]
+            out["query_vec_id"].extend([int(q_ids[qi])] * len(order))
+            out["vec_id"].extend(v[order].tolist())
+            out["cosine"].extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_vec_id": pa.array(out["query_vec_id"], type=pa.int64()),
+                "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                "cosine": pa.array(out["cosine"], type=pa.float64()),
+            }
+        )
+
+    paths = sorted(
+        f
+        for c in probed_union
+        for f in codes_fs.list_files(f"cluster={c}", suffix=".parquet")
+    )
+    cands = collect_table(
+        ray.data.read_parquet(
+            paths, columns=["vec_id", "codes", "norm", "cluster_id"],
+            **codes_fs._ray_fs_kwargs(),
+        ).map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    short = _topk_merge([cands], PQ_RERANK * k)
+    # exact rerank of the shortlist only (same as knn_pq)
+    import pyarrow.dataset as pads
+
+    cand_ids = sorted(set(short["vec_id"].to_pylist()))
+    if not cand_ids:
+        return _topk_merge([short], k)
+    raw = pads.dataset(_emb_path(sf_dir)).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(cand_ids),
+    )
+    rid = np.asarray(raw["vec_id"])
+    RV = _emb_matrix(raw["embedding"])
+    rn = np.sqrt((RV * RV).sum(axis=1))
+    order = np.argsort(rid)
+    rid, RV, rn = rid[order], RV[order], rn[order]
+    s_q = np.asarray(short["query_vec_id"])
+    s_v = np.asarray(short["vec_id"])
+    pos = np.searchsorted(rid, s_v)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    qi = np.asarray([qpos[int(x)] for x in s_q])
+    exact = (Q[qi] * RV[pos]).sum(axis=1) / (qnorms[qi] * rn[pos])
+    rescored = pa.table(
+        {
+            "query_vec_id": short["query_vec_id"],
+            "vec_id": short["vec_id"],
+            "cosine": pa.array(round_half_away(exact, 4), type=pa.float64()),
+        }
+    )
+    return _topk_merge([rescored], k)
+
+
+def knn_ivfpq_checked(sf_dir: str, k: int = TOP_K) -> pa.Table:
+    """Gate entry: knn_ivfpq with an in-entry recall assertion vs exact
+    brute force (floor IVFPQ_RECALL_FLOOR — probing misses whole clusters
+    by design, so the floor sits below the full-scan PQ floor)."""
+    approx = knn_ivfpq(sf_dir, k)
+    exact = knn_bruteforce(sf_dir, k)
+    a: dict[int, set] = {}
+    e: dict[int, set] = {}
+    for r in approx.to_pylist():
+        a.setdefault(r["query_vec_id"], set()).add(r["vec_id"])
+    for r in exact.to_pylist():
+        e.setdefault(r["query_vec_id"], set()).add(r["vec_id"])
+    recalls = [len(a.get(q, set()) & e[q]) / len(e[q]) for q in e]
+    recall = float(np.mean(recalls)) if recalls else 0.0
+    if recall < IVFPQ_RECALL_FLOOR:
+        raise AssertionError(
+            f"IVF-PQ recall {recall:.3f} below pinned floor {IVFPQ_RECALL_FLOOR}"
+        )
+    return approx

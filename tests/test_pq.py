@@ -65,3 +65,30 @@ def test_pq_rejects_bad_dim(ray_session):
 
     with pytest.raises(ValueError, match="divisible"):
         train_pq_codebooks(SF, m=7)
+
+
+def test_ivfpq_recall_and_full_probe(ray_session):
+    from smse_backend_ray.pipelines.simsearch import (
+        IVF_CLUSTERS,
+        IVFPQ_RECALL_FLOOR,
+        knn_bruteforce,
+        knn_ivfpq,
+        knn_ivfpq_checked,
+    )
+
+    exact = knn_bruteforce(SF)
+    ex = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_vec_id"], set()).add(r["vec_id"])
+
+    def recall(t):
+        got = {}
+        for r in t.to_pylist():
+            got.setdefault(r["query_vec_id"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & ex[q]) / len(ex[q]) for q in ex) / len(ex)
+
+    assert recall(knn_ivfpq(SF)) >= IVFPQ_RECALL_FLOOR
+    # probing every cluster removes the IVF miss channel; only the PQ
+    # shortlist can still drop a true hit
+    assert recall(knn_ivfpq(SF, nprobe=IVF_CLUSTERS)) >= 0.9
+    knn_ivfpq_checked(SF)
