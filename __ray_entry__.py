@@ -489,6 +489,20 @@ def _q_bm25_bulk(sf_dir: str) -> Any:
     )
 
 
+def _q_bm25_bulk_modal(sf_dir: str) -> Any:
+    """Bulk path with conj + exclusion modes (unscoped/unthresholded subset
+    of the modal fixtures — bulk carries no scope/threshold)."""
+    from smse_backend_ray.pipelines.bulk_search import bulk_search
+    from smse_backend_ray.queryset import CONJ_QUERIES, EXCLUDE_QUERIES
+
+    specs = tuple(
+        q for q in CONJ_QUERIES + EXCLUDE_QUERIES
+        if not q.scope and q.threshold is None
+    )
+    idx = _index_for(sf_dir)
+    return bulk_search(idx, specs).select(["query_id", "rank", "doc_id", "score"])
+
+
 def _q_multimodal(sf_dir: str) -> Any:
     """Media pipeline with REAL decoders (PPM/PNG/JPEG/WAV/SMV1 synth
     payloads -> decode + feature actor pools). Rows-only in the gate but
@@ -534,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_incremental": _q_bm25(BASE_QUERIES, _incr_index_for),
         "bm25_topk_compacted": _q_bm25(BASE_QUERIES, _compacted_index_for),
         "bm25_bulk": _q_bm25_bulk,
+        "bm25_bulk_modal": _q_bm25_bulk_modal,
         "bm25_topk_scoped": _q_bm25(SCOPED_QUERIES),
         "bm25_topk_multipart": _q_bm25(MULTIPART_QUERIES),
         "bm25_topk_conj": _q_bm25(CONJ_QUERIES),
@@ -641,6 +656,23 @@ def oracle_sql() -> dict[str, str]:
             docs_where=f"doc_id % {_VACUUM_MOD} != {_VACUUM_RESIDUE}",
         ),
         "bm25_bulk": sqlgen.bm25_topk_sql(BASE_QUERIES, p, meta_cols=False),
+        "bm25_bulk_modal": (
+            "SELECT * FROM (\n"
+            + sqlgen.bm25_conj_topk_sql(
+                tuple(q for q in CONJ_QUERIES if not q.scope and q.threshold is None),
+                p,
+                meta_cols=False,
+            )
+            + "\n) UNION ALL SELECT * FROM (\n"
+            + sqlgen.bm25_exclude_topk_sql(
+                tuple(
+                    q for q in EXCLUDE_QUERIES if not q.scope and q.threshold is None
+                ),
+                p,
+                meta_cols=False,
+            )
+            + "\n) ORDER BY query_id, rank"
+        ),
         "bm25_topk_scoped": sqlgen.bm25_topk_sql(SCOPED_QUERIES, p),
         "bm25_topk_multipart": sqlgen.bm25_topk_sql(MULTIPART_QUERIES, p),
         "bm25_topk_conj": sqlgen.bm25_conj_topk_sql(CONJ_QUERIES, p),

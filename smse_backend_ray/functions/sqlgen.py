@@ -949,7 +949,7 @@ def _query_values(queries) -> tuple[str, str]:
 
 def _bm25_restricted_sql(
     queries, params: BM25Params, extra_ctes: str, restrict: str,
-    docs_where: str | None = None,
+    docs_where: str | None = None, meta_cols: bool = True,
 ) -> str:
     """Shared tail for restricted-candidate BM25 top-k: the standard scored
     CTE chain, an extra candidate CTE block, and a join that keeps only
@@ -977,7 +977,7 @@ topk AS (
   FROM ranked
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank,
-       doc_id, path, repo, lang, rscore AS score
+       doc_id, {"path, repo, lang, " if meta_cols else ""}rscore AS score
 FROM topk WHERE rnk <= lim
 ORDER BY query_id, rank
 """,
@@ -985,7 +985,9 @@ ORDER BY query_id, rank
     )
 
 
-def bm25_conj_topk_sql(queries, params: BM25Params, docs_where: str | None = None) -> str:
+def bm25_conj_topk_sql(
+    queries, params: BM25Params, docs_where: str | None = None, meta_cols: bool = True
+) -> str:
     """Conjunctive (AND-mode) top-k twin (stages/scorer.py score_conj):
     only docs containing EVERY kept query term score; a kept term absent
     from the corpus (df = 0) makes the query return no rows — identical to
@@ -1002,7 +1004,9 @@ conj AS (
   GROUP BY qt.query_id, tf.doc_id, qn.nq
   HAVING count(*) = qn.nq
 )"""
-    return _bm25_restricted_sql(queries, params, extra.strip(), "conj", docs_where)
+    return _bm25_restricted_sql(
+        queries, params, extra.strip(), "conj", docs_where, meta_cols=meta_cols
+    )
 
 
 def pos_tokens_cte(src: str, id_col: str, text_col: str) -> str:
@@ -1142,7 +1146,9 @@ ORDER BY s.doc_id, qt.term
     )
 
 
-def bm25_exclude_topk_sql(queries, params: BM25Params, docs_where: str | None = None) -> str:
+def bm25_exclude_topk_sql(
+    queries, params: BM25Params, docs_where: str | None = None, meta_cols: bool = True
+) -> str:
     """Boolean-NOT twin (scorer.excluded_ids via the tombstone filter):
     standard OR-mode top-k where docs containing ANY kept excluded term
     (QuerySpec.exclude, analyzed like parts) are dropped BEFORE
@@ -1185,7 +1191,7 @@ topk AS (
   FROM ranked
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank,
-       doc_id, path, repo, lang, rscore AS score
+       doc_id, {"path, repo, lang, " if meta_cols else ""}rscore AS score
 FROM topk WHERE rnk <= lim
 ORDER BY query_id, rank
 """,

@@ -25,7 +25,10 @@ sum (see stages/scorer._accumulate).
 
 Scope filtering and metadata enrichment are not part of this path (bulk
 output is (query_id, rank, doc_id, score); join doc meta downstream if
-needed).
+needed). Query modes: "or" (default) and "and" (conjunctive), plus
+boolean-NOT exclusion terms — the excluded/required sets derive from the
+same bucket-shipped posting rows, so modes cost no extra shuffle. Phrase
+and near need positional decode and stay serving-path features.
 """
 
 from __future__ import annotations
@@ -83,20 +86,39 @@ def bulk_search(
     df_ds = ifs.pads_dataset("df")
     term_buckets: dict[str, set[int]] = {}
     plans: dict[int, dict[int, tuple[int, list[tuple[str, float]]]]] = {}
+    from smse_backend_ray.functions.analyzer import tokenize
+
     for qs in queries:
+        mode = getattr(qs, "mode", "or")
+        if mode not in ("or", "and"):
+            raise ValueError(
+                "bulk_search supports or/and modes (phrase/near need the "
+                "positional serving path)"
+            )
         qtf, _ = fuse_parts(list(qs.parts))
         terms = sorted(qtf)
-        tbl = df_ds.to_table(columns=["term", "df"], filter=pads.field("term").isin(terms))
+        ex_all = sorted(
+            {t for p in getattr(qs, "exclude", ()) for t in tokenize(p)}
+        )
+        tbl = df_ds.to_table(
+            columns=["term", "df"],
+            filter=pads.field("term").isin(terms + ex_all),
+        )
         dfm = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
         tw = [(t, qtf[t] * idf_fn(n_docs, dfm[t])) for t in terms if dfm.get(t)]
         if not tw:
             continue
+        if mode == "and" and len(tw) < len(qtf):
+            continue  # a kept term has df=0 -> provably empty (serving twin)
+        ex_terms = [t for t in ex_all if dfm.get(t)]
         qb = zlib.crc32(str(qs.query_id).encode()) % n_qbuckets
         plans.setdefault(qb, {})[qs.query_id] = (
             getattr(qs, "limit", limit) or limit,
             tw,
+            mode,
+            ex_terms,
         )
-        for t, _w in tw:
+        for t in [t for t, _w in tw] + ex_terms:
             term_buckets.setdefault(t, set()).add(qb)
     if not term_buckets:
         return RESULT_SCHEMA.empty_table()
@@ -154,10 +176,33 @@ def bulk_search(
             )
         out = {"query_id": [], "rank": [], "doc_id": [], "score": [], "exact_score": []}
         for qid in sorted(qplans):
-            k, tw = qplans[qid]
+            k, tw, mode, ex_terms = qplans[qid]
+            cand = None
+            if mode == "and":
+                # doc must carry EVERY query term (shard rows of one term
+                # are disjoint -> the union per term, then intersect)
+                for t, _w in tw:
+                    parts = [ids for ids, _ in by_term.get(t, ())]
+                    ids_t = (
+                        np.unique(np.concatenate(parts))
+                        if parts
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    cand = (
+                        ids_t
+                        if cand is None
+                        else np.intersect1d(cand, ids_t, assume_unique=True)
+                    )
+                    if cand.size == 0:
+                        break
+                if cand is None or cand.size == 0:
+                    continue
             id_parts, c_parts = [], []
             for t, w in tw:  # already term-ascending
                 for ids, tfn in by_term.get(t, ()):
+                    if cand is not None:
+                        m = np.isin(ids, cand, assume_unique=True)
+                        ids, tfn = ids[m], tfn[m]
                     id_parts.append(ids)
                     c_parts.append(w * tfn)
             if not id_parts:
@@ -166,6 +211,16 @@ def bulk_search(
             scores = np.zeros(uniq.size, dtype=np.float64)
             for ids, contrib in zip(id_parts, c_parts):
                 scores[np.searchsorted(uniq, ids)] += contrib
+            if ex_terms:
+                bad_parts = [
+                    ids for t in ex_terms for ids, _ in by_term.get(t, ())
+                ]
+                if bad_parts:
+                    bad = np.unique(np.concatenate(bad_parts))
+                    keep = ~np.isin(uniq, bad)
+                    uniq, scores = uniq[keep], scores[keep]
+            if uniq.size == 0:
+                continue
             rscore = round_half_away(scores, SCORE_DECIMALS)
             top = np.lexsort((uniq, -rscore))[:k]
             n = len(top)

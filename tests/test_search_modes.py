@@ -395,6 +395,29 @@ def test_more_like_this_properties(modes_idx):
         ], sid
 
 
+def test_replica_sets_serve_modal_batches(modes_idx):
+    """num_actors > n_shards spawns replica sets and LPT-splits the batch;
+    results must be identical to the single-set layout for every mode."""
+    specs = (
+        QuerySpec(930, ("hash join",), mode="and"),
+        QuerySpec(931, ("sort merge",), mode="phrase", limit=4),
+        QuerySpec(932, ("alpha beta",), mode="near", slop=5),
+        QuerySpec(933, ("table row",), exclude=("key",)),
+        QuerySpec(934, ("batch value",)),
+    )
+    with SearchEngine(POS_IDX) as one:
+        base = one.search_batch(specs)
+    with SearchEngine(POS_IDX, num_actors=6) as many:  # 2 sets x 3 shards
+        assert len(many.actor_sets) == 2
+        got = many.search_batch(specs)
+    import pyarrow.compute as pc
+
+    key = [("query_id", "ascending"), ("rank", "ascending")]
+    assert base.take(pc.sort_indices(base, sort_keys=key)).equals(
+        got.take(pc.sort_indices(got, sort_keys=key))
+    )
+
+
 def test_facet_value_cap(modes_idx, monkeypatch):
     """FACET_MAX_VALUES keeps the largest values per (query, facet) by
     (n_docs DESC, value ASC) — uncapped results truncate consistently."""
