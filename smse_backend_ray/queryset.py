@@ -107,12 +107,18 @@ NEAR_QUERIES: tuple[QuerySpec, ...] = (
 EXCLUDE_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec(700, ("hash join",), exclude=("table",)),
     QuerySpec(701, ("sort merge",), exclude=("batch", "window slow")),
-    QuerySpec(702, ("data line",), exclude=("data",)),   # self-exclusion -> empty
+    QuerySpec(702, ("data line",), exclude=("data",)),   # self-exclusion: only line-without-data docs survive
     QuerySpec(703, ("batch value",), exclude=("qqzzquux",)),
     QuerySpec(704, ("table row",), scope="src4", exclude=("key",)),
 )
 
-ALL_QUERIES: tuple[QuerySpec, ...] = BASE_QUERIES + SCOPED_QUERIES + MULTIPART_QUERIES
+# The flagship set (entry(): every mode that runs on a position-free index;
+# phrase/near ship separately on the positional build). Also the
+# decontamination benchmark's query list — engine and SQL both derive from
+# THIS tuple, so extending it keeps the pair in lockstep.
+ALL_QUERIES: tuple[QuerySpec, ...] = (
+    BASE_QUERIES + SCOPED_QUERIES + MULTIPART_QUERIES + CONJ_QUERIES + EXCLUDE_QUERIES
+)
 
 
 def query_parts_rows(queries: tuple[QuerySpec, ...]) -> list[tuple[int, str]]:

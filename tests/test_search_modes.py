@@ -473,7 +473,7 @@ def test_exclusion_all_modes(modes_idx):
         (("hash join",), "or", ("table",)),
         (("sort merge",), "or", ("batch", "window")),
         (("alpha beta",), "and", ("gamma",)),
-        (("hash join",), "or", ("hash",)),        # self-exclusion -> empty
+        (("hash join",), "or", ("hash",)),        # self-exclusion: join-without-hash docs survive
         (("key row",), "or", ("zzznope",)),       # df=0 exclusion no-op
         (("sort merge",), "phrase", ("batch",)),
         (("hash join",), "near", ("table",)),
