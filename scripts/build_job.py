@@ -42,6 +42,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true", help="rebuild from scratch, ignore prior lineage")
     ap.add_argument(
+        "--with-positions",
+        action="store_true",
+        help="build the positional column family (enables phrase/near "
+        "queries and snippets; ~+40%% segment bytes)",
+    )
+    ap.add_argument(
+        "--suggest",
+        action="store_true",
+        help="also build the fuzzy-suggestion deletion-neighborhood table "
+        "(pipelines/suggest.py) after the index",
+    )
+    ap.add_argument(
         "--append",
         action="store_true",
         help="incrementally append the input to an EXISTING index as a new "
@@ -56,11 +68,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
     if args.append and (
-        args.n_shards is not None or args.batch_size is not None or args.no_resume
+        args.n_shards is not None
+        or args.batch_size is not None
+        or args.no_resume
+        or args.with_positions
     ):
         # append inherits cfg from the existing index manifest; silently
         # ignoring these would let an operator believe they resharded
-        ap.error("--append is incompatible with --n-shards/--batch-size/--no-resume")
+        ap.error(
+            "--append is incompatible with --n-shards/--batch-size/"
+            "--no-resume/--with-positions (cfg comes from the manifest)"
+        )
 
     import ray
 
@@ -75,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["n_shards"] = args.n_shards
     if args.batch_size is not None:
         cfg_kwargs["batch_size"] = args.batch_size
+    if args.with_positions:
+        cfg_kwargs["with_positions"] = True
     cfg = EngineConfig(**cfg_kwargs)
 
     # corpus construction is shared by build and append: either a documents
@@ -125,6 +145,10 @@ def main(argv: list[str] | None = None) -> int:
         "stages": {s: m.get("status") for s, m in cat.manifest().get("stages", {}).items()},
         "generations": sorted(int(g) for g in cat.generations()),
     }
+    if args.suggest:
+        from smse_backend_ray.pipelines.suggest import build_suggest
+
+        out["suggest_dir"] = build_suggest(args.index_dir)
     print(json.dumps(out))
     ray.shutdown()
     return 0
