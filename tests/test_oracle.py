@@ -49,34 +49,74 @@ def test_oracle_doc_ids_vs_sql(duck, oidx):
         assert oidx.docs[my_id].content_sha256 == sha
 
 
-def test_oracle_topk_vs_sql(duck, oidx):
-    sql = bm25_topk_sql(ALL_QUERIES, BM25Params())
-    sql_rows = duck.sql(sql).fetchall()  # query_id, rank, doc_id, path, repo, lang, score
-    mine = []
-    for qs in ALL_QUERIES:
-        res = oracle_search(
-            oidx,
-            list(qs.parts),
-            scope=qs.scope,
-            limit=qs.limit,
-            threshold=qs.threshold,
+def _rows_for(qs, res):
+    return [
+        (
+            qs.query_id,
+            r["rank"],
+            r["doc_id"],
+            r["path"],
+            r["repo"],
+            r["lang"],
+            r["rscore"],
         )
-        for r in res:
-            mine.append(
-                (
-                    qs.query_id,
-                    r["rank"],
-                    r["doc_id"],
-                    r["path"],
-                    r["repo"],
-                    r["lang"],
-                    r["rscore"],
-                )
+        for r in res
+    ]
+
+
+def test_oracle_topk_vs_sql(duck, oidx):
+    """ALL_QUERIES spans three twin families now (or / and / exclude); each
+    family compares against ITS OWN SQL twin — the shared guard
+    (sqlgen._check_specs) rejects cross-family use loudly, which
+    test_sql_twins_reject_foreign_specs pins."""
+    from smse_backend_ray.functions.sqlgen import (
+        bm25_conj_topk_sql,
+        bm25_exclude_topk_sql,
+    )
+    from smse_backend_ray.oracle import oracle_conj_search
+
+    or_q = tuple(
+        q for q in ALL_QUERIES if q.mode == "or" and not q.exclude
+    )
+    conj_q = tuple(q for q in ALL_QUERIES if q.mode == "and")
+    ex_q = tuple(q for q in ALL_QUERIES if q.mode == "or" and q.exclude)
+    assert or_q and conj_q and ex_q  # the flagship set carries all three
+    cases = [
+        (bm25_topk_sql(or_q, BM25Params()), or_q, {}),
+        (bm25_conj_topk_sql(conj_q, BM25Params()), conj_q, {"conj": True}),
+        (bm25_exclude_topk_sql(ex_q, BM25Params()), ex_q, {}),
+    ]
+    for sql, queries, opt in cases:
+        sql_rows = duck.sql(sql).fetchall()
+        mine = []
+        for qs in queries:
+            fn = oracle_conj_search if opt.get("conj") else oracle_search
+            res = fn(
+                oidx,
+                list(qs.parts),
+                scope=qs.scope,
+                limit=qs.limit,
+                threshold=qs.threshold,
+                **({"exclude": qs.exclude} if qs.exclude else {}),
             )
-    assert len(sql_rows) == len(mine)
-    for got, exp in zip(sql_rows, mine):
-        assert got[:6] == exp[:6]
-        assert got[6] == pytest.approx(exp[6], abs=10**-SCORE_DECIMALS / 2)
+            mine.extend(_rows_for(qs, res))
+        assert len(sql_rows) == len(mine)
+        for got, exp in zip(sql_rows, mine):
+            assert got[:6] == exp[:6]
+            assert got[6] == pytest.approx(exp[6], abs=10**-SCORE_DECIMALS / 2)
+
+
+def test_sql_twins_reject_foreign_specs():
+    from smse_backend_ray.functions.sqlgen import bm25_conj_topk_sql
+
+    conj_q = tuple(q for q in ALL_QUERIES if q.mode == "and")
+    ex_q = tuple(q for q in ALL_QUERIES if q.exclude)
+    with pytest.raises(ValueError, match="mode"):
+        bm25_topk_sql(conj_q, BM25Params())
+    with pytest.raises(ValueError, match="exclude"):
+        bm25_topk_sql(ex_q, BM25Params())
+    with pytest.raises(ValueError, match="mode"):
+        bm25_conj_topk_sql(ex_q, BM25Params())
 
 
 def test_no_hit_query_empty(oidx):
