@@ -594,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_substring_dup": dedup.substring_dup_stats,
         "dedup_survivors": dedup.dedup_survivors,
         "doc_pack_bins": packing.pack_bins,
+        "doc_chunks": textstats.doc_chunks,
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_ivf_full_probe": lambda sf: simsearch.knn_ivf(sf, nprobe=16),
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
@@ -733,6 +734,9 @@ def oracle_sql() -> dict[str, str]:
             dedup_mod.JACCARD_SHINGLE_DF_CAP,
         ),
         "doc_pack_bins": packing_mod.pack_bins_sql(),
+        "doc_chunks": sqlgen.doc_chunks_sql(
+            textstats_mod.CHUNK_W, textstats_mod.CHUNK_S
+        ),
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),

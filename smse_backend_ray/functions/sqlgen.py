@@ -1405,6 +1405,33 @@ ORDER BY a.query_id, a.rnk
     )
 
 
+def doc_chunks_sql(w: int, s: int) -> str:
+    """Passage-chunking twin (textstats.doc_chunks): overlapping kept-token
+    windows [i*s, i*s + w) per doc; last chunk index =
+    ceil(max(dl - w, 0) / s) so every kept token is covered; chunk_text =
+    window tokens joined by spaces in kept order. Frozen engine<->SQL
+    pair."""
+    return f"""
+WITH kt AS ({pos_tokens_cte('documents', 'doc_id', 'text')}),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM kt GROUP BY doc_id),
+mx AS (SELECT (greatest(max(dl) - {w}, 0) + {s} - 1) // {s} AS m FROM dl),
+nums AS (SELECT unnest(generate_series(0, (SELECT m FROM mx))) AS i),
+starts AS (
+  SELECT dl.doc_id, n.i AS chunk_id, n.i * {s} AS start_p
+  FROM dl JOIN nums n ON n.i <= (greatest(dl.dl - {w}, 0) + {s} - 1) // {s}
+)
+SELECT st.doc_id, CAST(st.chunk_id AS BIGINT) AS chunk_id,
+       CAST(st.start_p AS BIGINT) AS start_p,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(k.term, ' ' ORDER BY k.p) AS chunk_text
+FROM starts st
+JOIN kt k ON k.doc_id = st.doc_id
+  AND k.p >= st.start_p AND k.p < st.start_p + {w}
+GROUP BY st.doc_id, st.chunk_id, st.start_p
+ORDER BY st.doc_id, st.chunk_id
+"""
+
+
 def facets_sql(queries, params: BM25Params, docs_where: str | None = None) -> str:
     """Facet-counts twin (SearchEngine.facet_counts) for OR-mode queries:
     per query, repo and lang counts over ALL matching docs (any query term,

@@ -593,3 +593,61 @@ def unigram_logprob(sf_dir: str) -> pa.Table:
         empty_schema=out_schema,
     )
     return out.take(pc.sort_indices(out["doc_id"]))
+
+
+# ---------------------------------------------------------------------------
+# Passage chunking (the long-document splitting step of a training pipeline)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 64  # window: kept tokens per chunk
+CHUNK_S = 48  # stride: chunk i starts at kept position i*CHUNK_S (overlap 16)
+
+
+def doc_chunks(sf_dir: str) -> pa.Table:
+    """Overlapping kept-token passage windows per doc: chunk i covers kept
+    positions [i*CHUNK_S, i*CHUNK_S + CHUNK_W); the last chunk index is
+    ceil(max(dl - CHUNK_W, 0) / CHUNK_S), so every token lands in >=1
+    chunk (the final window may be short) and a doc at or under one
+    window yields exactly one chunk (dl=0 -> none).
+    Output: (doc_id, chunk_id, start_p, n_tokens, chunk_text) with
+    chunk_text = the window's kept tokens joined by spaces. Stateless
+    map_batches, no shuffle; per-doc work is O(output text). Frozen
+    engine<->SQL pair with sqlgen.doc_chunks_sql."""
+    from smse_backend_ray.functions.analyzer import tokenize
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "chunk_id": [], "start_p": [], "n_tokens": [], "chunk_text": []}
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = tokenize(text or "")
+            dl = len(toks)
+            if not dl:
+                continue
+            last_i = (max(dl - CHUNK_W, 0) + CHUNK_S - 1) // CHUNK_S
+            for i in range(last_i + 1):
+                start = i * CHUNK_S
+                win = toks[start : start + CHUNK_W]
+                out["doc_id"].append(did)
+                out["chunk_id"].append(i)
+                out["start_p"].append(start)
+                out["n_tokens"].append(len(win))
+                out["chunk_text"].append(" ".join(win))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "chunk_id": pa.array(out["chunk_id"], type=pa.int64()),
+                "start_p": pa.array(out["start_p"], type=pa.int64()),
+                "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+                "chunk_text": pa.array(out["chunk_text"], type=pa.string()),
+            }
+        )
+
+    out = collect_table(
+        _read_documents(sf_dir).map_batches(
+            chunks, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return out.take(
+        pa.compute.sort_indices(
+            out, sort_keys=[("doc_id", "ascending"), ("chunk_id", "ascending")]
+        )
+    )

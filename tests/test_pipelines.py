@@ -814,3 +814,60 @@ def test_substring_dup_all_short_docs(ray_session, tmp_path):
         {"doc_id": 5, "n_grams": 0, "n_dup": 0, "dup_frac": 0.0},
         {"doc_id": 9, "n_grams": 0, "n_dup": 0, "dup_frac": 0.0},
     ]
+
+
+def test_doc_chunks_overlap_and_coverage(ray_session, tmp_path):
+    """Passage chunking: multi-chunk docs overlap by CHUNK_W-CHUNK_S kept
+    tokens, every token is covered, reconstruction matches tokenize, and
+    the engine agrees with the DuckDB twin on a long-doc corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.functions.analyzer import tokenize
+    from smse_backend_ray.functions.sqlgen import doc_chunks_sql
+    from smse_backend_ray.pipelines.textstats import CHUNK_S, CHUNK_W, doc_chunks
+
+    words = ["alpha", "beta", "gamma", "delta", "hash", "join", "sort", "merge"]
+    rows = [
+        {"doc_id": 1, "text": " ".join(words[i % 8] for i in range(150)),
+         "lang": "en", "source": "s0", "n_chars": 0},
+        {"doc_id": 2, "text": "short doc only few tokens", "lang": "en",
+         "source": "s0", "n_chars": 0},
+        {"doc_id": 3, "text": "", "lang": "en", "source": "s0", "n_chars": 0},
+        {"doc_id": 4, "text": " ".join(words[(i * 3) % 8] for i in range(64)),
+         "lang": "en", "source": "s0", "n_chars": 0},   # exactly one window
+        {"doc_id": 5, "text": " ".join(words[(i * 5) % 8] for i in range(65)),
+         "lang": "en", "source": "s0", "n_chars": 0},   # one past the window
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+    got = doc_chunks(sf)
+    by_doc = {}
+    for r in got.to_pylist():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # empty doc -> no chunks
+    assert len(by_doc[2]) == 1 and len(by_doc[4]) == 1
+    assert len(by_doc[5]) == 2  # dl=65 > W -> starts 0 and 48
+    assert len(by_doc[1]) == 1 + (max(150 - CHUNK_W, 0) + CHUNK_S - 1) // CHUNK_S
+    for did, chs in by_doc.items():
+        toks = tokenize(rows[did - 1]["text"])
+        covered = set()
+        for c in sorted(chs, key=lambda r: r["chunk_id"]):
+            start = c["start_p"]
+            win = toks[start : start + CHUNK_W]
+            assert c["chunk_text"] == " ".join(win)
+            assert c["n_tokens"] == len(win)
+            covered.update(range(start, start + len(win)))
+        assert covered == set(range(len(toks)))  # full coverage
+        starts = [c["start_p"] for c in sorted(chs, key=lambda r: r["chunk_id"])]
+        last_i = (max(len(toks) - CHUNK_W, 0) + CHUNK_S - 1) // CHUNK_S
+        assert starts == [i * CHUNK_S for i in range(last_i + 1)]
+    # DuckDB twin agrees on the same corpus
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    orc = con.sql(doc_chunks_sql(CHUNK_W, CHUNK_S)).df()
+    mine = got.to_pandas()
+    assert len(orc) == len(mine)
+    for col in ("doc_id", "chunk_id", "start_p", "n_tokens", "chunk_text"):
+        assert list(orc[col]) == list(mine[col]), col
