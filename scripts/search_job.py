@@ -79,8 +79,20 @@ def main(argv: list[str] | None = None) -> int:
         from smse_backend_ray.pipelines.bulk_search import bulk_search
         from smse_backend_ray.queryset import QuerySpec
 
+        if args.facets or args.snippets or args.mode in ("phrase", "near"):
+            ap.error(
+                "--bulk supports --mode or/and and --exclude only "
+                "(facets/snippets/phrase/near are serving-path features)"
+            )
         specs = [
-            QuerySpec(query_id=i, parts=(q,), scope=args.scope, limit=args.limit)
+            QuerySpec(
+                query_id=i,
+                parts=(q,),
+                scope=args.scope,
+                limit=args.limit,
+                mode=args.mode,
+                exclude=tuple(args.exclude),
+            )
             for i, q in enumerate(queries)
         ]
         out = bulk_search(args.index_dir, specs, limit=args.limit)

@@ -85,7 +85,8 @@ def bulk_search(
 
     df_ds = ifs.pads_dataset("df")
     term_buckets: dict[str, set[int]] = {}
-    plans: dict[int, dict[int, tuple[int, list[tuple[str, float]]]]] = {}
+    # qbucket -> {query_id: (limit, [(term, weight)...], mode, exclude_terms)}
+    plans: dict[int, dict[int, tuple]] = {}
     from smse_backend_ray.functions.analyzer import tokenize
 
     for qs in queries:

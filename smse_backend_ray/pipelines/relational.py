@@ -371,8 +371,11 @@ def promo_revenue_share(sf_dir: str) -> pa.Table:
     )
     pk = part["p_partkey"].to_numpy()
     promo = pc.equal(part["p_type"], "PROMO").to_numpy(zero_copy_only=False)
-    lut = np.zeros(int(pk.max()) + 1, dtype=bool)
-    lut[pk[promo]] = True
+    # int8 LUT: 1=promo, 0=non-promo, -1=partkey absent from part — rows
+    # whose partkey has no part row are DROPPED from both sums, exactly
+    # like the SQL twin's inner join (no referential-integrity assumption)
+    lut = np.full(int(pk.max()) + 1, -1, dtype=np.int8)
+    lut[pk] = promo.astype(np.int8)
     ref = ray.put(lut)
     lo = datetime.datetime(1996, 1, 1)
     hi = datetime.datetime(1997, 1, 1)
@@ -386,12 +389,15 @@ def promo_revenue_share(sf_dir: str) -> pa.Table:
         rev = _revenue_scaled(
             t["l_extendedprice"].to_numpy(), t["l_discount"].to_numpy()
         )
-        is_promo = ray.get(ref)[t["l_partkey"].to_numpy()]
+        lut_ = ray.get(ref)
+        keys = t["l_partkey"].to_numpy()
+        flags = np.where(keys < len(lut_), lut_[np.minimum(keys, len(lut_) - 1)], -1)
+        matched = flags >= 0
         return pa.table(
             {
                 "k": pa.array([0], type=pa.int64()),
-                "promo": pa.array([int(rev[is_promo].sum())], type=pa.int64()),
-                "total": pa.array([int(rev.sum())], type=pa.int64()),
+                "promo": pa.array([int(rev[flags == 1].sum())], type=pa.int64()),
+                "total": pa.array([int(rev[matched].sum())], type=pa.int64()),
             }
         )
 

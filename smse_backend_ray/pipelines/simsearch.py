@@ -382,14 +382,26 @@ def train_pq_codebooks(
 
     target = train_target if train_target is not None else IVF_TRAIN_TARGET
     rows = _parquet_rows(_emb_path(sf_dir))
-    dsrc = pads.dataset(_emb_path(sf_dir))
     if rows is not None and rows > target:
-        full = dsrc.to_table(columns=["vec_id", "embedding"])
+        # the sample FILTER runs distributed (map_batches, same shape as
+        # train_centroids); only the ~target sampled rows ever reach the
+        # driver — never the full table
         thr = np.uint64((SAMPLE_MOD * target) // rows)
-        keep = sample_key(full["vec_id"].to_numpy()) < thr
-        V = _emb_matrix(full["embedding"])[keep]
+
+        def keep(t: pa.Table) -> pa.Table:
+            key = sample_key(t["vec_id"].to_numpy())
+            return t.filter(pa.array(key < thr))
+
+        sample = collect_table(
+            ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+            .repartition(_parallel_blocks(rows))
+            .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        V = _emb_matrix(sample["embedding"])
     else:
-        V = _emb_matrix(dsrc.to_table(columns=["embedding"])["embedding"])
+        V = _emb_matrix(
+            pads.dataset(_emb_path(sf_dir)).to_table(columns=["embedding"])["embedding"]
+        )
     d = V.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -415,6 +427,55 @@ def train_pq_codebooks(
     return books
 
 
+def _encode_codes(V: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 PQ codes: vectorized per-subspace argmin (shared by the
+    flat and the cluster-partitioned encoders)."""
+    m, _, sub = books.shape
+    codes = np.empty((len(V), m), dtype=np.uint8)
+    for j in range(m):
+        X = V[:, j * sub : (j + 1) * sub]
+        dist = ((X[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = dist.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def _exact_rerank(
+    sf_dir: str, short: pa.Table, qids: np.ndarray, Q: np.ndarray,
+    qnorms: np.ndarray, k: int,
+) -> pa.Table:
+    """Exact rescore of an ADC shortlist: only the shortlisted vec_ids are
+    point-read (pushdown) and exactly rescored; final (rounded DESC,
+    vec_id ASC) top-k. Shared by knn_pq and knn_ivfpq."""
+    import pyarrow.dataset as pads
+
+    cand_ids = sorted(set(short["vec_id"].to_pylist()))
+    if not cand_ids:
+        return _topk_merge([short], k)
+    raw = pads.dataset(_emb_path(sf_dir)).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(cand_ids),
+    )
+    rid = np.asarray(raw["vec_id"])
+    RV = _emb_matrix(raw["embedding"])
+    rn = np.sqrt((RV * RV).sum(axis=1))
+    order = np.argsort(rid)
+    rid, RV, rn = rid[order], RV[order], rn[order]
+    s_q = np.asarray(short["query_vec_id"])
+    s_v = np.asarray(short["vec_id"])
+    pos = np.searchsorted(rid, s_v)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    qi = np.asarray([qpos[int(x)] for x in s_q])
+    exact = (Q[qi] * RV[pos]).sum(axis=1) / (qnorms[qi] * rn[pos])
+    rescored = pa.table(
+        {
+            "query_vec_id": short["query_vec_id"],
+            "vec_id": short["vec_id"],
+            "cosine": pa.array(round_half_away(exact, 4), type=pa.float64()),
+        }
+    )
+    return _topk_merge([rescored], k)
+
+
 def pq_encode(sf_dir: str, books: np.ndarray) -> "ray.data.Dataset":
     """Dataset of (vec_id, codes fixed-list<uint8>[m], norm float64):
     one vectorized argmin per subspace per batch; the EXACT vector norm is
@@ -426,12 +487,7 @@ def pq_encode(sf_dir: str, books: np.ndarray) -> "ray.data.Dataset":
     def encode(t: pa.Table) -> pa.Table:
         B = ray.get(ref)
         V = _emb_matrix(t["embedding"])
-        n = len(V)
-        codes = np.empty((n, m), dtype=np.uint8)
-        for j in range(m):
-            X = V[:, j * sub : (j + 1) * sub]
-            dist = ((X[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = dist.argmin(axis=1).astype(np.uint8)
+        codes = _encode_codes(V, B)
         norms = np.sqrt((V * V).sum(axis=1))
         return pa.table(
             {
@@ -474,7 +530,9 @@ def knn_pq(
         codes = np.asarray(codes_arr.values).reshape(-1, mm)
         norms = np.asarray(t["norm"])
         out = {"query_vec_id": [], "vec_id": [], "cosine": []}
-        kk = min(k, len(vids))
+        # per-batch candidates keep the FULL rerank shortlist width —
+        # capping at k here would make the exact rerank a no-op
+        kk = min(PQ_RERANK * k, len(vids))
         for qi in range(len(q_ids)):
             dots = L[qi][np.arange(mm)[None, :], codes].sum(axis=1)
             s = round_half_away(dots / (q_n[qi] * norms), 4)
@@ -500,32 +558,7 @@ def knn_pq(
     # point-read and exactly rescored — recall limited only by whether the
     # true top-k survive the shortlist)
     short = _topk_merge([cands], PQ_RERANK * k)
-    import pyarrow.dataset as pads
-
-    cand_ids = sorted(set(short["vec_id"].to_pylist()))
-    raw = pads.dataset(_emb_path(sf_dir)).to_table(
-        columns=["vec_id", "embedding"],
-        filter=pads.field("vec_id").isin(cand_ids),
-    )
-    rid = np.asarray(raw["vec_id"])
-    RV = _emb_matrix(raw["embedding"])
-    rn = np.sqrt((RV * RV).sum(axis=1))
-    order = np.argsort(rid)
-    rid, RV, rn = rid[order], RV[order], rn[order]
-    s_q = np.asarray(short["query_vec_id"])
-    s_v = np.asarray(short["vec_id"])
-    pos = np.searchsorted(rid, s_v)
-    qpos = {int(q): i for i, q in enumerate(qids)}
-    qi = np.asarray([qpos[int(x)] for x in s_q])
-    exact = (Q[qi] * RV[pos]).sum(axis=1) / (qnorms[qi] * rn[pos])
-    rescored = pa.table(
-        {
-            "query_vec_id": short["query_vec_id"],
-            "vec_id": short["vec_id"],
-            "cosine": pa.array(round_half_away(exact, 4), type=pa.float64()),
-        }
-    )
-    return _topk_merge([rescored], k)
+    return _exact_rerank(sf_dir, short, qids, Q, qnorms, k)
 
 
 def knn_pq_checked(sf_dir: str, k: int = TOP_K) -> pa.Table:
@@ -593,12 +626,7 @@ def build_ivfpq_codes(
     def encode(t: pa.Table) -> pa.Table:
         B = ray.get(ref)
         V = _emb_matrix(t["embedding"])
-        n = len(V)
-        codes = np.empty((n, mm), dtype=np.uint8)
-        for j in range(mm):
-            X = V[:, j * sub : (j + 1) * sub]
-            dist = ((X[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = dist.argmin(axis=1).astype(np.uint8)
+        codes = _encode_codes(V, B)
         norms = np.sqrt((V * V).sum(axis=1))
         cl = t["cluster_id"]
         return pa.table(
@@ -689,35 +717,7 @@ def knn_ivfpq(
         ).map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
     )
     short = _topk_merge([cands], PQ_RERANK * k)
-    # exact rerank of the shortlist only (same as knn_pq)
-    import pyarrow.dataset as pads
-
-    cand_ids = sorted(set(short["vec_id"].to_pylist()))
-    if not cand_ids:
-        return _topk_merge([short], k)
-    raw = pads.dataset(_emb_path(sf_dir)).to_table(
-        columns=["vec_id", "embedding"],
-        filter=pads.field("vec_id").isin(cand_ids),
-    )
-    rid = np.asarray(raw["vec_id"])
-    RV = _emb_matrix(raw["embedding"])
-    rn = np.sqrt((RV * RV).sum(axis=1))
-    order = np.argsort(rid)
-    rid, RV, rn = rid[order], RV[order], rn[order]
-    s_q = np.asarray(short["query_vec_id"])
-    s_v = np.asarray(short["vec_id"])
-    pos = np.searchsorted(rid, s_v)
-    qpos = {int(q): i for i, q in enumerate(qids)}
-    qi = np.asarray([qpos[int(x)] for x in s_q])
-    exact = (Q[qi] * RV[pos]).sum(axis=1) / (qnorms[qi] * rn[pos])
-    rescored = pa.table(
-        {
-            "query_vec_id": short["query_vec_id"],
-            "vec_id": short["vec_id"],
-            "cosine": pa.array(round_half_away(exact, 4), type=pa.float64()),
-        }
-    )
-    return _topk_merge([rescored], k)
+    return _exact_rerank(sf_dir, short, qids, Q, qnorms, k)
 
 
 def knn_ivfpq_checked(sf_dir: str, k: int = TOP_K) -> pa.Table:
