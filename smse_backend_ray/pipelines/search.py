@@ -675,8 +675,14 @@ class SearchEngine:
         t = self.ifs.pads_dataset("querylog").to_table(columns=["query_id"])
         return (pa.compute.max(t["query_id"]).as_py() or 0) + 1
 
+    # optional deterministic clock for the query log: a callable qid -> epoch
+    # seconds (float). None (default) = wall clock. The driver-gate history
+    # entry injects a frozen function so history output is reproducible and
+    # SQL-oracle-comparable; production callers leave it unset.
+    log_ts_fn = None
+
     def _log_query(self, qid, parts, scope, limit, result: pa.Table) -> None:
-        ts = time.time()
+        ts = self.log_ts_fn(qid) if self.log_ts_fn is not None else time.time()
         self.ifs.mkdirs("querylog")
         self.ifs.mkdirs("search_records")
         self.ifs.write_table(
