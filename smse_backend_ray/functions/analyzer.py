@@ -167,6 +167,49 @@ def subtokens_batch(content):
     return pa.ListArray.from_arrays(offsets, flat.filter(keep))
 
 
+def kept_tokens_batch(content):
+    """Vectorized ``tokenize`` over a string Array/ChunkedArray ->
+    list<string> of KEPT tokens per row in stream order (the full analysis
+    chain: steps 1-4 + split + length/digit/stopword filter). Same Arrow
+    C++ chain as term_counts_batch without the count/sort stages;
+    bitwise-equal per row to the scalar tokenize (parity-fuzzed in
+    tests/test_analyzer.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    global _STOP_ARRAY
+    if _STOP_ARRAY is None:
+        _STOP_ARRAY = pa.array(sorted(STOPWORDS))
+    s = pc.fill_null(content, "")
+    s = pc.replace_substring_regex(s, pattern=r"[^A-Za-z0-9]+", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1 \2")
+    s = pc.replace_substring_regex(s, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1 \2")
+    s = pc.utf8_lower(s)
+    toks = pc.split_pattern(s, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    n = len(toks)
+    doc_idx = np.repeat(
+        np.arange(n, dtype=np.int64), np.diff(np.asarray(toks.offsets))
+    )
+    ln = pc.binary_length(flat)
+    keep = pc.and_(
+        pc.and_(
+            pc.greater_equal(ln, MIN_TOKEN_LEN), pc.less_equal(ln, MAX_TOKEN_LEN)
+        ),
+        pc.invert(pc.match_substring_regex(flat, r"^[0-9]+$")),
+    )
+    keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=_STOP_ARRAY)))
+    km = keep.to_numpy(zero_copy_only=False)
+    counts = np.bincount(doc_idx[km], minlength=n)
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(counts))).astype(np.int32), type=pa.int32()
+    )
+    return pa.ListArray.from_arrays(offsets, flat.filter(keep))
+
+
 def term_positions(text: str) -> list[tuple[str, list[int]]]:
     """(term, positions) pairs sorted by term ascending; positions are the
     0-based indexes of the term in the KEPT token stream (``tokenize``),

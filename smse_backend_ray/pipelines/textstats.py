@@ -611,33 +611,61 @@ def doc_chunks(sf_dir: str) -> pa.Table:
     window yields exactly one chunk (dl=0 -> none).
     Output: (doc_id, chunk_id, start_p, n_tokens, chunk_text) with
     chunk_text = the window's kept tokens joined by spaces. Stateless
-    map_batches, no shuffle; per-doc work is O(output text). Frozen
-    engine<->SQL pair with sqlgen.doc_chunks_sql."""
-    from smse_backend_ray.functions.analyzer import tokenize
+    map_batches, no shuffle; fully vectorized — the kept-token stream comes
+    from the Arrow-C++ analyzer (kept_tokens_batch), window bounds are
+    numpy offset arithmetic, and chunk_text is one gather + binary_join
+    over the flat token buffer (no per-doc Python). Frozen engine<->SQL
+    pair with sqlgen.doc_chunks_sql."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.functions.analyzer import kept_tokens_batch
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "chunk_id": pa.array([], type=pa.int64()),
+            "start_p": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "chunk_text": pa.array([], type=pa.string()),
+        }
+    )
 
     def chunks(batch: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "chunk_id": [], "start_p": [], "n_tokens": [], "chunk_text": []}
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = tokenize(text or "")
-            dl = len(toks)
-            if not dl:
-                continue
-            last_i = (max(dl - CHUNK_W, 0) + CHUNK_S - 1) // CHUNK_S
-            for i in range(last_i + 1):
-                start = i * CHUNK_S
-                win = toks[start : start + CHUNK_W]
-                out["doc_id"].append(did)
-                out["chunk_id"].append(i)
-                out["start_p"].append(start)
-                out["n_tokens"].append(len(win))
-                out["chunk_text"].append(" ".join(win))
+        toks = kept_tokens_batch(batch["text"])
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        dl = np.diff(offs)
+        doc_ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy()
+        n_chunks = np.where(
+            dl > 0, (np.maximum(dl - CHUNK_W, 0) + CHUNK_S - 1) // CHUNK_S + 1, 0
+        )
+        total_c = int(n_chunks.sum())
+        if not total_c:
+            return empty
+        cdoc = np.repeat(np.arange(len(dl), dtype=np.int64), n_chunks)
+        first = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        chunk_id = np.arange(total_c, dtype=np.int64) - first[cdoc]
+        start = chunk_id * CHUNK_S
+        ntok = np.minimum(CHUNK_W, dl[cdoc] - start)
+        # gather window tokens from the flat kept-token buffer: chunk c's
+        # tokens are flat[offs[doc] + start : +ntok] (windows overlap, so a
+        # take by index — not a re-sliced ListArray — builds the values)
+        tok_off = np.concatenate(([0], np.cumsum(ntok)))
+        idx = (
+            np.arange(int(tok_off[-1]), dtype=np.int64)
+            - np.repeat(tok_off[:-1], ntok)
+            + np.repeat(offs[cdoc] + start, ntok)
+        )
+        windows = pa.ListArray.from_arrays(
+            pa.array(tok_off.astype(np.int32), type=pa.int32()),
+            toks.values.take(pa.array(idx, type=pa.int64())),
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
-                "chunk_id": pa.array(out["chunk_id"], type=pa.int64()),
-                "start_p": pa.array(out["start_p"], type=pa.int64()),
-                "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
-                "chunk_text": pa.array(out["chunk_text"], type=pa.string()),
+                "doc_id": pa.array(doc_ids[cdoc], type=pa.int64()),
+                "chunk_id": pa.array(chunk_id, type=pa.int64()),
+                "start_p": pa.array(start, type=pa.int64()),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "chunk_text": pc.binary_join(windows, " "),
             }
         )
 

@@ -147,3 +147,37 @@ def test_term_counts_batch_empty_and_nulls():
     terms, tfs = term_counts_batch(pa.array([None, "hashJoin table"], type=pa.string()))
     assert terms[0].as_py() == []
     assert terms[1].as_py() == ["hash", "join", "table"]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+            max_size=80,
+        ),
+        max_size=8,
+    )
+)
+def test_kept_tokens_batch_matches_scalar(texts):
+    """The vectorized kept-token stream (doc_chunks' hot path) is
+    bitwise-equal to the frozen scalar tokenize, in stream order."""
+    import pyarrow as pa
+
+    from smse_backend_ray.functions.analyzer import kept_tokens_batch, tokenize
+
+    col = pa.chunked_array([pa.array(texts, type=pa.string())])
+    toks = kept_tokens_batch(col)
+    for i, txt in enumerate(texts):
+        assert toks[i].as_py() == tokenize(txt)
+
+
+def test_kept_tokens_batch_empty_and_nulls():
+    import pyarrow as pa
+
+    from smse_backend_ray.functions.analyzer import kept_tokens_batch
+
+    assert len(kept_tokens_batch(pa.array([], type=pa.string()))) == 0
+    toks = kept_tokens_batch(pa.array([None, "hashJoin the table"], type=pa.string()))
+    assert toks[0].as_py() == []
+    assert toks[1].as_py() == ["hash", "join", "table"]
