@@ -138,6 +138,35 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K) -> pa.Table:
 # IVF: train -> cluster-partitioned layout -> probe-pruned search
 # ---------------------------------------------------------------------------
 
+def _seed_vectors(sf_dir: str, k: int) -> np.ndarray:
+    """(k, d) matrix of the k smallest-vec_id vectors — the deterministic
+    k-means seed shared by the IVF and PQ trainers. Fast path: pushdown
+    filter ``vec_id < k`` (exact for dense 0-based ids — every gate
+    table); sparse id spaces fall back to one vec_id-column scan for the k
+    smallest ids, then a pushdown isin read. Raises a descriptive error
+    when fewer than k vectors exist (instead of an opaque broadcast
+    failure downstream)."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(_emb_path(sf_dir))
+    t = dset.to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < k
+    )
+    if t.num_rows < k:
+        ids = np.asarray(dset.to_table(columns=["vec_id"])["vec_id"])
+        if ids.size < k:
+            raise ValueError(
+                f"k-means seeding needs at least {k} vectors; "
+                f"embeddings table has {ids.size}"
+            )
+        want = np.sort(np.partition(ids, k - 1)[:k]).tolist()
+        t = dset.to_table(
+            columns=["vec_id", "embedding"], filter=pads.field("vec_id").isin(want)
+        )
+    t = t.take(pc.sort_indices(t["vec_id"]))
+    return _emb_matrix(t["embedding"])
+
+
 def train_centroids(
     sf_dir: str,
     n_clusters: int = IVF_CLUSTERS,
@@ -162,11 +191,7 @@ def train_centroids(
 
     from smse_backend_ray.pipelines.sampling import SAMPLE_MOD, sample_key
 
-    t0 = pads.dataset(_emb_path(sf_dir)).to_table(
-        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_clusters
-    )
-    t0 = t0.take(pc.sort_indices(t0["vec_id"]))
-    cents = _emb_matrix(t0["embedding"]).copy()
+    cents = _seed_vectors(sf_dir, n_clusters).copy()
 
     target = train_target if train_target is not None else IVF_TRAIN_TARGET
     rows = _parquet_rows(_emb_path(sf_dir))
@@ -406,11 +431,7 @@ def train_pq_codebooks(
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
-    init = pads.dataset(_emb_path(sf_dir)).to_table(
-        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < k
-    )
-    init = init.take(pc.sort_indices(init["vec_id"]))
-    I = _emb_matrix(init["embedding"])
+    I = _seed_vectors(sf_dir, k)
     books = np.empty((m, k, sub), dtype=np.float64)
     for j in range(m):
         X = V[:, j * sub : (j + 1) * sub]
@@ -505,16 +526,60 @@ def pq_encode(sf_dir: str, books: np.ndarray) -> "ray.data.Dataset":
     return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def build_pq_codes(
+    sf_dir: str, out_dir=None, m: int = PQ_M, nk: int = PQ_K,
+    train_target: int | None = None,
+):
+    """The FLAT PQ index artifact: the (vec_id, codes, norm) table written
+    ONCE via the IndexFS atomic protocol with a codebooks .npy sidecar —
+    the same persist-and-resume shape as build_ivf_index / build_ivfpq_codes.
+    ``knn_pq`` scans these stored codes (17 B/vector) instead of re-encoding
+    the raw corpus per call; re-encoding only happens when the layout is
+    absent. The cache directory name carries every codebook parameter
+    (m, nk, train_target) so same-process calls with different params never
+    read stale codes. Returns (codes IndexFS, codebooks)."""
+    import io
+    import posixpath
+
+    from smse_backend_ray.state.fs import IndexFS, resolve
+
+    if out_dir is None:
+        tt = "d" if train_target is None else str(train_target)
+        out_dir = (
+            f"/tmp/smse_pq_{os.getpid()}_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{m}_{nk}_{tt}"
+        )
+    codes0 = resolve(out_dir)
+    parent = IndexFS((codes0.fs, posixpath.dirname(codes0.root)))
+    name = posixpath.basename(codes0.root)
+    sidecar = name + ".codebooks.npy"
+    if codes0.exists() and parent.exists(sidecar):
+        with parent.open_input(sidecar) as f:
+            books = np.load(io.BytesIO(f.read()))
+        return codes0, books
+    books = train_pq_codebooks(sf_dir, m=m, k=nk, train_target=train_target)
+    parent.atomic_write_dataset(pq_encode(sf_dir, books), name)
+    buf = io.BytesIO()
+    np.save(buf, books)
+    with parent.open_output(sidecar) as f:
+        f.write(buf.getvalue())
+    return codes0, books
+
+
 def knn_pq(
     sf_dir: str, k: int = TOP_K, *, m: int = PQ_M, nk: int = PQ_K,
     train_target: int | None = None,
 ) -> pa.Table:
-    """ADC search over PQ codes: per query, LUT[j, c] = dot(q_j, book_j[c]);
-    a batch's approximate dots are LUT gathers summed across subspaces —
-    no matmul against raw vectors, the per-vector cost is m byte lookups.
+    """ADC search over STORED PQ codes: per query, LUT[j, c] =
+    dot(q_j, book_j[c]); a batch's approximate dots are LUT gathers summed
+    across subspaces — no matmul against raw vectors, the per-vector cost
+    is m byte lookups against the persisted 17-B/vector code table
+    (build_pq_codes; the corpus is encoded once, not per query batch).
     cosine_hat = dot_hat / (||q|| * exact ||v||), ranked
     (round(cosine_hat,4) DESC, vec_id ASC)."""
-    books = train_pq_codebooks(sf_dir, m=m, k=nk, train_target=train_target)
+    codes_fs, books = build_pq_codes(
+        sf_dir, m=m, nk=nk, train_target=train_target
+    )
     qids, Q = _load_queries(sf_dir)
     qnorms = np.sqrt((Q * Q).sum(axis=1))
     sub = books.shape[2]
@@ -548,10 +613,11 @@ def knn_pq(
             }
         )
 
+    files = sorted(codes_fs.list_files("", recursive=True, suffix=".parquet"))
     cands = collect_table(
-        pq_encode(sf_dir, books).map_batches(
-            batch_topk, batch_format="pyarrow", zero_copy_batch=True
-        )
+        ray.data.read_parquet(
+            files, columns=["vec_id", "codes", "norm"], **codes_fs._ray_fs_kwargs()
+        ).map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
     )
     # ADC shortlist -> EXACT rerank (the production PQ shape: the code scan
     # finds PQ_RERANK*k candidates cheaply; only those few raw vectors are
@@ -613,9 +679,14 @@ def build_ivfpq_codes(
     )
     books = train_pq_codebooks(sf_dir, m=m, k=nk, train_target=train_target)
     if out_dir is None:
+        # the directory name carries EVERY parameter that shapes the codes
+        # (cluster count, subspaces, centroids/subspace, training sample) so
+        # the exists() resume shortcut can never pair stale codes with
+        # freshly trained mismatched codebooks
+        tt = "d" if train_target is None else str(train_target)
         out_dir = (
             f"/tmp/smse_ivfpq_{os.getpid()}_"
-            f"{os.path.basename(os.path.normpath(sf_dir))}_{n_clusters}_{m}"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{n_clusters}_{m}_{nk}_{tt}"
         )
     codes0 = resolve(out_dir)
     if codes0.exists():

@@ -92,3 +92,61 @@ def test_ivfpq_recall_and_full_probe(ray_session):
     # shortlist can still drop a true hit
     assert recall(knn_ivfpq(SF, nprobe=IVF_CLUSTERS)) >= 0.9
     knn_ivfpq_checked(SF)
+
+
+def test_pq_codes_persisted_no_reencode(ray_session, monkeypatch, tmp_path):
+    """The flat-PQ code table is an index artifact: built once via the
+    IndexFS atomic protocol, then knn_pq serves from the stored codes —
+    a later call must neither retrain codebooks nor re-encode the corpus
+    (both are poisoned here and the search still succeeds)."""
+    import numpy as np
+
+    import smse_backend_ray.pipelines.simsearch as ss
+
+    out = str(tmp_path / "pqcodes")
+    fs1, books1 = ss.build_pq_codes(SF, out_dir=out)
+    assert fs1.exists()
+
+    def boom(*a, **k):
+        raise AssertionError("corpus re-encode / retrain on a warm code table")
+
+    monkeypatch.setattr(ss, "pq_encode", boom)
+    monkeypatch.setattr(ss, "train_pq_codebooks", boom)
+    fs2, books2 = ss.build_pq_codes(SF, out_dir=out)
+    assert np.array_equal(books1, books2)
+    # and the codes themselves round-trip through the sidecar resume path
+    files = sorted(fs2.list_files("", recursive=True, suffix=".parquet"))
+    assert files
+
+
+def test_seed_vectors_sparse_and_too_small(ray_session, tmp_path):
+    """Seeding falls back to the k smallest vec_ids for sparse id spaces
+    and raises a descriptive error when fewer than k vectors exist."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    import smse_backend_ray.pipelines.simsearch as ss
+
+    d = 8
+    sparse = str(tmp_path / "sparse")
+    import os
+
+    os.makedirs(sparse)
+    ids = [5, 100, 2000, 30000, 400000]  # none below k -> fast path empty
+    emb = [list(np.full(d, float(i))) for i in range(len(ids))]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+            }
+        ),
+        os.path.join(sparse, "embeddings.parquet"),
+    )
+    V = ss._seed_vectors(sparse, 3)
+    assert V.shape == (3, d)
+    assert V[0, 0] == 0.0 and V[2, 0] == 2.0  # the 3 smallest ids, sorted
+    with pytest.raises(ValueError, match="at least 9 vectors"):
+        ss._seed_vectors(sparse, 9)
