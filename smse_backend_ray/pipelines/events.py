@@ -460,6 +460,38 @@ FROM j WHERE rn = 1 ORDER BY event_id
 """
 
 
+_PAIRS_EMPTY = pa.table(
+    {
+        "event_id": pa.array([], type=pa.int64()),
+        "match_event_id": pa.array([], type=pa.int64()),
+        "gap_us": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def _expand_pairs(
+    lts: np.ndarray, leid: np.ndarray, rts: np.ndarray, reid: np.ndarray, w_us: int
+) -> pa.Table:
+    """Vectorized window sweep shared by the bucket and tile pairers:
+    all (left, right) pairs with 0 <= lts - rts <= w_us. Rights must be
+    sorted by (ts, event_id)."""
+    lo = np.searchsorted(rts, lts - w_us, side="left")
+    hi = np.searchsorted(rts, lts, side="right")
+    n = hi - lo
+    if not int(n.sum()):
+        return _PAIRS_EMPTY
+    le = np.repeat(leid, n)
+    lt = np.repeat(lts, n)
+    ridx = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi) if b > a])
+    return pa.table(
+        {
+            "event_id": pa.array(le, type=pa.int64()),
+            "match_event_id": pa.array(reid[ridx], type=pa.int64()),
+            "gap_us": pa.array(lt - rts[ridx], type=pa.int64()),
+        }
+    )
+
+
 def range_join(
     sf_dir: str,
     window_s: int = RANGE_JOIN_WINDOW_S,
@@ -477,7 +509,16 @@ def range_join(
     two-searchsorted window sweep. Shuffle cost: 2x the right stream + 1x
     the left stream, independent of the window's selectivity; the
     partitioning assumption is time locality, the natural one for interval
-    predicates."""
+    predicates.
+
+    A PATHOLOGICAL bucket whose pair expansion exceeds ``pair_cap`` (e.g.
+    every event inside one window) is NOT truncated: it is re-exchanged
+    through a second, TILED pass — lefts and rights split into
+    sqrt(pair_cap)-sized ts-sorted tiles, each overlapping (left-tile,
+    right-tile) combination becomes its own reduce group, and every group
+    expands at most ~pair_cap pairs. Output is exact; only the fat buckets
+    pay the extra exchange (rows shipped ~ 2 * pairs / sqrt(pair_cap),
+    strictly below the pair count itself)."""
     w_us = window_s * 1_000_000
 
     def bucket_rows(t: pa.Table) -> pa.Table:
@@ -509,29 +550,21 @@ def range_join(
         ts = g["ts_us"].to_numpy()
         eid = g["event_id"].to_numpy()
         lm = role == 0
-        empty = pa.table(
-            {
-                "event_id": pa.array([], type=pa.int64()),
-                "match_event_id": pa.array([], type=pa.int64()),
-                "gap_us": pa.array([], type=pa.int64()),
-            }
-        )
         if not lm.any() or lm.all():
-            return empty
+            return _PAIRS_EMPTY
         lts, leid = ts[lm], eid[lm]
         rts, reid = ts[~lm], eid[~lm]
         order = np.lexsort((reid, rts))
         rts, reid = rts[order], reid[order]
         lo = np.searchsorted(rts, lts - w_us, side="left")
         hi = np.searchsorted(rts, lts, side="right")
-        n = hi - lo
-        total = int(n.sum())
+        total = int((hi - lo).sum())
         if not total:
-            return empty
+            return _PAIRS_EMPTY
         if total > pair_cap:
-            # pathological bucket (all intervals overlap one window): skip
-            # its pair expansion, emit a marker row the caller logs — the
-            # SIMHASH_BUCKET_CAP treatment. event_id=-1 flags the marker;
+            # pathological bucket (all intervals overlap one window): defer
+            # its pair expansion to the tiled second pass — emit a marker
+            # row the caller collects. event_id=-1 flags the marker;
             # match_event_id carries the bucket id, gap_us the -pair count.
             return pa.table(
                 {
@@ -542,43 +575,143 @@ def range_join(
                     "gap_us": pa.array([-total], type=pa.int64()),
                 }
             )
-        le = np.repeat(leid, n)
-        lt = np.repeat(lts, n)
-        ridx = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi) if b > a])
-        return pa.table(
-            {
-                "event_id": pa.array(le, type=pa.int64()),
-                "match_event_id": pa.array(reid[ridx], type=pa.int64()),
-                "gap_us": pa.array(lt - rts[ridx], type=pa.int64()),
-            }
-        )
+        return _expand_pairs(lts, leid, rts, reid, w_us)
 
-    ds = (
-        _read_events(sf_dir)
-        .filter(expr=f"event_type == '{left_type}' or event_type == '{right_type}'")
-        .map_batches(bucket_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(pair_bucket, batch_format="pyarrow")
+    def bucketed(extra_filter=None):
+        ds = (
+            _read_events(sf_dir)
+            .filter(
+                expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
+            )
+            .map_batches(bucket_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        if extra_filter is not None:
+            ds = ds.map_batches(
+                extra_filter, batch_format="pyarrow", zero_copy_batch=True
+            )
+        return ds
+
+    t = collect_table(
+        bucketed().groupby("bucket").map_groups(pair_bucket, batch_format="pyarrow")
     )
-    t = collect_table(ds)
     markers = t.filter(pc.equal(t["event_id"], -1))
     if markers.num_rows:
         import logging
 
         logging.getLogger(__name__).warning(
-            "range_join: skipped %d oversized time buckets "
-            "(pair cap %d; %d pairs suppressed) — output incomplete in "
-            "those buckets",
+            "range_join: tiling %d oversized time buckets "
+            "(pair cap %d; %d pairs re-exchanged through the tiled pass)",
             markers.num_rows,
             pair_cap,
             -int(pc.sum(markers["gap_us"]).as_py()),
         )
-        t = t.filter(pc.not_equal(t["event_id"], -1))
+        t = pa.concat_tables(
+            [
+                t.filter(pc.not_equal(t["event_id"], -1)),
+                _range_join_fat(
+                    bucketed, markers["match_event_id"], w_us, pair_cap
+                ),
+            ]
+        )
     return t.take(
         pc.sort_indices(
             t,
             sort_keys=[("event_id", "ascending"), ("match_event_id", "ascending")],
         )
+    )
+
+
+def _range_join_fat(bucketed, fat_buckets, w_us: int, pair_cap: int) -> pa.Table:
+    """Exact pair expansion for the buckets whose pair count exceeds
+    ``pair_cap``: the classic blocked nested-loop tiling as a second
+    exchange. Within each fat bucket, lefts and rights are split into
+    ts-sorted tiles of c = isqrt(pair_cap) rows; every (left-tile,
+    right-tile) combination whose ts ranges can satisfy the window
+    predicate becomes its own (bucket, tile) reduce group, so no task ever
+    expands more than ~c^2 <= pair_cap pairs. Each qualifying pair is
+    examined exactly once: a left lives in one left-tile, a right in one
+    right-tile, and the coverage scan emits each combination once."""
+    import math
+
+    c = max(1, math.isqrt(max(1, pair_cap)))
+    fat = fat_buckets.combine_chunks() if isinstance(fat_buckets, pa.ChunkedArray) else fat_buckets
+
+    def only_fat(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["bucket"], value_set=fat))
+
+    def tile_rows(g: pa.Table) -> pa.Table:
+        role = g["role"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        lm = role == 0
+        lts, leid = ts[lm], eid[lm]
+        rts, reid = ts[~lm], eid[~lm]
+        lorder = np.lexsort((leid, lts))
+        lts, leid = lts[lorder], leid[lorder]
+        rorder = np.lexsort((reid, rts))
+        rts, reid = rts[rorder], reid[rorder]
+        nR = max(1, -(-len(rts) // c))
+        tiles, roles, eids, tss = [], [], [], []
+        for i in range(-(-len(lts) // c)):
+            l_lo, l_hi = i * c, min((i + 1) * c, len(lts))
+            lo = int(np.searchsorted(rts, lts[l_lo] - w_us, side="left"))
+            hi = int(np.searchsorted(rts, lts[l_hi - 1], side="right"))
+            if lo >= hi:
+                continue
+            for j in range(lo // c, (hi - 1) // c + 1):
+                tid = i * nR + j
+                r_lo, r_hi = j * c, min((j + 1) * c, len(rts))
+                nl, nr = l_hi - l_lo, r_hi - r_lo
+                tiles.append(np.full(nl + nr, tid, dtype=np.int64))
+                roles.append(
+                    np.concatenate(
+                        [np.zeros(nl, dtype=np.int8), np.ones(nr, dtype=np.int8)]
+                    )
+                )
+                eids.append(np.concatenate([leid[l_lo:l_hi], reid[r_lo:r_hi]]))
+                tss.append(np.concatenate([lts[l_lo:l_hi], rts[r_lo:r_hi]]))
+        if not tiles:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "tile": pa.array([], type=pa.int64()),
+                    "role": pa.array([], type=pa.int8()),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "ts_us": pa.array([], type=pa.int64()),
+                }
+            )
+        n_out = sum(len(x) for x in tiles)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.full(n_out, int(g["bucket"][0].as_py()), dtype=np.int64)
+                ),
+                "tile": pa.array(np.concatenate(tiles), type=pa.int64()),
+                "role": pa.array(np.concatenate(roles), type=pa.int8()),
+                "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
+                "ts_us": pa.array(np.concatenate(tss), type=pa.int64()),
+            }
+        )
+
+    def pair_tile(g: pa.Table) -> pa.Table:
+        role = g["role"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        lm = role == 0
+        if not lm.any() or lm.all():
+            return _PAIRS_EMPTY
+        # tiles are emitted ts-sorted per role, but arrive re-blocked —
+        # re-sort rights for the sweep
+        rts, reid = ts[~lm], eid[~lm]
+        order = np.lexsort((reid, rts))
+        return _expand_pairs(ts[lm], eid[lm], rts[order], reid[order], w_us)
+
+    return collect_table(
+        bucketed(extra_filter=only_fat)
+        .groupby("bucket")
+        .map_groups(tile_rows, batch_format="pyarrow")
+        .groupby(["bucket", "tile"])
+        .map_groups(pair_tile, batch_format="pyarrow")
     )
 
 

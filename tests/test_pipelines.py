@@ -633,9 +633,11 @@ def test_hash_strings_vectorized():
 
 
 def test_range_join_bucket_pair_cap(ray_session, tmp_path, caplog):
-    """A pathological all-overlapping time bucket is capped: its pair
-    expansion is skipped with a logged marker, while sane buckets still
-    emit their exact pairs. Default cap never trips on this fixture."""
+    """A pathological all-overlapping time bucket whose pair expansion
+    exceeds the cap is re-exchanged through the tiled second pass: output
+    stays EXACT (equal to the uncapped run) while every reduce group stays
+    under ~pair_cap pairs, and the tiling is logged. Default cap never
+    trips on this fixture."""
     import logging
 
     import pyarrow as pa
@@ -671,10 +673,44 @@ def test_range_join_bucket_pair_cap(ray_session, tmp_path, caplog):
     assert full.num_rows == sum(i + 1 for i in range(20)) + 1
     with caplog.at_level(logging.WARNING, logger="smse_backend_ray.pipelines.events"):
         capped = events.range_join(str(tmp_path), pair_cap=10)
-    assert capped.num_rows == 1  # only bucket B survives
-    assert capped["event_id"].to_pylist() == [1001]
-    assert capped["match_event_id"].to_pylist() == [1000]
-    assert any("skipped 1 oversized time buckets" in r.message for r in caplog.records)
+    # the oversized bucket went through the tiled pass: output is complete
+    assert capped.to_pylist() == full.to_pylist()
+    assert any("tiling 1 oversized time buckets" in r.message for r in caplog.records)
+
+
+def test_range_join_tiled_identical_ts(ray_session, tmp_path):
+    """Degenerate fat bucket: EVERY event shares one timestamp, so no
+    time-grain split could ever help — the tiled pass must still produce
+    the complete n_left x n_right cross product with bounded per-tile
+    expansion (this is the case a recursive bucket split cannot handle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    w_us = events.RANGE_JOIN_WINDOW_S * 1_000_000
+    base = 1_600_000_000_000_000
+    base -= base % w_us
+    n = 12
+    eid = list(range(2 * n))
+    etype = ["click", "error"] * n
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid, type=pa.int64()),
+            "ts": pa.array([base] * (2 * n), type=pa.timestamp("us")),
+            "user_id": pa.array([1] * (2 * n), type=pa.int64()),
+            "event_type": pa.array(etype),
+            "value": pa.array([1.0] * (2 * n)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = events.range_join(str(tmp_path), pair_cap=9)  # tiles of 3x3
+    want = sorted(
+        (le, re, 0)
+        for le, lt in zip(eid, etype)
+        if lt == events.ASOF_LEFT_TYPE
+        for re, rt in zip(eid, etype)
+        if rt == events.ASOF_RIGHT_TYPE
+    )
+    assert list(zip(*[got[c].to_pylist() for c in got.column_names])) == want
 
 
 def test_substring_dup_matches_sql(ray_session, sf_dir, duck):
