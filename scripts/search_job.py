@@ -84,6 +84,12 @@ def main(argv: list[str] | None = None) -> int:
                 "--bulk supports --mode or/and and --exclude only "
                 "(facets/snippets/phrase/near are serving-path features)"
             )
+        if args.scope or args.threshold is not None:
+            ap.error(
+                "--bulk does not implement --scope/--threshold (the offline "
+                "pipeline drops them; use the serving path) — refusing to "
+                "return silently unfiltered results"
+            )
         specs = [
             QuerySpec(
                 query_id=i,

@@ -58,9 +58,12 @@ def _explode_deletes(t: pa.Table) -> pa.Table:
         )
         parts.append(pa.table({"dkey": dkey, "term": sub_t, "df": sub_d}))
     out = pa.concat_tables(parts)
-    # a term with repeated chars yields duplicate (dkey, term) rows — drop
+    # a term with repeated chars yields duplicate (dkey, term) rows — drop.
+    # Columns are picked BY NAME: pyarrow's group_by output column order
+    # (keys vs aggregates first) has changed across majors, so a positional
+    # rename would silently scramble the table on an upgrade.
     g = out.group_by(["dkey", "term"]).aggregate([("df", "max")])
-    return g.rename_columns(["dkey", "term", "df"])
+    return pa.table({"dkey": g["dkey"], "term": g["term"], "df": g["df_max"]})
 
 
 def build_suggest(index_dir) -> str:

@@ -148,6 +148,7 @@ class ShardIndex:
         self._ent_cache: dict[str, list[dict]] = {}
         self._dec_cache: dict[str, tuple] = {}
         self._pos_cache: dict[str, tuple] = {}
+        self._pos_seg_cache: dict[str, tuple] = {}
 
         # docs are hive-partitioned by shard_id (optionally nested under
         # wave_* dirs in file-mode builds); read only this shard's meta cols
@@ -337,15 +338,50 @@ class ShardIndex:
     # dl + phrase length < 2^32 (a 4-billion-token doc) and ranks < 2^31.
     _POS_OFF = np.int64(1) << 32
 
+    def _pos_segments(self, term: str) -> tuple:
+        """(sorted_ids, order, tfs, starts) for a positional term, cached:
+        the doc_id -> position-segment lookup shared by the candidate
+        gathers below (ids concatenate unsorted across generations, hence
+        the explicit sort view)."""
+        hit = self._pos_seg_cache.get(term)
+        if hit is None:
+            ids, tfs, _flat = self._decoded_pos(term)
+            starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+            order = np.argsort(ids, kind="stable")
+            hit = (ids[order], order, tfs, starts)
+            self._pos_seg_cache[term] = hit
+        return hit
+
+    def _cand_seg(self, term: str, cand: np.ndarray) -> tuple:
+        """(tfs_sel, starts_sel) of the candidate docs' position segments,
+        in cand order. cand MUST be a subset of the term's doc list (the
+        conjunctive-candidate invariant), so the lookup is an exact hit."""
+        sids, order, tfs, starts = self._pos_segments(term)
+        pos_in = order[np.searchsorted(sids, cand)]
+        return tfs[pos_in], starts[pos_in]
+
     def _cand_gpos(self, term: str, cand: np.ndarray) -> np.ndarray:
         """All occurrences of ``term`` in candidate docs as global keys
-        rank*_POS_OFF + position (one vectorized pass; no per-doc Python)."""
-        ids, tfs, flat = self._decoded_pos(term)
-        occ = np.repeat(ids, tfs)
-        i = np.searchsorted(cand, occ)
-        i = np.minimum(i, cand.size - 1)
-        m = cand[i] == occ
-        return i[m].astype(np.int64) * self._POS_OFF + flat[m]
+        rank*_POS_OFF + position — gathers ONLY the candidate docs'
+        position segments (O(occurrences within cand), never a pass over
+        every occurrence of the term in the shard), ascending."""
+        _ids, _tfs, flat = self._decoded_pos(term)
+        L, off = self._cand_seg(term, cand)
+        tok_off = np.concatenate(([0], np.cumsum(L)))
+        idx = (
+            np.arange(int(tok_off[-1]), dtype=np.int64)
+            - np.repeat(tok_off[:-1], L)
+            + np.repeat(off, L)
+        )
+        rank = np.repeat(np.arange(cand.size, dtype=np.int64), L)
+        return rank * self._POS_OFF + flat[idx]
+
+    def _cand_minmax(self, term: str, cand: np.ndarray) -> tuple:
+        """(min_pos, max_pos) of ``term`` per candidate doc — O(1) per doc
+        from the segment bounds (positions are stored ascending per doc)."""
+        _ids, _tfs, flat = self._decoded_pos(term)
+        L, off = self._cand_seg(term, cand)
+        return flat[off], flat[off + L - 1]
 
     def _phrase_matches(self, phrase: list[str]) -> "np.ndarray | None":
         """doc_ids (sorted) whose kept-token stream contains the phrase.
@@ -400,8 +436,28 @@ class ShardIndex:
             return cand
         if len(terms) == 1:
             return cand  # a single term's own position is a span-0 window
-        gs = [np.sort(self._cand_gpos(t, cand)) for t in terms]
-        merged = np.sort(np.concatenate(gs))
+        # cheap per-doc span LOWER BOUND before the occurrence sweep: any
+        # window containing one occurrence of every term has end >=
+        # max_t(min_pos(t)) and start <= min_t(max_pos(t)), so min cover
+        # span >= max_t(min_pos) - min_t(max_pos). Docs whose bound exceeds
+        # slop are provably non-matching and skip occurrence decode — the
+        # surviving set is bitwise-identical (necessary condition only).
+        # O(1) per (term, doc) from the segment bounds; the expensive
+        # O(occ log occ) merged sweep then runs on survivors only.
+        lbmax = ubmin = None
+        for t in terms:
+            mn, mx = self._cand_minmax(t, cand)
+            lbmax = mn if lbmax is None else np.maximum(lbmax, mn)
+            ubmin = mx if ubmin is None else np.minimum(ubmin, mx)
+        cand = cand[(lbmax - ubmin) <= slop]
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64)
+        # _cand_gpos is ascending by construction (rank-major, positions
+        # ascending per doc segment), so no per-term sort is needed, and the
+        # concatenation of k sorted runs merges in O(n log k) with the
+        # run-detecting stable sort instead of O(n log n) quicksort
+        gs = [self._cand_gpos(t, cand) for t in terms]
+        merged = np.sort(np.concatenate(gs), kind="stable")
         doc_of = merged // self._POS_OFF
         ok = np.ones(merged.size, dtype=bool)
         big = np.iinfo(np.int64).max
