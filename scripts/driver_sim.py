@@ -5,6 +5,7 @@ values. Usage: python scripts/driver_sim.py [sf_dir] [entry_name ...]"""
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -90,16 +91,18 @@ def main():
         qs = {k: v for k, v in qs.items() if k in only}
     n_bad = 0
     for name, fn in qs.items():
+        t0 = time.perf_counter()
         mine = to_pandas(fn(sf_dir))
+        dt = time.perf_counter() - t0
         if name not in sqls:
-            print(f"{name:26s} rows={len(mine):6d} (rows-only, no oracle)")
+            print(f"{name:26s} rows={len(mine):6d} {dt:6.1f}s (rows-only, no oracle)")
             continue
         orc = con.sql(sqls[name]).df()
         problems = compare(name, mine, orc)
         status = "OK" if not problems else "FAIL"
         if problems:
             n_bad += 1
-        print(f"{name:26s} rows={len(mine):6d} oracle={len(orc):6d} {status}")
+        print(f"{name:26s} rows={len(mine):6d} oracle={len(orc):6d} {dt:6.1f}s {status}")
         for p in problems[:4]:
             print(f"    - {p}")
     # entry smoke

@@ -77,23 +77,20 @@ def term_counts(text: str) -> list[tuple[str, int]]:
 _STOP_ARRAY = None
 
 
-def term_counts_batch(content) -> tuple:
-    """Vectorized term_counts over a string Array/ChunkedArray ->
-    (terms list<string>, tfs list<int32>), each row sorted by term asc.
+def _flat_subtokens(content) -> tuple:
+    """THE vectorized analyzer chain, steps 1-4 + split, flattened:
+    (flat tokens StringArray incl. empties, doc_idx int64 ndarray, n rows).
 
-    The whole chain runs in Arrow C++ (RE2 replaces + split + filter +
-    group_by count + sort) — measured 3.2x the scalar loop single-threaded,
-    and it frees the GIL. RE2-vs-Python-re equivalence for these exact
-    patterns is load-bearing and triple-checked: the DuckDB oracle runs the
-    same three regexes (sqlgen.subtoken_expr), and the parity fuzz compares
-    this function against the scalar reference on adversarial inputs."""
+    The ONE in-engine copy of the frozen Arrow-C++ regex chain (CLAUDE.md
+    analyzer invariant) — every *_batch function below builds on this.
+    RE2-vs-Python-re equivalence for these exact patterns is load-bearing
+    and triple-checked: the DuckDB oracle runs the same three regexes
+    (sqlgen.subtoken_expr), and the parity fuzz compares each batch
+    function against its scalar reference on adversarial inputs."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    global _STOP_ARRAY
-    if _STOP_ARRAY is None:
-        _STOP_ARRAY = pa.array(sorted(STOPWORDS))
     s = pc.fill_null(content, "")
     s = pc.replace_substring_regex(s, pattern=r"[^A-Za-z0-9]+", replacement=" ")
     s = pc.replace_substring_regex(s, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1 \2")
@@ -107,7 +104,19 @@ def term_counts_batch(content) -> tuple:
     doc_idx = np.repeat(
         np.arange(n, dtype=np.int64), np.diff(np.asarray(toks.offsets))
     )
-    # tokens are pure ASCII after step 1, so byte length == char length
+    return flat, doc_idx, n
+
+
+def _keep_mask(flat):
+    """The frozen keep predicate (step 5) as a vectorized boolean mask:
+    2 <= len <= 30 (ASCII after step 1, so byte length == char length),
+    not pure digits, not a stopword. Empties fail the length floor."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    global _STOP_ARRAY
+    if _STOP_ARRAY is None:
+        _STOP_ARRAY = pa.array(sorted(STOPWORDS))
     ln = pc.binary_length(flat)
     keep = pc.and_(
         pc.and_(
@@ -115,7 +124,36 @@ def term_counts_batch(content) -> tuple:
         ),
         pc.invert(pc.match_substring_regex(flat, r"^[0-9]+$")),
     )
-    keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=_STOP_ARRAY)))
+    return pc.and_(keep, pc.invert(pc.is_in(flat, value_set=_STOP_ARRAY)))
+
+
+def _list_from_mask(flat, doc_idx, n: int, keep):
+    """Re-list the masked flat token stream: list<string> per row, stream
+    order preserved."""
+    import numpy as np
+    import pyarrow as pa
+
+    km = keep.to_numpy(zero_copy_only=False)
+    counts = np.bincount(doc_idx[km], minlength=n)
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(counts))).astype(np.int32), type=pa.int32()
+    )
+    return pa.ListArray.from_arrays(offsets, flat.filter(keep))
+
+
+def term_counts_batch(content) -> tuple:
+    """Vectorized term_counts over a string Array/ChunkedArray ->
+    (terms list<string>, tfs list<int32>), each row sorted by term asc.
+
+    The whole chain runs in Arrow C++ (RE2 replaces + split + filter +
+    group_by count + sort) — measured 3.2x the scalar loop single-threaded,
+    and it frees the GIL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flat, doc_idx, n = _flat_subtokens(content)
+    keep = _keep_mask(flat)
     km = keep.to_numpy(zero_copy_only=False)
     g = (
         pa.table({"d": pa.array(doc_idx[km]), "t": flat.filter(keep)})
@@ -141,30 +179,11 @@ def subtokens_batch(content):
     dropped). Same Arrow C++ chain as term_counts_batch minus the filter/
     count stages; bitwise-equal per row to the scalar split_subtokens
     (parity-fuzzed)."""
-    import numpy as np
-    import pyarrow as pa
     import pyarrow.compute as pc
 
-    s = pc.fill_null(content, "")
-    s = pc.replace_substring_regex(s, pattern=r"[^A-Za-z0-9]+", replacement=" ")
-    s = pc.replace_substring_regex(s, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1 \2")
-    s = pc.replace_substring_regex(s, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1 \2")
-    s = pc.utf8_lower(s)
-    toks = pc.split_pattern(s, pattern=" ")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = toks.values
-    n = len(toks)
-    doc_idx = np.repeat(
-        np.arange(n, dtype=np.int64), np.diff(np.asarray(toks.offsets))
-    )
+    flat, doc_idx, n = _flat_subtokens(content)
     keep = pc.greater(pc.binary_length(flat), 0)
-    km = keep.to_numpy(zero_copy_only=False)
-    counts = np.bincount(doc_idx[km], minlength=n)
-    offsets = pa.array(
-        np.concatenate(([0], np.cumsum(counts))).astype(np.int32), type=pa.int32()
-    )
-    return pa.ListArray.from_arrays(offsets, flat.filter(keep))
+    return _list_from_mask(flat, doc_idx, n, keep)
 
 
 def kept_tokens_batch(content):
@@ -174,40 +193,8 @@ def kept_tokens_batch(content):
     C++ chain as term_counts_batch without the count/sort stages;
     bitwise-equal per row to the scalar tokenize (parity-fuzzed in
     tests/test_analyzer.py)."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    global _STOP_ARRAY
-    if _STOP_ARRAY is None:
-        _STOP_ARRAY = pa.array(sorted(STOPWORDS))
-    s = pc.fill_null(content, "")
-    s = pc.replace_substring_regex(s, pattern=r"[^A-Za-z0-9]+", replacement=" ")
-    s = pc.replace_substring_regex(s, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1 \2")
-    s = pc.replace_substring_regex(s, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1 \2")
-    s = pc.utf8_lower(s)
-    toks = pc.split_pattern(s, pattern=" ")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = toks.values
-    n = len(toks)
-    doc_idx = np.repeat(
-        np.arange(n, dtype=np.int64), np.diff(np.asarray(toks.offsets))
-    )
-    ln = pc.binary_length(flat)
-    keep = pc.and_(
-        pc.and_(
-            pc.greater_equal(ln, MIN_TOKEN_LEN), pc.less_equal(ln, MAX_TOKEN_LEN)
-        ),
-        pc.invert(pc.match_substring_regex(flat, r"^[0-9]+$")),
-    )
-    keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=_STOP_ARRAY)))
-    km = keep.to_numpy(zero_copy_only=False)
-    counts = np.bincount(doc_idx[km], minlength=n)
-    offsets = pa.array(
-        np.concatenate(([0], np.cumsum(counts))).astype(np.int32), type=pa.int32()
-    )
-    return pa.ListArray.from_arrays(offsets, flat.filter(keep))
+    flat, doc_idx, n = _flat_subtokens(content)
+    return _list_from_mask(flat, doc_idx, n, _keep_mask(flat))
 
 
 def term_positions(text: str) -> list[tuple[str, list[int]]]:
@@ -236,30 +223,8 @@ def term_positions_batch(content) -> tuple:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    global _STOP_ARRAY
-    if _STOP_ARRAY is None:
-        _STOP_ARRAY = pa.array(sorted(STOPWORDS))
-    s = pc.fill_null(content, "")
-    s = pc.replace_substring_regex(s, pattern=r"[^A-Za-z0-9]+", replacement=" ")
-    s = pc.replace_substring_regex(s, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1 \2")
-    s = pc.replace_substring_regex(s, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1 \2")
-    s = pc.utf8_lower(s)
-    toks = pc.split_pattern(s, pattern=" ")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = toks.values
-    n = len(toks)
-    doc_idx = np.repeat(
-        np.arange(n, dtype=np.int64), np.diff(np.asarray(toks.offsets))
-    )
-    ln = pc.binary_length(flat)
-    keep = pc.and_(
-        pc.and_(
-            pc.greater_equal(ln, MIN_TOKEN_LEN), pc.less_equal(ln, MAX_TOKEN_LEN)
-        ),
-        pc.invert(pc.match_substring_regex(flat, r"^[0-9]+$")),
-    )
-    keep = pc.and_(keep, pc.invert(pc.is_in(flat, value_set=_STOP_ARRAY)))
+    flat, doc_idx, n = _flat_subtokens(content)
+    keep = _keep_mask(flat)
     km = keep.to_numpy(zero_copy_only=False)
     kept_doc = doc_idx[km]                       # ascending (doc-major scan)
     kept_terms = flat.filter(keep)

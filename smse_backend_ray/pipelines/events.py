@@ -29,11 +29,24 @@ from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
 SESSION_GAP_MIN = 30
 
 
-def _read_events(sf_dir: str) -> "ray.data.Dataset":
+def _read_events(sf_dir: str, ts_range_us: "tuple[int, int] | None" = None) -> "ray.data.Dataset":
+    """events.parquet scan; ``ts_range_us`` = (lo, hi) epoch-us half-open
+    bound pushed into the parquet read (row-group stats pruning) — used by
+    re-scan passes that only need a time slice of the stream."""
     path = os.path.join(sf_dir, "events.parquet")
+    kwargs = {}
+    if ts_range_us is not None:
+        import pyarrow.dataset as pads
+
+        lo, hi = ts_range_us
+        f = pads.field("ts")
+        kwargs["filter"] = (f >= pa.scalar(lo, type=pa.timestamp("us"))) & (
+            f < pa.scalar(hi, type=pa.timestamp("us"))
+        )
     ds = ray.data.read_parquet(
         path,
         columns=["event_id", "ts", "user_id", "event_type", "value"],
+        **kwargs,
     )
     return ds.repartition(_parallel_blocks(_parquet_rows(path)))
 
@@ -470,13 +483,17 @@ _PAIRS_EMPTY = pa.table(
 
 
 def _expand_pairs(
-    lts: np.ndarray, leid: np.ndarray, rts: np.ndarray, reid: np.ndarray, w_us: int
+    lts: np.ndarray, leid: np.ndarray, rts: np.ndarray, reid: np.ndarray, w_us: int,
+    lo: "np.ndarray | None" = None, hi: "np.ndarray | None" = None,
 ) -> pa.Table:
     """Vectorized window sweep shared by the bucket and tile pairers:
     all (left, right) pairs with 0 <= lts - rts <= w_us. Rights must be
-    sorted by (ts, event_id)."""
-    lo = np.searchsorted(rts, lts - w_us, side="left")
-    hi = np.searchsorted(rts, lts, side="right")
+    sorted by (ts, event_id). Callers that already ran the window
+    searchsorteds (the cap check) pass lo/hi to avoid recomputing them."""
+    if lo is None:
+        lo = np.searchsorted(rts, lts - w_us, side="left")
+    if hi is None:
+        hi = np.searchsorted(rts, lts, side="right")
     n = hi - lo
     if not int(n.sum()):
         return _PAIRS_EMPTY
@@ -575,11 +592,11 @@ def range_join(
                     "gap_us": pa.array([-total], type=pa.int64()),
                 }
             )
-        return _expand_pairs(lts, leid, rts, reid, w_us)
+        return _expand_pairs(lts, leid, rts, reid, w_us, lo=lo, hi=hi)
 
-    def bucketed(extra_filter=None):
+    def bucketed(extra_filter=None, ts_range_us=None):
         ds = (
-            _read_events(sf_dir)
+            _read_events(sf_dir, ts_range_us=ts_range_us)
             .filter(
                 expr=f"event_type == '{left_type}' or event_type == '{right_type}'"
             )
@@ -630,11 +647,22 @@ def _range_join_fat(bucketed, fat_buckets, w_us: int, pair_cap: int) -> pa.Table
     predicate becomes its own (bucket, tile) reduce group, so no task ever
     expands more than ~c^2 <= pair_cap pairs. Each qualifying pair is
     examined exactly once: a left lives in one left-tile, a right in one
-    right-tile, and the coverage scan emits each combination once."""
+    right-tile, and the coverage scan emits each combination once.
+
+    The re-scan is PRUNED at the parquet read: every row a fat bucket b
+    needs has ts in [(b-1)*w, (b+1)*w) (lefts in b; rights replicated from
+    b and b-1), so a [min-1, max+1] window bound over the fat bucket ids
+    is pushed down as a row-group filter — one hot second in a year of
+    events re-reads only that neighborhood, not the whole stream. The
+    in-flight ``only_fat`` filter then keeps exactness for sparse fat sets
+    inside the coarse bound."""
     import math
 
     c = max(1, math.isqrt(max(1, pair_cap)))
     fat = fat_buckets.combine_chunks() if isinstance(fat_buckets, pa.ChunkedArray) else fat_buckets
+    b_lo = int(pc.min(fat).as_py())
+    b_hi = int(pc.max(fat).as_py())
+    ts_range_us = ((b_lo - 1) * w_us, (b_hi + 1) * w_us)
 
     def only_fat(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["bucket"], value_set=fat))
@@ -707,7 +735,7 @@ def _range_join_fat(bucketed, fat_buckets, w_us: int, pair_cap: int) -> pa.Table
         return _expand_pairs(ts[lm], eid[lm], rts[order], reid[order], w_us)
 
     return collect_table(
-        bucketed(extra_filter=only_fat)
+        bucketed(extra_filter=only_fat, ts_range_us=ts_range_us)
         .groupby("bucket")
         .map_groups(tile_rows, batch_format="pyarrow")
         .groupby(["bucket", "tile"])

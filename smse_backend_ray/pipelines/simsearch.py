@@ -51,6 +51,37 @@ def _emb_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
 
+def _corpus_tag(sf_dir: str) -> str:
+    """Cache-dir identity for a corpus: basename for readability PLUS a
+    hash of the full normalized path — two corpora that happen to share a
+    directory name must never alias to the same default cache entry."""
+    import hashlib
+
+    p = os.path.normpath(sf_dir)
+    return f"{os.path.basename(p)}-{hashlib.md5(p.encode()).hexdigest()[:8]}"
+
+
+def _save_sidecar_atomic(parent, sidecar: str, arr: np.ndarray) -> None:
+    """Write an .npy sidecar via the tmp+move commit protocol (state/fs.py):
+    a crash mid-write can never leave a truncated sidecar that the
+    exists()-resume shortcut would np.load forever after."""
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    tmp = sidecar + ".tmp"
+    with parent.open_output(tmp) as f:
+        f.write(buf.getvalue())
+    parent.move(tmp, sidecar)
+
+
+def _load_sidecar(parent, sidecar: str) -> np.ndarray:
+    import io
+
+    with parent.open_input(sidecar) as f:
+        return np.load(io.BytesIO(f.read()))
+
+
 def _emb_matrix(col) -> np.ndarray:
     """list<float> column -> (n, d) float64 matrix without a Python loop."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -259,13 +290,12 @@ def build_ivf_index(
     process; a pre-existing layout at ``out_dir`` is RESUMED (centroids
     loaded from the sidecar, no retrain) — delete the layout dir to force a
     rebuild after changing the embeddings table."""
-    import io
     import posixpath
 
     from smse_backend_ray.state.fs import IndexFS, resolve
 
     if out_dir is None:
-        out_dir = f"/tmp/smse_ivf_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}_{n_clusters}"
+        out_dir = f"/tmp/smse_ivf_{os.getpid()}_{_corpus_tag(sf_dir)}_{n_clusters}"
     key = (os.path.normpath(sf_dir), n_clusters, str(out_dir), train_target)
     hit = _IVF_CACHE.get(key)
     if hit and hit[0].exists():
@@ -277,8 +307,7 @@ def build_ivf_index(
     if layout0.exists() and parent0.exists(sidecar):
         # cross-process resume: the layout already exists — load the
         # centroids sidecar instead of retraining + rewriting
-        with parent0.open_input(sidecar) as f:
-            cents = np.load(io.BytesIO(f.read()))
+        cents = _load_sidecar(parent0, sidecar)
         _IVF_CACHE[key] = (layout0, cents)
         return layout0, cents
     cents = train_centroids(sf_dir, n_clusters, train_target=train_target)
@@ -305,10 +334,7 @@ def build_ivf_index(
         .repartition(max(4, _parallel_blocks() // 8))  # bound files per cluster
     )
     parent0.atomic_write_dataset(assigned, name0, partition_cols=["cluster"])
-    buf = io.BytesIO()
-    np.save(buf, cents)
-    with parent0.open_output(sidecar) as f:
-        f.write(buf.getvalue())
+    _save_sidecar_atomic(parent0, sidecar, cents)
     _IVF_CACHE[key] = (layout0, cents)
     return layout0, cents
 
@@ -367,8 +393,8 @@ def knn_ivf(
         for c in probed_union
         for f in layout.list_files(f"cluster={c}", suffix=".parquet")
     )
-    ds = ray.data.read_parquet(
-        paths, columns=["vec_id", "embedding", "cluster_id"], **layout._ray_fs_kwargs()
+    ds = layout.ray_read_parquet_files(
+        paths, columns=["vec_id", "embedding", "cluster_id"]
     )
     cands = collect_table(ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True))
     return _topk_merge([cands], k)
@@ -536,9 +562,10 @@ def build_pq_codes(
     ``knn_pq`` scans these stored codes (17 B/vector) instead of re-encoding
     the raw corpus per call; re-encoding only happens when the layout is
     absent. The cache directory name carries every codebook parameter
-    (m, nk, train_target) so same-process calls with different params never
-    read stale codes. Returns (codes IndexFS, codebooks)."""
-    import io
+    (m, nk, train_target) PLUS the corpus identity (_corpus_tag: basename +
+    full-path hash) so same-process calls with different params — or with
+    different same-named corpora — never read stale codes. Returns
+    (codes IndexFS, codebooks)."""
     import posixpath
 
     from smse_backend_ray.state.fs import IndexFS, resolve
@@ -546,23 +573,17 @@ def build_pq_codes(
     if out_dir is None:
         tt = "d" if train_target is None else str(train_target)
         out_dir = (
-            f"/tmp/smse_pq_{os.getpid()}_"
-            f"{os.path.basename(os.path.normpath(sf_dir))}_{m}_{nk}_{tt}"
+            f"/tmp/smse_pq_{os.getpid()}_{_corpus_tag(sf_dir)}_{m}_{nk}_{tt}"
         )
     codes0 = resolve(out_dir)
     parent = IndexFS((codes0.fs, posixpath.dirname(codes0.root)))
     name = posixpath.basename(codes0.root)
     sidecar = name + ".codebooks.npy"
     if codes0.exists() and parent.exists(sidecar):
-        with parent.open_input(sidecar) as f:
-            books = np.load(io.BytesIO(f.read()))
-        return codes0, books
+        return codes0, _load_sidecar(parent, sidecar)
     books = train_pq_codebooks(sf_dir, m=m, k=nk, train_target=train_target)
     parent.atomic_write_dataset(pq_encode(sf_dir, books), name)
-    buf = io.BytesIO()
-    np.save(buf, books)
-    with parent.open_output(sidecar) as f:
-        f.write(buf.getvalue())
+    _save_sidecar_atomic(parent, sidecar, books)
     return codes0, books
 
 
@@ -615,8 +636,8 @@ def knn_pq(
 
     files = sorted(codes_fs.list_files("", recursive=True, suffix=".parquet"))
     cands = collect_table(
-        ray.data.read_parquet(
-            files, columns=["vec_id", "codes", "norm"], **codes_fs._ray_fs_kwargs()
+        codes_fs.ray_read_parquet_files(
+            files, columns=["vec_id", "codes", "norm"]
         ).map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
     )
     # ADC shortlist -> EXACT rerank (the production PQ shape: the code scan
@@ -669,7 +690,6 @@ def build_ivfpq_codes(
     sibling codes layout. A probe of p/c clusters then reads p/c of a
     17-B-per-vector table instead of p/c of the raw vectors. Returns
     (codes IndexFS, centroids, codebooks)."""
-    import io
     import posixpath
 
     from smse_backend_ray.state.fs import IndexFS, resolve
@@ -677,20 +697,26 @@ def build_ivfpq_codes(
     layout, cents = build_ivf_index(
         sf_dir, n_clusters=n_clusters, train_target=train_target
     )
-    books = train_pq_codebooks(sf_dir, m=m, k=nk, train_target=train_target)
     if out_dir is None:
         # the directory name carries EVERY parameter that shapes the codes
-        # (cluster count, subspaces, centroids/subspace, training sample) so
-        # the exists() resume shortcut can never pair stale codes with
-        # freshly trained mismatched codebooks
+        # (cluster count, subspaces, centroids/subspace, training sample)
+        # plus the corpus identity (_corpus_tag), so the resume shortcut
+        # can never pair stale codes with mismatched codebooks or another
+        # same-named corpus
         tt = "d" if train_target is None else str(train_target)
         out_dir = (
             f"/tmp/smse_ivfpq_{os.getpid()}_"
-            f"{os.path.basename(os.path.normpath(sf_dir))}_{n_clusters}_{m}_{nk}_{tt}"
+            f"{_corpus_tag(sf_dir)}_{n_clusters}_{m}_{nk}_{tt}"
         )
     codes0 = resolve(out_dir)
-    if codes0.exists():
-        return codes0, cents, books
+    parent = IndexFS((codes0.fs, posixpath.dirname(codes0.root)))
+    name = posixpath.basename(codes0.root)
+    sidecar = name + ".codebooks.npy"
+    if codes0.exists() and parent.exists(sidecar):
+        # warm resume: codebooks come from the sidecar — no retrain pass
+        # over the corpus sample on every later call
+        return codes0, cents, _load_sidecar(parent, sidecar)
+    books = train_pq_codebooks(sf_dir, m=m, k=nk, train_target=train_target)
     ref = ray.put(books)
     mm, _, sub = books.shape
 
@@ -713,13 +739,11 @@ def build_ivfpq_codes(
         )
 
     files = sorted(layout.list_files("", recursive=True, suffix=".parquet"))
-    ds = ray.data.read_parquet(
-        files, columns=["vec_id", "embedding", "cluster_id"], **layout._ray_fs_kwargs()
+    ds = layout.ray_read_parquet_files(
+        files, columns=["vec_id", "embedding", "cluster_id"]
     ).map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
-    parent = IndexFS((codes0.fs, posixpath.dirname(codes0.root)))
-    parent.atomic_write_dataset(
-        ds, posixpath.basename(codes0.root), partition_cols=["cluster"]
-    )
+    parent.atomic_write_dataset(ds, name, partition_cols=["cluster"])
+    _save_sidecar_atomic(parent, sidecar, books)
     return codes0, cents, books
 
 
@@ -782,9 +806,8 @@ def knn_ivfpq(
         for f in codes_fs.list_files(f"cluster={c}", suffix=".parquet")
     )
     cands = collect_table(
-        ray.data.read_parquet(
-            paths, columns=["vec_id", "codes", "norm", "cluster_id"],
-            **codes_fs._ray_fs_kwargs(),
+        codes_fs.ray_read_parquet_files(
+            paths, columns=["vec_id", "codes", "norm", "cluster_id"]
         ).map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
     )
     short = _topk_merge([cands], PQ_RERANK * k)
