@@ -713,6 +713,46 @@ def test_range_join_tiled_identical_ts(ray_session, tmp_path):
     assert list(zip(*[got[c].to_pylist() for c in got.column_names])) == want
 
 
+def test_range_join_tiled_randomized(ray_session, tmp_path):
+    """Randomized cap-vs-uncapped equivalence: clustered event times create
+    several fat buckets separated by sparse stretches (so the fat pass's
+    coarse ts-window read bound spans non-fat buckets that only_fat must
+    drop), plus events far outside the bound that the pruned rescan never
+    reads. The tiled output must equal the uncapped output exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(20260819)
+    w_us = events.RANGE_JOIN_WINDOW_S * 1_000_000
+    base = 1_600_000_000_000_000
+    base -= base % w_us
+    ts = []
+    # three dense clusters (fat buckets) with sparse buckets between them
+    for cluster_bucket in (0, 3, 7):
+        ts.extend(base + cluster_bucket * w_us + rng.integers(0, w_us, 40))
+    ts.extend(base + rng.integers(0, 10 * w_us, 30))          # sparse filler
+    ts.extend(base + 1000 * w_us + rng.integers(0, w_us, 6))  # far outliers
+    ts = np.array(sorted(int(x) for x in ts), dtype=np.int64)
+    n = len(ts)
+    etype = rng.choice(
+        [events.ASOF_LEFT_TYPE, events.ASOF_RIGHT_TYPE, "view"], size=n
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(1, 5, n), type=pa.int64()),
+            "event_type": pa.array(etype.tolist()),
+            "value": pa.array(rng.random(n)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    full = events.range_join(str(tmp_path), pair_cap=10**9)
+    assert full.num_rows > 100  # the fixture genuinely produces fat buckets
+    capped = events.range_join(str(tmp_path), pair_cap=50)
+    assert capped.to_pylist() == full.to_pylist()
+
+
 def test_substring_dup_matches_sql(ray_session, sf_dir, duck):
     from smse_backend_ray.functions import sqlgen
 
