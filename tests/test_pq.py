@@ -119,6 +119,21 @@ def test_pq_codes_persisted_no_reencode(ray_session, monkeypatch, tmp_path):
     assert files
 
 
+def test_default_cache_dirs_carry_corpus_identity(tmp_path):
+    """Two corpora that share a directory BASENAME must resolve to distinct
+    default cache dirs for every ANN layout (the silent-stale-codes alias
+    found in review): _corpus_tag hashes the full normalized path."""
+    import smse_backend_ray.pipelines.simsearch as ss
+
+    a = str(tmp_path / "a" / "corpus")
+    b = str(tmp_path / "b" / "corpus")
+    ta, tb = ss._corpus_tag(a), ss._corpus_tag(b)
+    assert ta != tb
+    assert ta.startswith("corpus-") and tb.startswith("corpus-")
+    # stable across trailing-slash spelling of the same corpus
+    assert ss._corpus_tag(a + "/") == ta
+
+
 def test_seed_vectors_sparse_and_too_small(ray_session, tmp_path):
     """Seeding falls back to the k smallest vec_ids for sparse id spaces
     and raises a descriptive error when fewer than k vectors exist."""
