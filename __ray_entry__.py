@@ -585,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         events,
         packing,
+        pii,
         relational,
         sampling,
         simsearch,
@@ -614,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": textstats.doc_chunks,
         "doc_pack_bins": packing.pack_bins,
         "doc_substring_dup": dedup.substring_dup_stats,
+        "doc_pii": pii.doc_pii,
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
         # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
         "knn_pq": simsearch.knn_pq_checked,
@@ -698,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
     from smse_backend_ray.functions import sqlgen
     from smse_backend_ray.pipelines import dedup as dedup_mod
     from smse_backend_ray.pipelines import events as events_mod
+    from smse_backend_ray.pipelines import pii as pii_mod
     from smse_backend_ray.pipelines import packing as packing_mod
     from smse_backend_ray.pipelines import relational as relational_mod
     from smse_backend_ray.pipelines import sampling as sampling_mod
@@ -818,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": sqlgen.doc_chunks_sql(
             textstats_mod.CHUNK_W, textstats_mod.CHUNK_S
         ),
+        "doc_pii": pii_mod.pii_sql(),
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
