@@ -287,6 +287,11 @@ class SearchEngine:
             for qid, qs in metas.items():
                 sub = out.filter(pa.compute.equal(out["query_id"], qid))
                 self._log_query(qid, list(qs.parts), qs.scope, qs.limit, sub)
+            if metas:
+                # keep the auto-id counter ahead of explicit batch ids so a
+                # later search(log=True) can't reuse (and overwrite) a
+                # just-logged query's log/record files
+                self._next_query_id = max(self._next_query_id, max(metas) + 1)
         return out
 
     # ------------------------------------------------------------------

@@ -717,7 +717,9 @@ def _job_tombstones(job: dict, sh: ShardIndex) -> "np.ndarray | None":
     tombstones plus (boolean NOT) the shard's docs containing any excluded
     term — both filter BEFORE scope/threshold/top-k in _finalize."""
     tomb = job.get("tombstones")
-    tomb_a = np.asarray(tomb, dtype=np.int64) if tomb else None
+    # len(), not truthiness: stays correct if a caller ever ships a numpy
+    # array instead of the usual sorted list (ndarray truthiness raises)
+    tomb_a = np.asarray(tomb, dtype=np.int64) if tomb is not None and len(tomb) else None
     ex = job.get("exclude_terms")
     if ex:
         e = sh.excluded_ids(ex)

@@ -134,6 +134,23 @@ def test_query_log_history_and_replay(engine):
         engine.get_results(q1)
 
 
+def test_batch_log_advances_auto_query_id(engine):
+    """search_batch(log=True) must advance the auto-id counter past the
+    batch's explicit query_ids, so a later search(log=True) with an auto id
+    can never reuse (and overwrite) a just-logged query's files."""
+    from smse_backend_ray.queryset import QuerySpec
+
+    qid = engine._next_query_id + 5  # explicit id ahead of the counter
+    engine.search_batch([QuerySpec(qid, ("hash join table",), limit=2)], log=True)
+    batch_rep = engine.get_results(qid)
+    r = engine.search(["sort merge"], limit=2, log=True)  # auto id
+    assert r["query_id"][0].as_py() > qid
+    # the batch-logged record survived untouched
+    assert engine.get_results(qid)["doc_id"].to_pylist() == batch_rep["doc_id"].to_pylist()
+    engine.delete_query(qid)
+    engine.delete_query(r["query_id"][0].as_py())
+
+
 def test_decoded_postings_match_oracle(built_index, oidx):
     """The compressed segments decode back to exactly the oracle's index."""
     import glob
