@@ -148,18 +148,20 @@ def _tag_partition(batch: pa.Table, pid: int) -> pa.Table:
 # dedup stage (exact, skew-aware; SURVEY.md D2)
 # ---------------------------------------------------------------------------
 
-_META_CACHE: dict[str, tuple[float, pa.Table]] = {}
+_META_CACHE: dict[str, tuple[tuple, pa.Table]] = {}
 
 
 def _docs_meta_table(ifs: IndexFS) -> pa.Table:
     """One driver-side scan of (doc_id, dl) shared by the dedup-detect and
-    stats stages (cached per docs location + newest-file mtime)."""
+    stats stages. The cache stamp is the full (path, size, mtime) file set —
+    mtime alone is too coarse on second-granularity filesystems (S3), where
+    a dedup rewrite landing within the same second as the original write
+    would otherwise serve the stale pre-dedup table to the stats stage."""
     key = ifs.join(DOCS_DIR)
-    stamp = max(
-        (i.mtime.timestamp() if i.mtime else 0.0
-         for i in ifs.list_infos(DOCS_DIR, recursive=True) if i.is_file),
-        default=0.0,
-    )
+    stamp = tuple(sorted(
+        (i.path, i.size, i.mtime.timestamp() if i.mtime else 0.0)
+        for i in ifs.list_infos(DOCS_DIR, recursive=True) if i.is_file
+    ))
     hit = _META_CACHE.get(key)
     if hit and hit[0] == stamp:
         return hit[1]
