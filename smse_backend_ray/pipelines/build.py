@@ -171,7 +171,7 @@ def _docs_meta_table(ifs: IndexFS) -> pa.Table:
 
 
 def _find_dup_ids(ifs: IndexFS, cfg: EngineConfig) -> set[int]:
-    if ifs.column_bytes(DOCS_DIR, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes:
+    if ifs.column_bytes(DOCS_DIR, ["doc_id", "dl"], budget=cfg.driver_agg_max_bytes) <= cfg.driver_agg_max_bytes:
         ids = _docs_meta_table(ifs)["doc_id"]
         g = pa.table({"doc_id": ids}).group_by("doc_id").aggregate([("doc_id", "count")])
         dup = g.filter(pc.greater(g["doc_id_count"], 1))
@@ -226,7 +226,7 @@ def _run_dedup(ifs: IndexFS, cfg: EngineConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 def _run_stats(ifs: IndexFS, cfg: EngineConfig) -> dict:
-    if ifs.column_bytes(DOCS_DIR, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes:
+    if ifs.column_bytes(DOCS_DIR, ["doc_id", "dl"], budget=cfg.driver_agg_max_bytes) <= cfg.driver_agg_max_bytes:
         dl = _docs_meta_table(ifs)["dl"]
         n_docs = len(dl)
         sum_dl = int(pc.sum(dl).as_py() or 0)
@@ -283,7 +283,7 @@ def _run_df(ifs: IndexFS, cfg: EngineConfig) -> None:
     # row covers a disjoint doc set, so integer sum == global df. (A plain
     # base build is one generation; sum(df_shard) == the replicated df
     # column exactly.)
-    if ifs.column_bytes(SEGMENTS_DIR, ["term", "df_shard"]) <= cfg.driver_agg_max_bytes:
+    if ifs.column_bytes(SEGMENTS_DIR, ["term", "df_shard"], budget=cfg.driver_agg_max_bytes) <= cfg.driver_agg_max_bytes:
         t = ifs.pads_dataset(SEGMENTS_DIR).to_table(columns=["term", "df_shard"])
         g = t.group_by("term").aggregate([("df_shard", "sum")])
         # select by NAME: pyarrow group_by column order has differed across
@@ -430,8 +430,8 @@ def _append_collisions(ifs: IndexFS, wfs: IndexFS, cfg: EngineConfig) -> set[int
     the reference's unique content_path constraint keeps the first upload,
     smse_backend/models/content.py:11)."""
     small = (
-        ifs.column_bytes(DOCS_DIR, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes
-        and wfs.column_bytes(DOCS_DIR, ["doc_id", "dl"]) <= cfg.driver_agg_max_bytes
+        ifs.column_bytes(DOCS_DIR, ["doc_id", "dl"], budget=cfg.driver_agg_max_bytes) <= cfg.driver_agg_max_bytes
+        and wfs.column_bytes(DOCS_DIR, ["doc_id", "dl"], budget=cfg.driver_agg_max_bytes) <= cfg.driver_agg_max_bytes
     )
     if small:
         existing = _docs_meta_table(ifs)["doc_id"].combine_chunks()
