@@ -132,33 +132,55 @@ def bulk_search(
 
     seg = ifs.ray_read_parquet(
         "segments",
+        # prune at the read: the bulk path needs only the three byte streams
+        # (block metadata / positional payloads never leave storage here)
+        columns=["term", "docs_bytes", "tfs_bytes", "dls_bytes"],
         filter=pc.field("term").isin(needed),  # row-group pushdown
     )
 
     def contribs(batch: pa.Table) -> pa.Table:
         """One decoded (doc_ids, tfnorm) row per segment row PER QUERY BUCKET
         needing the term — the decode happens once; shuffle duplication is
-        bounded by the bucket count, never the query count."""
+        bounded by the bucket count, never the query count. Posting arrays
+        stay numpy end-to-end: output list columns are built from ONE
+        concatenated value buffer + offsets (never per-element tolist)."""
         tb, a_avgdl, a_bs, a_params = ray.get(fanout_ref)
-        out = {"qbucket": [], "term": [], "doc_ids": [], "tfn": []}
+        qbs: list[int] = []
+        terms_out: list[str] = []
+        id_parts: list[np.ndarray] = []
+        tfn_parts: list[np.ndarray] = []
         for row in batch.to_pylist():
             buckets = tb.get(row["term"])
             if not buckets:
                 continue
             ids, tfs, dls = decode_postings(row, a_bs)
             tfn = tfnorm_vec(tfs, dls, a_avgdl, a_params)
-            ids_l, tfn_l = ids.tolist(), tfn.tolist()
             for qb in buckets:
-                out["qbucket"].append(qb)
-                out["term"].append(row["term"])
-                out["doc_ids"].append(ids_l)
-                out["tfn"].append(tfn_l)
+                qbs.append(qb)
+                terms_out.append(row["term"])
+                id_parts.append(ids)
+                tfn_parts.append(tfn)
+        n = len(qbs)
+        lens = np.fromiter((p.size for p in id_parts), dtype=np.int64, count=n)
+        offs = pa.array(
+            np.concatenate(([0], np.cumsum(lens))).astype(np.int32), type=pa.int32()
+        )
+        flat_ids = (
+            np.concatenate(id_parts) if n else np.empty(0, dtype=np.int64)
+        )
+        flat_tfn = (
+            np.concatenate(tfn_parts) if n else np.empty(0, dtype=np.float64)
+        )
         return pa.table(
             {
-                "qbucket": pa.array(out["qbucket"], type=pa.int32()),
-                "term": pa.array(out["term"], type=pa.string()),
-                "doc_ids": pa.array(out["doc_ids"], type=pa.list_(pa.int64())),
-                "tfn": pa.array(out["tfn"], type=pa.list_(pa.float64())),
+                "qbucket": pa.array(qbs, type=pa.int32()),
+                "term": pa.array(terms_out, type=pa.string()),
+                "doc_ids": pa.ListArray.from_arrays(
+                    offs, pa.array(flat_ids, type=pa.int64())
+                ),
+                "tfn": pa.ListArray.from_arrays(
+                    offs, pa.array(flat_tfn, type=pa.float64())
+                ),
             }
         )
 
