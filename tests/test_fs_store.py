@@ -110,6 +110,29 @@ def test_indexfs_location_forms(tmp_path):
     assert IndexFS(c).root == c.root  # idempotent wrap
 
 
+def test_column_bytes_budget_early_exit(tmp_path):
+    """column_bytes with a budget short-circuits once exceeded: the result
+    must still be > budget (so threshold compares stay correct) and must
+    equal the unbudgeted total when the data fits under the budget."""
+    import pyarrow as pa
+
+    ifs = IndexFS(str(tmp_path / "idx"))
+    ifs.mkdirs("d")
+    for i in range(6):
+        ifs.write_table(
+            pa.table({"doc_id": pa.array(range(i * 100, i * 100 + 100), type=pa.int64()),
+                      "dl": pa.array([7] * 100, type=pa.int64())}),
+            f"d/p{i}.parquet",
+        )
+    full = ifs.column_bytes("d", ["doc_id", "dl"])
+    assert full > 0
+    # generous budget: identical to the unbudgeted scan
+    assert ifs.column_bytes("d", ["doc_id", "dl"], budget=full * 2) == full
+    # tiny budget: early exit, but the partial total still exceeds it
+    partial = ifs.column_bytes("d", ["doc_id", "dl"], budget=1)
+    assert 1 < partial <= full
+
+
 def test_read_tables_order_and_edges(tmp_path):
     """Threaded multi-file read returns tables in INPUT order (the shard
     loader zips them against wave metadata), honors column pruning, and
