@@ -616,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_bins": packing.pack_bins,
         "doc_substring_dup": dedup.substring_dup_stats,
         "doc_pii": pii.doc_pii,
+        "doc_cooc_pmi": textstats.term_cooc_pmi,
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
         # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
         "knn_pq": simsearch.knn_pq_checked,
@@ -822,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
             textstats_mod.CHUNK_W, textstats_mod.CHUNK_S
         ),
         "doc_pii": pii_mod.pii_sql(),
+        "doc_cooc_pmi": sqlgen.cooc_pmi_sql(),
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),

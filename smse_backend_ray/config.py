@@ -195,3 +195,14 @@ FACET_MAX_VALUES = 100
 # results = vocab terms with levenshtein <= 1, ranked (lev ASC, df DESC,
 # term ASC), top SUGGEST_TOP
 SUGGEST_TOP = 5
+
+# Term co-occurrence / PMI (textstats.term_cooc_pmi <-> sqlgen.cooc_pmi_sql,
+# frozen pair): eligibility = distinct-doc df >= COOC_MIN_DF over the
+# kept-token stream; per doc only the COOC_DOC_TERM_CAP lexicographically
+# smallest eligible terms pair up (the 100 TB bound on the per-doc pair
+# triangle — never binds on the gate corpus); pairs with co-doc count
+# n_ab >= COOC_MIN_PAIRS survive; pmi = round(ln((N * n_ab) / (df_a *
+# df_b)) computed in double, 4) with N = total documents rows.
+COOC_MIN_DF = 5
+COOC_DOC_TERM_CAP = 256
+COOC_MIN_PAIRS = 3

@@ -1524,3 +1524,45 @@ SELECT CAST((rn - 1) // {page_limit} AS BIGINT) AS page,
        ((rn - 1) // {page_limit}) * {page_limit} + {page_limit} < total AS has_more
 FROM ordered ORDER BY rn
 """
+
+
+def cooc_pmi_sql() -> str:
+    """Term co-occurrence / PMI twin (textstats.term_cooc_pmi — frozen
+    pair; constants from config.COOC_*): distinct-doc df >= COOC_MIN_DF
+    eligibility over the kept-token stream, per-doc pair set limited to
+    the COOC_DOC_TERM_CAP lexicographically smallest eligible terms,
+    co-document counts n_ab >= COOC_MIN_PAIRS, pmi = round4(ln((N *
+    n_ab) / (df_a * df_b)) in double) with N = documents row count. PMI
+    is a scalar per pair row, so there is no float-sum ordering to
+    freeze."""
+    from smse_backend_ray.config import (
+        COOC_DOC_TERM_CAP,
+        COOC_MIN_DF,
+        COOC_MIN_PAIRS,
+    )
+
+    return f"""
+WITH kept AS ({_doc_kept_tokens()}),
+dterms AS (SELECT DISTINCT doc_id, term FROM kept),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dterms GROUP BY term),
+elig AS (
+  SELECT d.doc_id, d.term FROM dterms d JOIN df USING (term)
+  WHERE df.df >= {COOC_MIN_DF}
+  QUALIFY row_number() OVER (PARTITION BY d.doc_id ORDER BY d.term)
+          <= {COOC_DOC_TERM_CAP}
+),
+pairs AS (
+  SELECT x.term AS a, y.term AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM elig x JOIN elig y ON x.doc_id = y.doc_id AND x.term < y.term
+  GROUP BY x.term, y.term
+  HAVING count(*) >= {COOC_MIN_PAIRS}
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT p.a, p.b, p.n_ab, da.df AS df_a, db.df AS df_b,
+       round(ln((CAST(nn.n AS DOUBLE) * p.n_ab) / (CAST(da.df AS DOUBLE) * db.df)), 4) AS pmi
+FROM pairs p
+JOIN df da ON da.term = p.a
+JOIN df db ON db.term = p.b
+CROSS JOIN nn
+ORDER BY p.a, p.b
+"""

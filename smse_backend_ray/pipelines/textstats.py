@@ -679,3 +679,197 @@ def doc_chunks(sf_dir: str) -> pa.Table:
             out, sort_keys=[("doc_id", "ascending"), ("chunk_id", "ascending")]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence / PMI (collocation mining over the kept-token stream)
+# ---------------------------------------------------------------------------
+
+
+def term_cooc_pmi(sf_dir: str) -> pa.Table:
+    """Pointwise mutual information of term pairs sharing a document — the
+    collocation-mining step a training pipeline runs to discover multiword
+    expressions worth protecting from tokenization (Church & Hanks 1990).
+
+    Frozen pair with sqlgen.cooc_pmi_sql (constants in config.COOC_*):
+    eligibility = distinct-doc df >= COOC_MIN_DF over the kept-token
+    stream; per doc only the COOC_DOC_TERM_CAP lexicographically smallest
+    eligible terms pair up (a < b by string order); pairs with co-document
+    count n_ab >= COOC_MIN_PAIRS survive; pmi = round4(ln((N * n_ab) /
+    (df_a * df_b)) in double) with N = documents row count. PMI is a
+    scalar expression per pair row — no float-sum order sensitivity.
+
+    Scale shape: distinct (doc, term) rows stream through one df exchange;
+    eligibility is a distributed semi-join (the eligible vocabulary never
+    lands on the driver); the pair triangle runs inside doc-hash fat
+    buckets (one vectorized expansion per bucket, per-doc width capped at
+    COOC_DOC_TERM_CAP) with per-bucket Arrow pre-aggregation before the
+    global (a, b) sum; dfs attach via two bucketed unique-key joins —
+    the classic inverted-co-occurrence exchange, no all-pairs stage."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.config import (
+        COOC_DOC_TERM_CAP,
+        COOC_MIN_DF,
+        COOC_MIN_PAIRS,
+    )
+    from smse_backend_ray.functions.analyzer import kept_tokens_batch
+    from smse_backend_ray.functions.joins import (
+        _bucket_of,
+        attach_unique,
+        cpu_scaled_buckets,
+        grouped_aggregate,
+        semi_join,
+        with_schema,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = _parquet_rows(path) or 0
+    out_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("n_ab", pa.int64()),
+         ("df_a", pa.int64()), ("df_b", pa.int64()), ("pmi", pa.float64())]
+    )
+    if not n_docs:
+        return out_schema.empty_table()
+
+    def doc_terms(t: pa.Table) -> pa.Table:
+        """Distinct (doc_id, term) kept pairs, vectorized."""
+        toks = kept_tokens_batch(t["text"])
+        parent = pc.list_parent_indices(toks)
+        flat = toks.values
+        dids = pc.take(pc.cast(t["doc_id"], pa.int64()), parent)
+        return (
+            pa.table({"doc_id": dids, "term": flat})
+            .group_by(["doc_id", "term"])
+            .aggregate([])
+        )
+
+    rows_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string())])
+    rows = _read_documents(sf_dir).map_batches(
+        doc_terms, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # distinct-doc df per term; eligibility stays a DATASET (vocab-scaled)
+    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    df_ds = with_schema(
+        grouped_aggregate(rows, ["term"], [("doc_id", "count", "df")]),
+        df_schema,
+    ).filter(expr=f"df >= {COOC_MIN_DF}").materialize()
+
+    # consumed exactly once by the pair exchange below — stream it (never
+    # pin the full doc-term stream in the object store)
+    elig = semi_join(rows, df_ds, ["term"], rows_schema)
+
+    # pair triangle inside doc-hash fat buckets; per-doc width capped
+    nb = cpu_scaled_buckets()
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()), ("n", pa.int64())])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__db", pa.array(_bucket_of(t, ["doc_id"], nb), type=pa.int64())
+        )
+
+    def emit(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pair_schema.empty_table()
+        d = g["doc_id"].to_numpy()
+        # ints-only hot path: dictionary-encode the bucket's terms once,
+        # remap codes to the lexicographic rank of their dictionary string
+        # (rank order == term order), and run the whole triangle on int64
+        # ranks — no Python string objects touch the pair expansion
+        enc = pc.dictionary_encode(g["term"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        vorder = pc.sort_indices(vocab).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[vorder] = np.arange(len(vocab), dtype=np.int64)
+        sorted_vocab = vocab.take(pa.array(vorder))
+        r = rank[codes]
+        order = np.lexsort((r, d))
+        d_s, t_s = d[order], r[order]
+        newseg = np.empty(len(d_s), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = d_s[1:] != d_s[:-1]
+        seg_start = np.flatnonzero(newseg)
+        seg_id = np.cumsum(newseg) - 1
+        local_pos = np.arange(len(d_s)) - seg_start[seg_id]
+        # per-doc cap: only the first COOC_DOC_TERM_CAP terms (term-asc,
+        # the lexsort order) pair; element at capped local pos p pairs
+        # with its p in-cap predecessors
+        eff = np.where(local_pos < COOC_DOC_TERM_CAP, local_pos, 0)
+        total = int(eff.sum())
+        if not total:
+            return pair_schema.empty_table()
+        b_idx = np.repeat(np.arange(len(d_s)), eff)
+        starts = np.repeat(seg_start[seg_id], eff)
+        csum = np.concatenate(([0], np.cumsum(eff)))
+        within = np.arange(total) - np.repeat(csum[:-1], eff)
+        a_idx = starts + within
+        part = (
+            pa.table(
+                {"a": pa.array(t_s[a_idx], type=pa.int64()),
+                 "b": pa.array(t_s[b_idx], type=pa.int64())}
+            )
+            .group_by(["a", "b"])
+            .aggregate([("a", "count")])
+        )
+        # decode ranks back to terms only for the aggregated pair rows
+        # (pair-partial-bounded, not pair-expansion-bounded)
+        return pa.table(
+            {"a": sorted_vocab.take(part["a"]),
+             "b": sorted_vocab.take(part["b"]),
+             "n": pc.cast(part["a_count"], pa.int64())}
+        )
+
+    pairs = with_schema(
+        grouped_aggregate(
+            elig.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__db")
+            .map_groups(emit, batch_format="pyarrow"),
+            ["a", "b"],
+            [("n", "sum", "n_ab")],
+        ),
+        pa.schema([("a", pa.string()), ("b", pa.string()), ("n_ab", pa.int64())]),
+    ).filter(expr=f"n_ab >= {COOC_MIN_PAIRS}").materialize()
+
+    # attach dfs via two bucketed unique-key joins (pair-bounded inputs)
+    npair = pairs.count()
+    if npair == 0:
+        return out_schema.empty_table()
+    nbj = max(4, min(64, -(-npair // 512)))
+    ja = attach_unique(
+        pairs, df_ds.rename_columns({"df": "df_a"}), "a", "term",
+        pa.schema([("a", pa.string()), ("b", pa.string()), ("n_ab", pa.int64())]),
+        pa.schema([("df_a", pa.int64())]), nb=nbj,
+    )
+    jb = attach_unique(
+        ja, df_ds.rename_columns({"df": "df_b"}), "b", "term",
+        pa.schema([("a", pa.string()), ("b", pa.string()), ("n_ab", pa.int64()),
+                   ("df_a", pa.int64())]),
+        pa.schema([("df_b", pa.int64())]), nb=nbj,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        n_ab = t["n_ab"].to_numpy().astype(np.float64)
+        da = t["df_a"].to_numpy().astype(np.float64)
+        db = t["df_b"].to_numpy().astype(np.float64)
+        pmi = round_half_away(np.log((n_docs * n_ab) / (da * db)), 4)
+        return pa.table(
+            {"a": t["a"], "b": t["b"],
+             "n_ab": pc.cast(t["n_ab"], pa.int64()),
+             "df_a": pc.cast(t["df_a"], pa.int64()),
+             "df_b": pc.cast(t["df_b"], pa.int64()),
+             "pmi": pa.array(pmi, type=pa.float64())}
+        )
+
+    out = collect_table(
+        jb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=out_schema,
+    )
+    return out.take(
+        pa.compute.sort_indices(
+            out, sort_keys=[("a", "ascending"), ("b", "ascending")]
+        )
+    )

@@ -947,3 +947,89 @@ def test_doc_chunks_overlap_and_coverage(ray_session, tmp_path):
     assert len(orc) == len(mine)
     for col in ("doc_id", "chunk_id", "start_p", "n_tokens", "chunk_text"):
         assert list(orc[col]) == list(mine[col]), col
+
+
+def test_term_cooc_pmi_semantics_and_twin(ray_session, tmp_path, monkeypatch):
+    """PMI collocations: eligibility df floor, per-doc lexicographic term
+    cap, min co-doc count, and the round4(ln) formula — engine vs an
+    in-test brute-force reference vs the DuckDB twin, with constants
+    monkeypatched so every rule visibly binds on a tiny corpus."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import smse_backend_ray.config as config
+    from smse_backend_ray.functions.analyzer import tokenize
+    from smse_backend_ray.functions.sqlgen import cooc_pmi_sql
+    from smse_backend_ray.functions.rounding import round_half_away
+    from smse_backend_ray.pipelines.textstats import term_cooc_pmi
+
+    monkeypatch.setattr(config, "COOC_MIN_DF", 2)
+    monkeypatch.setattr(config, "COOC_DOC_TERM_CAP", 3)  # binds below
+    monkeypatch.setattr(config, "COOC_MIN_PAIRS", 2)
+
+    texts = [
+        "alpha beta gamma delta",          # 4 eligible terms -> cap drops delta's pairs
+        "alpha beta gamma",
+        "alpha beta",
+        "gamma delta",
+        "delta zulu",                       # zulu df=1 -> ineligible
+        "",                                 # empty doc
+    ]
+    rows = [
+        {"doc_id": i + 1, "text": t, "lang": "en", "source": "s0", "n_chars": 0}
+        for i, t in enumerate(texts)
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    got = term_cooc_pmi(sf)
+
+    # brute-force reference with the same frozen rules
+    n_docs = len(rows)
+    doc_terms = [sorted(set(tokenize(t))) for t in texts]
+    df = {}
+    for ts in doc_terms:
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    pairs: dict[tuple, int] = {}
+    for ts in doc_terms:
+        elig = [t for t in ts if df[t] >= 2][:3]  # MIN_DF, then the cap
+        for i in range(len(elig)):
+            for j in range(i + 1, len(elig)):
+                pairs[(elig[i], elig[j])] = pairs.get((elig[i], elig[j]), 0) + 1
+    want = sorted(
+        (a, b, n, df[a], df[b],
+         float(round_half_away(np.array([math.log((n_docs * n) / (df[a] * df[b]))]), 4)[0]))
+        for (a, b), n in pairs.items() if n >= 2
+    )
+    got_rows = [
+        (r["a"], r["b"], r["n_ab"], r["df_a"], r["df_b"], r["pmi"])
+        for r in got.to_pylist()
+    ]
+    assert got_rows == want
+    # cap=3 on doc 1's eligible [alpha, beta, delta, gamma] drops gamma, so
+    # (delta, gamma) co-occurs only in doc 4 and dies at MIN_PAIRS=2 —
+    # the only survivor is (alpha, beta)
+    assert {(a, b) for a, b, *_ in got_rows} == {("alpha", "beta")}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+
+    def twin_matches(engine_t):
+        orc = con.sql(cooc_pmi_sql()).fetch_arrow_table()
+        assert orc.num_rows == engine_t.num_rows
+        for col in ("a", "b", "n_ab", "df_a", "df_b", "pmi"):
+            assert orc[col].to_pylist() == engine_t[col].to_pylist(), col
+
+    twin_matches(got)  # twin under the tight cap
+
+    # with the cap loosened, (delta, gamma) reaches 2 co-docs and appears;
+    # the twin (which reads the same config constants) still agrees
+    monkeypatch.setattr(config, "COOC_DOC_TERM_CAP", 100)
+    loose = term_cooc_pmi(sf)
+    assert ("delta", "gamma") in {(r["a"], r["b"]) for r in loose.to_pylist()}
+    twin_matches(loose)
