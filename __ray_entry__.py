@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_substring_dup": dedup.substring_dup_stats,
         "doc_pii": pii.doc_pii,
         "doc_cooc_pmi": textstats.term_cooc_pmi,
+        "doc_keywords": textstats.doc_keywords,
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
         # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
         "knn_pq": simsearch.knn_pq_checked,
@@ -824,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_pii": pii_mod.pii_sql(),
         "doc_cooc_pmi": sqlgen.cooc_pmi_sql(),
+        "doc_keywords": sqlgen.keywords_sql(),
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),

@@ -206,3 +206,9 @@ SUGGEST_TOP = 5
 COOC_MIN_DF = 5
 COOC_DOC_TERM_CAP = 256
 COOC_MIN_PAIRS = 3
+
+# Per-doc tf-idf keywords (textstats.doc_keywords <-> sqlgen.keywords_sql,
+# frozen pair): tf over the kept-token stream, df = distinct-doc count,
+# tfidf = round4(tf * ln(N/df) in double); rank by ROUNDED tfidf DESC then
+# term ASC, keep the top KEYWORDS_TOP_K per doc.
+KEYWORDS_TOP_K = 10

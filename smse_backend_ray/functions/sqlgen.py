@@ -1566,3 +1566,34 @@ JOIN df db ON db.term = p.b
 CROSS JOIN nn
 ORDER BY p.a, p.b
 """
+
+def keywords_sql() -> str:
+    """Per-doc tf-idf keyword twin (textstats.doc_keywords — frozen pair;
+    K = config.KEYWORDS_TOP_K): tf = kept-token occurrences of term in
+    doc, df = distinct-doc count, tfidf = round(tf * ln(N / df), 4) in
+    double with N = documents row count; rank = row_number over
+    (ROUNDED tfidf DESC, term ASC) per doc, keep rank <= K. tfidf is a
+    scalar per row — no float-sum ordering to freeze."""
+    from smse_backend_ray.config import KEYWORDS_TOP_K
+
+    return f"""
+WITH kept AS ({_doc_kept_tokens()}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM kept GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(CAST(nn.n AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN nn
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, tfidf
+FROM ranked WHERE rank <= {KEYWORDS_TOP_K}
+ORDER BY doc_id, rank
+"""

@@ -873,3 +873,146 @@ def term_cooc_pmi(sf_dir: str) -> pa.Table:
             out, sort_keys=[("a", "ascending"), ("b", "ascending")]
         )
     )
+
+# ---------------------------------------------------------------------------
+# Per-doc tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def doc_keywords(sf_dir: str) -> pa.Table:
+    """Top-K tf-idf keywords per document — the per-doc representation step
+    a training pipeline runs for topic tagging / cluster labelling
+    (Sparck Jones idf; reference analog: the tag/metadata extraction the
+    CRUD app stores per upload, smse/models/document.py).
+
+    Frozen pair with sqlgen.keywords_sql (K = config.KEYWORDS_TOP_K):
+    tf = kept-token occurrences of term in doc, df = distinct-doc count,
+    tfidf = round4(tf * ln(N / df) in double) with N = documents rows;
+    rank = row_number per doc over (ROUNDED tfidf DESC, term ASC), keep
+    rank <= K. Output (doc_id, rank, term, tf, df, tfidf) ordered by
+    (doc_id, rank); empty docs yield no rows.
+
+    Scale shape: tf is computed fully IN-BATCH (a document lives in one
+    row, so per-batch group_by is globally exact — zero exchange); df is
+    one grouped_aggregate exchange over (doc, term) rows; df attaches via
+    a bucketed unique-key join; the per-doc top-K runs inside doc-hash
+    fat buckets with the same ints-only rank remap as term_cooc_pmi —
+    no per-doc Python, no driver-side state."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.config import KEYWORDS_TOP_K
+    from smse_backend_ray.functions.analyzer import kept_tokens_batch
+    from smse_backend_ray.functions.joins import (
+        _bucket_of,
+        attach_unique,
+        cpu_scaled_buckets,
+        grouped_aggregate,
+        with_schema,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = _parquet_rows(path) or 0
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("rank", pa.int64()), ("term", pa.string()),
+         ("tf", pa.int64()), ("df", pa.int64()), ("tfidf", pa.float64())]
+    )
+    if not n_docs:
+        return out_schema.empty_table()
+
+    def doc_tf(t: pa.Table) -> pa.Table:
+        toks = kept_tokens_batch(t["text"])
+        parent = pc.list_parent_indices(toks)
+        dids = pc.take(pc.cast(t["doc_id"], pa.int64()), parent)
+        g = (
+            pa.table({"doc_id": dids, "term": toks.values})
+            .group_by(["doc_id", "term"])
+            .aggregate([("term", "count")])
+        )
+        return pa.table(
+            {"doc_id": g["doc_id"], "term": g["term"],
+             "tf": pc.cast(g["term_count"], pa.int64())}
+        )
+
+    tf_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+    rows = _read_documents(sf_dir).map_batches(
+        doc_tf, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    df_ds = with_schema(
+        grouped_aggregate(rows, ["term"], [("doc_id", "count", "df")]),
+        df_schema,
+    ).materialize()
+
+    joined = attach_unique(
+        rows, df_ds, "term", "term", tf_schema,
+        pa.schema([("df", pa.int64())]),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy().astype(np.float64)
+        df = t["df"].to_numpy().astype(np.float64)
+        tfidf = round_half_away(tf * np.log(n_docs / df), 4)
+        return pa.table(
+            {"doc_id": t["doc_id"], "term": t["term"],
+             "tf": pc.cast(t["tf"], pa.int64()),
+             "df": pc.cast(t["df"], pa.int64()),
+             "tfidf": pa.array(tfidf, type=pa.float64())}
+        )
+
+    nb = cpu_scaled_buckets()
+    joined_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()),
+         ("df", pa.int64())]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__db", pa.array(_bucket_of(t, ["doc_id"], nb), type=pa.int64())
+        )
+
+    def topk(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return out_schema.empty_table()
+        d = g["doc_id"].to_numpy()
+        v = g["tfidf"].to_numpy()
+        # term tie-break via the ints-only rank remap (see term_cooc_pmi)
+        enc = pc.dictionary_encode(g["term"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        vorder = pc.sort_indices(vocab).to_numpy(zero_copy_only=False)
+        trank = np.empty(len(vocab), dtype=np.int64)
+        trank[vorder] = np.arange(len(vocab), dtype=np.int64)
+        order = np.lexsort((trank[codes], -v, d))
+        d_s = d[order]
+        newseg = np.empty(len(d_s), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = d_s[1:] != d_s[:-1]
+        seg_start = np.flatnonzero(newseg)
+        local_pos = np.arange(len(d_s)) - seg_start[np.cumsum(newseg) - 1]
+        keep = order[local_pos < KEYWORDS_TOP_K]
+        kept = g.select(["doc_id", "term", "tf", "df", "tfidf"]).take(
+            pa.array(keep)
+        )
+        return kept.append_column(
+            "rank",
+            pa.array(local_pos[local_pos < KEYWORDS_TOP_K] + 1, type=pa.int64()),
+        ).select(["doc_id", "rank", "term", "tf", "df", "tfidf"])
+
+    out = collect_table(
+        with_schema(joined, joined_schema)
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__db")
+        .map_groups(topk, batch_format="pyarrow"),
+        empty_schema=out_schema,
+    )
+    return out.take(
+        pa.compute.sort_indices(
+            out, sort_keys=[("doc_id", "ascending"), ("rank", "ascending")]
+        )
+    )

@@ -1033,3 +1033,79 @@ def test_term_cooc_pmi_semantics_and_twin(ray_session, tmp_path, monkeypatch):
     loose = term_cooc_pmi(sf)
     assert ("delta", "gamma") in {(r["a"], r["b"]) for r in loose.to_pylist()}
     twin_matches(loose)
+
+
+def test_doc_keywords_semantics_and_twin(ray_session, tmp_path, monkeypatch):
+    """tf-idf keywords: tf/df accounting, the round4 formula, the ROUNDED
+    tfidf DESC + term ASC rank order, and the top-K cap — engine vs an
+    in-test brute-force reference vs the DuckDB twin, with K monkeypatched
+    so the cap visibly binds."""
+    import math
+    from collections import Counter
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import smse_backend_ray.config as config
+    from smse_backend_ray.functions.analyzer import tokenize
+    from smse_backend_ray.functions.rounding import round_half_away
+    from smse_backend_ray.functions.sqlgen import keywords_sql
+    from smse_backend_ray.pipelines.textstats import doc_keywords
+
+    monkeypatch.setattr(config, "KEYWORDS_TOP_K", 2)  # binds below
+
+    texts = [
+        "alpha beta beta gamma gamma gamma",  # 3 candidates -> K=2 drops one
+        "alpha beta",                          # equal tf, equal df -> term tie
+        "gamma delta delta",
+        "",                                    # empty doc -> no rows
+    ]
+    rows = [
+        {"doc_id": i + 1, "text": t, "lang": "en", "source": "s0", "n_chars": 0}
+        for i, t in enumerate(texts)
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    got = doc_keywords(sf)
+
+    # brute-force reference with the same frozen rules
+    n_docs = len(rows)
+    toks = [tokenize(t) for t in texts]
+    df = Counter()
+    for ts in toks:
+        df.update(set(ts))
+    want = []
+    for i, ts in enumerate(toks):
+        tf = Counter(ts)
+        scored = sorted(
+            (
+                (-float(round_half_away(
+                    np.array([c * math.log(n_docs / df[t])]), 4)[0]), t, c)
+                for t, c in tf.items()
+            )
+        )[:2]
+        for r, (neg, t, c) in enumerate(scored, start=1):
+            want.append((i + 1, r, t, c, df[t], -neg))
+    got_rows = [
+        (r["doc_id"], r["rank"], r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in got.to_pylist()
+    ]
+    assert got_rows == want
+    # doc 2: alpha and beta tie exactly (tf=1, df=2 both) -> term ASC ranks
+    d2 = [(r, t) for (d, r, t, *_rest) in got_rows if d == 2]
+    assert d2 == [(1, "alpha"), (2, "beta")]
+    # doc 1 had 3 candidate terms; K=2 cap binds
+    assert sum(1 for d, *_ in got_rows if d == 1) == 2
+    assert all(d != 4 for d, *_ in got_rows)  # empty doc yields no rows
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    orc = con.sql(keywords_sql()).fetch_arrow_table()
+    assert orc.num_rows == got.num_rows
+    for col in ("doc_id", "rank", "term", "tf", "df", "tfidf"):
+        assert orc[col].to_pylist() == got[col].to_pylist(), col
