@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii": pii.doc_pii,
         "doc_cooc_pmi": textstats.term_cooc_pmi,
         "doc_keywords": textstats.doc_keywords,
+        "events_funnel": events.event_funnel,
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
         # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
         "knn_pq": simsearch.knn_pq_checked,
@@ -837,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "cust_order_distribution": relational_mod.cust_order_distribution_sql(),
         "promo_revenue_share": relational_mod.promo_revenue_share_sql(),
         "events_sliding_agg": events_mod.sliding_window_agg_sql(),
+        "events_funnel": events_mod.event_funnel_sql(),
         "events_hourly_agg": events_mod.hourly_window_agg_sql(),
         "events_sessions": events_mod.user_sessions_sql(),
         "events_recent": events_mod.recent_events_sql(),

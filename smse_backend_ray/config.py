@@ -212,3 +212,11 @@ COOC_MIN_PAIRS = 3
 # tfidf = round4(tf * ln(N/df) in double); rank by ROUNDED tfidf DESC then
 # term ASC, keep the top KEYWORDS_TOP_K per doc.
 KEYWORDS_TOP_K = 10
+
+# Event funnel (events.event_funnel <-> events.event_funnel_sql, frozen
+# pair): greedy first-match funnel per user over the ordered event log —
+# t_1 = min ts of a step-1 event; t_k = min ts of a step-k event with
+# ts STRICTLY > t_{k-1}; a user reaches step k iff t_k exists.
+# conv_rate = round4(n_users_k / n_users_1 in double), NULL when no user
+# reaches step 1. Steps are matched by exact event_type equality.
+FUNNEL_STEPS = ("signup", "click", "purchase")

@@ -849,3 +849,149 @@ SELECT win AS window, CAST(count(*) AS BIGINT) AS n,
        round(SUM(iv) / 10000.0, 4) AS sum_value
 FROM w GROUP BY win ORDER BY win
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis
+# ---------------------------------------------------------------------------
+
+
+def event_funnel(sf_dir: str, steps: "tuple[str, ...] | None" = None) -> pa.Table:
+    """Greedy first-match funnel over the event log: how many users reach
+    each ordered step (reference analog: the usage-analytics rollup the CRUD
+    app derives from its request log, smse/models/search_history.py — here
+    generalized to an ordered multi-step conversion funnel).
+
+    Frozen pair with ``event_funnel_sql`` (steps = config.FUNNEL_STEPS):
+    t_1(user) = min ts of a step-1 event; t_k(user) = min ts of a step-k
+    event with ts STRICTLY > t_{k-1}(user); a user reaches step k iff t_k
+    exists. Output one row per step: (step 1-based, event_type, n_users,
+    conv_rate = round4(n_users_k / n_users_1 in double), NULL if step 1 is
+    empty), ordered by step.
+
+    Scale shape: non-funnel rows are dropped AT THE SCAN (only
+    (user_id, ts_us, step) of matching rows enter the exchange); ONE
+    exchange on a user-hash bucket; inside a bucket ALL users advance
+    through the K steps together via segmented-min passes (np.minimum.at
+    over compact user indices — K C-kernel passes, never a Python call per
+    user); each bucket emits K partial counts and the driver folds the
+    K x n_buckets rows."""
+    from smse_backend_ray import config
+
+    steps = tuple(steps if steps is not None else config.FUNNEL_STEPS)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    k_steps = len(steps)
+    nb = _n_user_buckets()
+    step_set = pa.array(list(steps), type=pa.string())
+
+    def pre(t: pa.Table) -> pa.Table:
+        step = pc.index_in(t["event_type"], value_set=step_set)
+        keep = pc.is_valid(step)
+        slim = pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_us": pa.array(_epoch_us(t["ts"]), type=pa.int64()),
+                "step": pc.cast(step, pa.int64()),
+            }
+        ).filter(keep)
+        return _user_bucket_rows(slim, nb)
+
+    sentinel = np.iinfo(np.int64).max
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table(
+                {"step": pa.array([], type=pa.int64()),
+                 "n_users": pa.array([], type=pa.int64())}
+            )
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        st = g["step"].to_numpy()
+        uniq, uidx = np.unique(u, return_inverse=True)
+        counts = np.zeros(k_steps, dtype=np.int64)
+        t_prev = np.zeros(len(uniq), dtype=np.int64)  # step 0: no lower bound
+        for k in range(k_steps):
+            sel = st == k
+            # strict ts > t_prev; unreached users hold the max sentinel,
+            # which no event timestamp exceeds
+            valid = sel if k == 0 else sel & (ts > t_prev[uidx])
+            tk = np.full(len(uniq), sentinel, dtype=np.int64)
+            np.minimum.at(tk, uidx[valid], ts[valid])
+            counts[k] = int((tk < sentinel).sum())
+            t_prev = tk
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, k_steps + 1), type=pa.int64()),
+                "n_users": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    out = (
+        _read_events(sf_dir)
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    t = collect_table(
+        out,
+        empty_schema=pa.schema([("step", pa.int64()), ("n_users", pa.int64())]),
+    )
+    n = np.zeros(k_steps, dtype=np.int64)
+    if t.num_rows:
+        np.add.at(n, t["step"].to_numpy() - 1, t["n_users"].to_numpy())
+    s1 = int(n[0])
+    if s1 > 0:
+        conv = pa.array(
+            round_half_away(n.astype(np.float64) / s1, 4), type=pa.float64()
+        )
+    else:
+        conv = pa.array([None] * k_steps, type=pa.float64())
+    return pa.table(
+        {
+            "step": pa.array(np.arange(1, k_steps + 1), type=pa.int64()),
+            "event_type": pa.array(list(steps), type=pa.string()),
+            "n_users": pa.array(n, type=pa.int64()),
+            "conv_rate": conv,
+        }
+    )
+
+
+def event_funnel_sql(steps: "tuple[str, ...] | None" = None) -> str:
+    """DuckDB twin of event_funnel — MUST stay in lockstep (strict ts >
+    previous step's min ts, greedy first-match, round4 double division)."""
+    from smse_backend_ray import config
+
+    steps = tuple(steps if steps is not None else config.FUNNEL_STEPS)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+
+    def _sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    ctes = [
+        "f1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{_sq(steps[0])}' GROUP BY user_id)"
+    ]
+    for k in range(2, len(steps) + 1):
+        ctes.append(
+            f"f{k} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN f{k - 1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{_sq(steps[k - 1])}' AND e.ts > p.t "
+            "GROUP BY e.user_id)"
+        )
+    selects = [
+        f"SELECT CAST({k} AS BIGINT) AS step, '{_sq(s)}' AS event_type, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM f{k}) AS n_users"
+        for k, s in enumerate(steps, start=1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + ",\nn AS (\n  "
+        + "\n  UNION ALL ".join(selects)
+        + "\n)\nSELECT step, event_type, n_users,\n"
+        "       CASE WHEN (SELECT n_users FROM n WHERE step = 1) = 0 THEN NULL\n"
+        "            ELSE round(CAST(n_users AS DOUBLE) /\n"
+        "                       (SELECT n_users FROM n WHERE step = 1), 4)\n"
+        "       END AS conv_rate\n"
+        "FROM n ORDER BY step"
+    )

@@ -1109,3 +1109,72 @@ def test_doc_keywords_semantics_and_twin(ray_session, tmp_path, monkeypatch):
     assert orc.num_rows == got.num_rows
     for col in ("doc_id", "rank", "term", "tf", "df", "tfidf"):
         assert orc[col].to_pylist() == got[col].to_pylist(), col
+
+
+def test_event_funnel_semantics_and_twin(ray_session, tmp_path):
+    """Funnel rules that the sf corpora don't exercise (every synthetic user
+    completes all steps): greedy first-match, STRICT ts > previous step,
+    out-of-order events not counting, partial funnels, and the NULL
+    conv_rate when step 1 is empty — engine vs hand-computed truth vs the
+    DuckDB twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.pipelines.events import event_funnel, event_funnel_sql
+
+    # (user, ts_us, type) — hand-built so each rule binds:
+    #  u1: click AT signup ts (strict > drops it), later click counts;
+    #      purchase BEFORE that click is dropped, later purchase counts
+    #  u2: click only BEFORE signup -> stops at step 1
+    #  u3: purchase before its click -> stops at step 2
+    #  u4: never signs up -> reaches nothing
+    #  u5: clean completion
+    evs = [
+        (1, 100, "signup"), (1, 100, "click"), (1, 150, "click"),
+        (1, 140, "purchase"), (1, 200, "purchase"),
+        (2, 50, "click"), (2, 60, "signup"),
+        (3, 10, "signup"), (3, 20, "click"), (3, 15, "purchase"),
+        (4, 1, "click"), (4, 2, "purchase"),
+        (5, 5, "signup"), (5, 6, "click"), (5, 7, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(evs)), type=pa.int64()),
+            "ts": pa.array([e[1] for e in evs], type=pa.timestamp("us")),
+            "user_id": pa.array([e[0] for e in evs], type=pa.int64()),
+            "event_type": pa.array([e[2] for e in evs], type=pa.string()),
+            "value": pa.array([1.0] * len(evs), type=pa.float64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+
+    got = event_funnel(sf)
+    assert got.to_pydict() == {
+        "step": [1, 2, 3],
+        "event_type": ["signup", "click", "purchase"],
+        "n_users": [4, 3, 2],
+        "conv_rate": [1.0, 0.75, 0.5],
+    }
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    orc = con.sql(event_funnel_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
+
+    # empty step 1 -> zero counts, NULL conv_rate; twin agrees
+    steps = ("refund", "purchase")
+    got2 = event_funnel(sf, steps=steps)
+    assert got2["n_users"].to_pylist() == [0, 0]
+    assert got2["conv_rate"].to_pylist() == [None, None]
+    orc2 = con.sql(event_funnel_sql(steps=steps)).fetch_arrow_table()
+    assert orc2.to_pydict() == got2.to_pydict()
+
+    # longer custom funnel with a repeated type is rejected nowhere — each
+    # step matches independently by equality (view -> click -> purchase)
+    steps3 = ("view", "signup", "click", "purchase")
+    got3 = event_funnel(sf, steps=steps3)
+    orc3 = con.sql(event_funnel_sql(steps=steps3)).fetch_arrow_table()
+    assert orc3.to_pydict() == got3.to_pydict()
+    assert got3["n_users"].to_pylist()[0] == 0  # no view events at all
