@@ -619,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cooc_pmi": textstats.term_cooc_pmi,
         "doc_keywords": textstats.doc_keywords,
         "events_funnel": events.event_funnel,
+        "doc_length_quantiles": textstats.doc_length_quantiles,
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
         # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
         "knn_pq": simsearch.knn_pq_checked,
@@ -827,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii": pii_mod.pii_sql(),
         "doc_cooc_pmi": sqlgen.cooc_pmi_sql(),
         "doc_keywords": sqlgen.keywords_sql(),
+        "doc_length_quantiles": sqlgen.dl_quantiles_sql(),
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),

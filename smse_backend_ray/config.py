@@ -213,6 +213,14 @@ COOC_MIN_PAIRS = 3
 # term ASC, keep the top KEYWORDS_TOP_K per doc.
 KEYWORDS_TOP_K = 10
 
+# Per-lang doc-length quantiles (textstats.doc_length_quantiles <->
+# sqlgen.dl_quantiles_sql, frozen pair): dl = kept-token count per doc
+# (empty docs count with dl = 0); quantiles are linear-interpolated
+# (quantile_cont / numpy "linear": pos = q*(n-1), v = v_lo +
+# frac*(v_hi - v_lo) in double), rounded 4. Output columns p{100q}
+# derive from these probabilities.
+DL_QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
 # Event funnel (events.event_funnel <-> events.event_funnel_sql, frozen
 # pair): greedy first-match funnel per user over the ordered event log —
 # t_1 = min ts of a step-1 event; t_k = min ts of a step-k event with

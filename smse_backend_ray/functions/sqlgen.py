@@ -1597,3 +1597,24 @@ SELECT doc_id, rank, term, tf, df, tfidf
 FROM ranked WHERE rank <= {KEYWORDS_TOP_K}
 ORDER BY doc_id, rank
 """
+
+
+def dl_quantiles_sql() -> str:
+    """Twin of textstats.doc_length_quantiles — kept-token doc length
+    (empty docs dl=0), linear-interpolated quantiles rounded 4, per lang."""
+    from smse_backend_ray import config
+
+    probs = tuple(config.DL_QUANTILES)
+    cols = ",\n       ".join(
+        f"round(quantile_cont(dl, {q!r}), 4) AS p{int(round(q * 100)):d}"
+        for q in probs
+    )
+    return f"""
+WITH kept AS ({_doc_kept_tokens()}),
+k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY doc_id),
+dl AS (SELECT d.lang AS lang, COALESCE(k.n, 0) AS dl
+       FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       {cols}
+FROM dl GROUP BY lang ORDER BY lang
+"""

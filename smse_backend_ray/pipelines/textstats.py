@@ -1016,3 +1016,107 @@ def doc_keywords(sf_dir: str) -> pa.Table:
             out, sort_keys=[("doc_id", "ascending"), ("rank", "ascending")]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-lang doc-length quantiles (exact, histogram-based)
+# ---------------------------------------------------------------------------
+
+
+def doc_length_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-lang quantiles of kept-token document length — the corpus
+    length-profile a curation pipeline uses to set truncation/packing
+    budgets (reference analog: the per-modality size stats the CRUD app
+    exposes on its stats route, smse/routes/stats.py).
+
+    Frozen pair with sqlgen.dl_quantiles_sql (probs = config.DL_QUANTILES):
+    dl = kept-token count per doc (empty docs count, dl = 0); quantile =
+    linear interpolation over the sorted dls (pos = q*(n-1), v = v_lo +
+    frac*(v_hi - v_lo), double), rounded 4. Output (lang, n_docs,
+    p25, p50, p75, p90) ordered by lang.
+
+    Scale shape: EXACT quantiles without a distributed sort — dl has a
+    bounded integer domain, so per-batch (lang, dl) count partials combine
+    through one grouped_aggregate exchange into a histogram of at most
+    |langs| x max_dl rows; the driver finishes on that tiny histogram
+    (cumsum + interpolation), never on per-doc data."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.analyzer import kept_tokens_batch
+    from smse_backend_ray.functions.joins import grouped_aggregate, with_schema
+
+    probs = tuple(config.DL_QUANTILES)
+    pcols = [f"p{int(round(q * 100)):d}" for q in probs]
+    out_fields = [("lang", pa.string()), ("n_docs", pa.int64())] + [
+        (c, pa.float64()) for c in pcols
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = kept_tokens_batch(t["text"])
+        dl = pc.list_value_length(toks)
+        g = (
+            pa.table({"lang": t["lang"], "dl": pc.cast(dl, pa.int64())})
+            .group_by(["lang", "dl"])
+            .aggregate([("dl", "count")])
+        )
+        return pa.table(
+            {"lang": g["lang"], "dl": g["dl"],
+             "cnt": pc.cast(g["dl_count"], pa.int64())}
+        )
+
+    hist_schema = pa.schema(
+        [("lang", pa.string()), ("dl", pa.int64()), ("cnt", pa.int64())]
+    )
+    hist = with_schema(
+        grouped_aggregate(
+            _read_documents(sf_dir).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["lang", "dl"],
+            [("cnt", "sum", "cnt")],
+        ),
+        hist_schema,
+    )
+    t = collect_table(hist, empty_schema=hist_schema)
+    if not t.num_rows:
+        return out_schema.empty_table()
+
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("lang", "ascending"), ("dl", "ascending")]
+        )
+    )
+    langs = t["lang"].to_numpy(zero_copy_only=False)
+    dls = t["dl"].to_numpy().astype(np.float64)
+    cnts = t["cnt"].to_numpy()
+    new = np.empty(len(langs), dtype=bool)
+    new[0] = True
+    new[1:] = langs[1:] != langs[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(langs))
+
+    out_rows: dict[str, list] = {f: [] for f, _ in out_fields}
+    for s, e in zip(starts, ends):
+        v = dls[s:e]
+        w = cnts[s:e]
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        out_rows["lang"].append(str(langs[s]))
+        out_rows["n_docs"].append(n)
+        for q, col in zip(probs, pcols):
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            # value at 0-based rank r = first histogram bin whose cumulative
+            # count exceeds r
+            v_lo = v[np.searchsorted(cum, lo + 1, side="left")]
+            v_hi = v[np.searchsorted(cum, hi + 1, side="left")]
+            val = v_lo + (pos - lo) * (v_hi - v_lo)
+            out_rows[col].append(
+                float(round_half_away(np.array([val]), 4)[0])
+            )
+    return pa.table(
+        {f: pa.array(out_rows[f], type=ty) for f, ty in out_fields}
+    )

@@ -1178,3 +1178,58 @@ def test_event_funnel_semantics_and_twin(ray_session, tmp_path):
     orc3 = con.sql(event_funnel_sql(steps=steps3)).fetch_arrow_table()
     assert orc3.to_pydict() == got3.to_pydict()
     assert got3["n_users"].to_pylist()[0] == 0  # no view events at all
+
+
+def test_doc_length_quantiles_semantics_and_twin(ray_session, tmp_path):
+    """Per-lang exact dl quantiles from the bounded-domain histogram:
+    empty docs count as dl=0, single-doc langs, interpolated (fractional)
+    positions — engine vs numpy linear quantiles on the expanded dls vs
+    the DuckDB quantile_cont twin, including a randomized corpus."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.functions.analyzer import tokenize
+    from smse_backend_ray.functions.rounding import round_half_away
+    from smse_backend_ray.functions.sqlgen import dl_quantiles_sql
+    from smse_backend_ray.pipelines.textstats import doc_length_quantiles
+    from smse_backend_ray import config
+
+    rng = np.random.default_rng(20260819)
+    words = ["alpha", "beta", "gamma", "delta", "zulu", "omega"]
+    texts = ["", "alpha", "alpha beta gamma"]          # en: dl 0, 1, 3
+    langs = ["en", "en", "en"]
+    texts.append("alpha beta")                          # fr: single doc
+    langs.append("fr")
+    for _ in range(25):                                 # de: random lengths
+        n = int(rng.integers(0, 12))
+        texts.append(" ".join(rng.choice(words, n)))
+        langs.append("de")
+    rows = [
+        {"doc_id": i + 1, "text": t, "lang": lang, "source": "s0", "n_chars": 0}
+        for i, (t, lang) in enumerate(zip(texts, langs))
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    got = doc_length_quantiles(sf)
+
+    # reference: numpy linear quantiles over the kept-token counts
+    by_lang: dict[str, list[int]] = {}
+    for t, lang in zip(texts, langs):
+        by_lang.setdefault(lang, []).append(len(tokenize(t)))
+    assert got["lang"].to_pylist() == sorted(by_lang)
+    for row in got.to_pylist():
+        dls = np.array(sorted(by_lang[row["lang"]]), dtype=np.float64)
+        assert row["n_docs"] == len(dls)
+        for q in config.DL_QUANTILES:
+            col = f"p{int(round(q * 100)):d}"
+            want = float(round_half_away(
+                np.array([np.quantile(dls, q, method="linear")]), 4)[0])
+            assert row[col] == want, (row["lang"], col)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    orc = con.sql(dl_quantiles_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
