@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": textstats.doc_keywords,
         "events_funnel": events.event_funnel,
         "doc_length_quantiles": textstats.doc_length_quantiles,
+        "shipping_priority": relational.shipping_priority,
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
         # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
         "knn_pq": simsearch.knn_pq_checked,
@@ -834,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "events_asof_join": events_mod.asof_join_sql(),
         "events_range_join": events_mod.range_join_sql(),
+        "shipping_priority": relational_mod.shipping_priority_sql(),
         "revenue_by_month": relational_mod.revenue_by_month_sql(),
         "nation_revenue": relational_mod.nation_revenue_sql(),
         "order_priority_counts": relational_mod.order_priority_counts_sql(),

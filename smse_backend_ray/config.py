@@ -213,6 +213,15 @@ COOC_MIN_PAIRS = 3
 # term ASC, keep the top KEYWORDS_TOP_K per doc.
 KEYWORDS_TOP_K = 10
 
+# TPC-H Q3 shape (relational.shipping_priority <->
+# relational.shipping_priority_sql, frozen pair): one market segment,
+# orders strictly before the cutoff, lineitems shipped strictly after;
+# revenue summed in exact 1e-4-dollar units (_revenue_scaled); ties
+# (revenue_scaled DESC, o_orderdate ASC, l_orderkey ASC), top Q3_TOP_N.
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-30"
+Q3_TOP_N = 10
+
 # Per-lang doc-length quantiles (textstats.doc_length_quantiles <->
 # sqlgen.dl_quantiles_sql, frozen pair): dl = kept-token count per doc
 # (empty docs count with dl = 0); quantiles are linear-interpolated

@@ -462,3 +462,170 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
+
+
+def shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q3 shape (shipping priority): top-N revenue of orders from one
+    market segment placed before the cutoff with lineitems still shipping
+    after it.
+
+    Frozen pair with ``shipping_priority_sql`` (constants in config.Q3_*):
+    revenue in exact 1e-4-dollar units (_revenue_scaled — order-free int
+    sums), ties broken (revenue_scaled DESC, o_orderdate ASC,
+    l_orderkey ASC), top config.Q3_TOP_N.
+
+    Scale shape: both dimensions prune AT THE SCAN (segment filter on
+    customer, date window on orders, shipdate filter on lineitem); the
+    customer->orders reduction is a bucketed distributed semi-join (the
+    segment side is NOT broadcast — customer is a fact-scale table at
+    100 TB); lineitem pre-combines per batch to one row per orderkey
+    before the bucketed inner join; the final top-N runs per-block on
+    complete groups (grouped_aggregate emits each key exactly once) and
+    the driver merges N-row partials."""
+    import datetime
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import (
+        attach_unique,
+        grouped_aggregate,
+        semi_join,
+        with_schema,
+    )
+
+    seg = config.Q3_SEGMENT
+    cutoff = datetime.datetime.fromisoformat(config.Q3_CUTOFF)
+    top_n = config.Q3_TOP_N
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["c_mktsegment"], seg)
+        return pa.table(
+            {"o_custkey": pc.cast(t.filter(m)["c_custkey"], pa.int64())}
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        seg_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def ord_window(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        kept = t.filter(pc.less(dt, pa.scalar(cutoff)))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(kept["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(kept["o_custkey"], pa.int64()),
+                "odate_us": pc.cast(
+                    pc.cast(kept["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    orders_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("odate_us", pa.int64())]
+    )
+    orders = semi_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ord_window, batch_format="pyarrow", zero_copy_batch=True),
+        cust,
+        keys=["o_custkey"],
+        left_schema=orders_schema,
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "odate_us"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def li_combine(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        kept = t.filter(pc.greater(dt, pa.scalar(cutoff)))
+        rev = _revenue_scaled(
+            kept["l_extendedprice"].to_numpy(zero_copy_only=False),
+            kept["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        g = (
+            pa.table(
+                {"l_orderkey": pc.cast(kept["l_orderkey"], pa.int64()),
+                 "rev": pa.array(rev, type=pa.int64())}
+            )
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"],
+             "rev": pc.cast(g["rev_sum"], pa.int64())}
+        )
+
+    facts = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    facts_schema = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())])
+    joined = attach_unique(
+        facts, orders, "l_orderkey", "o_orderkey", facts_schema,
+        pa.schema([("odate_us", pa.int64())]),
+    )
+
+    rolled_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("odate_us", pa.int64()),
+         ("revenue_scaled", pa.int64())]
+    )
+    rolled = with_schema(
+        grouped_aggregate(
+            joined, ["l_orderkey", "odate_us"],
+            [("rev", "sum", "revenue_scaled")],
+        ),
+        rolled_schema,
+    )
+
+    def block_topn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return rolled_schema.empty_table()
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("revenue_scaled", "descending"),
+                       ("odate_us", "ascending"), ("l_orderkey", "ascending")],
+        )
+        return t.take(idx[:top_n])
+
+    t = collect_table(
+        rolled.map_batches(
+            block_topn, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema=rolled_schema,
+    )
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[("revenue_scaled", "descending"),
+                   ("odate_us", "ascending"), ("l_orderkey", "ascending")],
+    )
+    t = t.take(idx[: min(top_n, t.num_rows)])
+    return pa.table(
+        {
+            "l_orderkey": t["l_orderkey"],
+            "revenue_scaled": t["revenue_scaled"],
+            "o_orderdate": pc.cast(t["odate_us"], pa.timestamp("us")),
+        }
+    )
+
+
+def shipping_priority_sql() -> str:
+    from smse_backend_ray import config
+
+    seg = config.Q3_SEGMENT.replace("'", "''")
+    return f"""
+SELECT l_orderkey,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+         AS revenue_scaled,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{seg}'
+  AND o_orderdate < TIMESTAMP '{config.Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{config.Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_scaled DESC, o_orderdate, l_orderkey
+LIMIT {config.Q3_TOP_N}
+"""

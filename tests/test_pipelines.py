@@ -1233,3 +1233,94 @@ def test_doc_length_quantiles_semantics_and_twin(ray_session, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
     orc = con.sql(dl_quantiles_sql()).fetch_arrow_table()
     assert orc.to_pydict() == got.to_pydict()
+
+
+def test_shipping_priority_semantics_and_twin(ray_session, tmp_path, monkeypatch):
+    """Q3 shape on a hand-built micro-warehouse: strict date boundaries
+    (order ON the cutoff excluded, lineitem shipped ON the cutoff
+    excluded), segment filter, exact scaled-int revenue, the (revenue
+    DESC, o_orderdate ASC, l_orderkey ASC) tie order, and the top-N cap —
+    engine vs hand-computed truth vs the DuckDB twin."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import smse_backend_ray.config as config
+    from smse_backend_ray.pipelines.relational import (
+        shipping_priority,
+        shipping_priority_sql,
+    )
+
+    monkeypatch.setattr(config, "Q3_SEGMENT", "BUILDING")
+    monkeypatch.setattr(config, "Q3_CUTOFF", "2000-01-01")
+    monkeypatch.setattr(config, "Q3_TOP_N", 3)
+    D = datetime.datetime(2000, 1, 1)
+    before, after = datetime.datetime(1999, 6, 1), datetime.datetime(2000, 6, 1)
+
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_name": ["a", "b", "c"],
+        "c_nationkey": pa.array([0, 0, 0], type=pa.int64()),
+        "c_acctbal": pa.array([0.0, 0.0, 0.0]),
+        "c_mktsegment": ["BUILDING", "AUTOMOBILE", "BUILDING"],
+    })
+    # o10: qualifies. o11: order date ON cutoff -> excluded (strict <).
+    # o12: wrong segment. o13/o14: revenue tie -> date then key order.
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 3, 1], type=pa.int64()),
+        "o_orderstatus": ["O"] * 5,
+        "o_totalprice": pa.array([0.0] * 5),
+        "o_orderdate": pa.array([before, D, before, before, before],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": ["1-URGENT"] * 5,
+    })
+    # lineitems: ship date must be STRICTLY after the cutoff
+    li_rows = [
+        (10, after, 100.0, 0.10),   # 10000 * 90 = 900000
+        (10, after, 50.0, 0.00),    # 5000 * 100 = 500000 -> o10 total 1400000
+        (10, D, 999.0, 0.0),        # shipped ON cutoff -> dropped
+        (11, after, 999.0, 0.0),    # order excluded by date
+        (12, after, 999.0, 0.0),    # wrong segment
+        (13, after, 60.0, 0.00),    # 6000 * 100 = 600000
+        (14, after, 60.0, 0.00),    # same revenue as o13 -> tie on key
+    ]
+    lineitem = pa.table({
+        "l_orderkey": pa.array([r[0] for r in li_rows], type=pa.int64()),
+        "l_partkey": pa.array([0] * len(li_rows), type=pa.int64()),
+        "l_suppkey": pa.array([0] * len(li_rows), type=pa.int64()),
+        "l_linenumber": pa.array(list(range(len(li_rows))), type=pa.int64()),
+        "l_quantity": pa.array([1.0] * len(li_rows)),
+        "l_extendedprice": pa.array([r[2] for r in li_rows]),
+        "l_discount": pa.array([r[3] for r in li_rows]),
+        "l_tax": pa.array([0.0] * len(li_rows)),
+        "l_returnflag": ["N"] * len(li_rows),
+        "l_linestatus": ["O"] * len(li_rows),
+        "l_shipdate": pa.array([r[1] for r in li_rows], type=pa.timestamp("us")),
+    })
+    sf = str(tmp_path)
+    pq.write_table(cust, f"{sf}/customer.parquet")
+    pq.write_table(orders, f"{sf}/orders.parquet")
+    pq.write_table(lineitem, f"{sf}/lineitem.parquet")
+
+    got = shipping_priority(sf)
+    assert got.to_pydict() == {
+        "l_orderkey": [10, 13, 14],
+        "revenue_scaled": [1400000, 600000, 600000],
+        "o_orderdate": [before, before, before],
+    }
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    orc = con.sql(shipping_priority_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
+
+    # top-N binds: N=1 keeps only the highest-revenue order, twin agrees
+    monkeypatch.setattr(config, "Q3_TOP_N", 1)
+    got1 = shipping_priority(sf)
+    assert got1["l_orderkey"].to_pylist() == [10]
+    orc1 = con.sql(shipping_priority_sql()).fetch_arrow_table()
+    assert orc1.to_pydict() == got1.to_pydict()
