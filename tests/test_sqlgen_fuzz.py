@@ -248,3 +248,26 @@ def test_unigram_logprob_adversarial(ray_session, adv_dir, adv_duck):
     assert t.to_pylist() == want.to_pylist()
     by_id = {r["doc_id"]: r for r in t.to_pylist()}
     assert by_id[0] == {"doc_id": 0, "dl": 0, "avg_logprob": 0.0}  # empty doc
+
+
+def test_cooc_pmi_adversarial(ray_session, adv_dir, adv_duck):
+    t = textstats.term_cooc_pmi(adv_dir)
+    want = adv_duck.sql(sqlgen.cooc_pmi_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+
+
+def test_doc_keywords_adversarial(ray_session, adv_dir, adv_duck):
+    t = textstats.doc_keywords(adv_dir)
+    want = adv_duck.sql(sqlgen.keywords_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # empty/whitespace-only docs yield no keyword rows
+    ids = {r["doc_id"] for r in t.to_pylist()}
+    assert 0 not in ids and 1 not in ids
+
+
+def test_dl_quantiles_adversarial(ray_session, adv_dir, adv_duck):
+    t = textstats.doc_length_quantiles(adv_dir)
+    want = adv_duck.sql(sqlgen.dl_quantiles_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # single lang; empty docs hold the p25 down to a real 0-containing lerp
+    assert t.num_rows == 1 and t["n_docs"][0].as_py() == len(ADVERSARIAL_TEXTS)
