@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": events.event_funnel,
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "shipping_priority": relational.shipping_priority,
+        "returned_item_revenue": relational.returned_item_revenue,
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
         # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
         "knn_pq": simsearch.knn_pq_checked,
@@ -836,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": events_mod.asof_join_sql(),
         "events_range_join": events_mod.range_join_sql(),
         "shipping_priority": relational_mod.shipping_priority_sql(),
+        "returned_item_revenue": relational_mod.returned_item_revenue_sql(),
         "revenue_by_month": relational_mod.revenue_by_month_sql(),
         "nation_revenue": relational_mod.nation_revenue_sql(),
         "order_priority_counts": relational_mod.order_priority_counts_sql(),

@@ -222,6 +222,16 @@ Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = "1998-06-30"
 Q3_TOP_N = 10
 
+# TPC-H Q10 shape (relational.returned_item_revenue <->
+# relational.returned_item_revenue_sql, frozen pair): lineitems with
+# l_returnflag = Q10_RETURNFLAG on orders in [Q10_DATE_LO, Q10_DATE_HI);
+# revenue summed in exact 1e-4-dollar units; ties (revenue_scaled DESC,
+# c_custkey ASC), top Q10_TOP_N, enriched with customer + nation meta.
+Q10_RETURNFLAG = "R"
+Q10_DATE_LO = "1996-01-01"
+Q10_DATE_HI = "1996-07-01"
+Q10_TOP_N = 20
+
 # Per-lang doc-length quantiles (textstats.doc_length_quantiles <->
 # sqlgen.dl_quantiles_sql, frozen pair): dl = kept-token count per doc
 # (empty docs count with dl = 0); quantiles are linear-interpolated

@@ -629,3 +629,167 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue_scaled DESC, o_orderdate, l_orderkey
 LIMIT {config.Q3_TOP_N}
 """
+
+
+def returned_item_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q10 shape (returned-item reporting): top-N customers by
+    revenue from returned lineitems on orders placed in a date window.
+
+    Frozen pair with ``returned_item_revenue_sql`` (constants in
+    config.Q10_*): revenue in exact 1e-4-dollar units (_revenue_scaled),
+    ties (revenue_scaled DESC, c_custkey ASC), top config.Q10_TOP_N.
+
+    Scale shape: orders prune to the window and two columns at the read;
+    lineitem prunes to the returnflag and pre-combines per batch to one
+    row per orderkey; the orderkey->custkey hop is a bucketed inner join;
+    the per-customer rollup is one grouped_aggregate exchange; top-N folds
+    per-block over complete groups. Customer/nation enrichment happens
+    AFTER top-N on <= N surviving keys — a parquet point read with a
+    pushed-down key filter, never a fact-scale join (the same <= k
+    enrichment shape as the search result join, stages/scorer.py)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import (
+        attach_unique,
+        grouped_aggregate,
+        with_schema,
+    )
+
+    lo = datetime.datetime.fromisoformat(config.Q10_DATE_LO)
+    hi = datetime.datetime.fromisoformat(config.Q10_DATE_HI)
+    flag = config.Q10_RETURNFLAG
+    top_n = config.Q10_TOP_N
+
+    def ord_window(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        m = pc.and_(
+            pc.greater_equal(dt, pa.scalar(lo)), pc.less(dt, pa.scalar(hi))
+        )
+        kept = t.filter(m)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(kept["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(kept["o_custkey"], pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ord_window, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_combine(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t["l_returnflag"], flag))
+        rev = _revenue_scaled(
+            kept["l_extendedprice"].to_numpy(zero_copy_only=False),
+            kept["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        g = (
+            pa.table(
+                {"l_orderkey": pc.cast(kept["l_orderkey"], pa.int64()),
+                 "rev": pa.array(rev, type=pa.int64())}
+            )
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"],
+             "rev": pc.cast(g["rev_sum"], pa.int64())}
+        )
+
+    facts = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    facts_schema = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())])
+    joined = attach_unique(
+        facts, orders, "l_orderkey", "o_orderkey", facts_schema,
+        pa.schema([("o_custkey", pa.int64())]),
+    )
+
+    rolled_schema = pa.schema(
+        [("o_custkey", pa.int64()), ("revenue_scaled", pa.int64())]
+    )
+    rolled = with_schema(
+        grouped_aggregate(
+            joined, ["o_custkey"], [("rev", "sum", "revenue_scaled")]
+        ),
+        rolled_schema,
+    )
+
+    def block_topn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return rolled_schema.empty_table()
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("revenue_scaled", "descending"),
+                       ("o_custkey", "ascending")],
+        )
+        return t.take(idx[:top_n])
+
+    t = collect_table(
+        rolled.map_batches(
+            block_topn, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema=rolled_schema,
+    )
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[("revenue_scaled", "descending"), ("o_custkey", "ascending")],
+    )
+    t = t.take(idx[: min(top_n, t.num_rows)])
+
+    # <= N survivors: pushed-down point read of customer, tiny nation lookup
+    keys = t["o_custkey"].to_pylist()
+    cust = pads.dataset(os.path.join(sf_dir, "customer.parquet")).to_table(
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pads.field("c_custkey").isin(keys) if keys else None,
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nname = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    meta = {
+        r["c_custkey"]: r for r in cust.to_pylist()
+    }
+    rows = [meta[k] for k in keys]
+    return pa.table(
+        {
+            "c_custkey": pa.array(keys, type=pa.int64()),
+            "c_name": pa.array([r["c_name"] for r in rows], type=pa.string()),
+            "revenue_scaled": t["revenue_scaled"],
+            "c_acctbal": pa.array(
+                [r["c_acctbal"] for r in rows], type=pa.float64()
+            ),
+            "n_name": pa.array(
+                [nname[r["c_nationkey"]] for r in rows], type=pa.string()
+            ),
+        }
+    )
+
+
+def returned_item_revenue_sql() -> str:
+    from smse_backend_ray import config
+
+    flag = config.Q10_RETURNFLAG.replace("'", "''")
+    return f"""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+         AS revenue_scaled,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{config.Q10_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{config.Q10_DATE_HI}'
+  AND l_returnflag = '{flag}'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_scaled DESC, c_custkey
+LIMIT {config.Q10_TOP_N}
+"""

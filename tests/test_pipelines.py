@@ -1324,3 +1324,95 @@ def test_shipping_priority_semantics_and_twin(ray_session, tmp_path, monkeypatch
     assert got1["l_orderkey"].to_pylist() == [10]
     orc1 = con.sql(shipping_priority_sql()).fetch_arrow_table()
     assert orc1.to_pydict() == got1.to_pydict()
+
+
+def test_returned_item_revenue_semantics_and_twin(ray_session, tmp_path, monkeypatch):
+    """Q10 shape on a micro-warehouse: returnflag filter, half-open date
+    window ([lo, hi)), scaled-int revenue across a customer's multiple
+    orders, (revenue DESC, c_custkey ASC) tie order, top-N cap, and the
+    customer/nation enrichment — engine vs hand truth vs the DuckDB twin."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import smse_backend_ray.config as config
+    from smse_backend_ray.pipelines.relational import (
+        returned_item_revenue,
+        returned_item_revenue_sql,
+    )
+
+    monkeypatch.setattr(config, "Q10_RETURNFLAG", "R")
+    monkeypatch.setattr(config, "Q10_DATE_LO", "2000-01-01")
+    monkeypatch.setattr(config, "Q10_DATE_HI", "2000-04-01")
+    monkeypatch.setattr(config, "Q10_TOP_N", 2)
+    lo = datetime.datetime(2000, 1, 1)
+    hi = datetime.datetime(2000, 4, 1)
+    inside = datetime.datetime(2000, 2, 1)
+
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": ["N_A", "N_B"],
+        "n_regionkey": pa.array([0, 0], type=pa.int64()),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_name": ["ann", "bob", "cyd"],
+        "c_nationkey": pa.array([0, 1, 0], type=pa.int64()),
+        "c_acctbal": pa.array([10.5, -2.25, 0.0]),
+        "c_mktsegment": ["BUILDING"] * 3,
+    })
+    # o20/o21: cust 1, both in-window (revenue spans orders).
+    # o22: ON lo (inclusive). o23: ON hi (excluded). o24: cust 3 ties cust 2.
+    orders = pa.table({
+        "o_orderkey": pa.array([20, 21, 22, 23, 24], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+        "o_orderstatus": ["O"] * 5,
+        "o_totalprice": pa.array([0.0] * 5),
+        "o_orderdate": pa.array([inside, inside, lo, hi, inside],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": ["1-URGENT"] * 5,
+    })
+    li_rows = [
+        (20, "R", 100.0, 0.10),  # 900000
+        (21, "R", 50.0, 0.00),   # 500000 -> cust1 total 1400000
+        (21, "N", 999.0, 0.0),   # wrong flag
+        (22, "R", 60.0, 0.00),   # cust2 600000 (order on lo counts)
+        (23, "R", 999.0, 0.0),   # order on hi -> excluded
+        (24, "R", 60.0, 0.00),   # cust3 600000 -> revenue tie with cust2
+    ]
+    lineitem = pa.table({
+        "l_orderkey": pa.array([r[0] for r in li_rows], type=pa.int64()),
+        "l_partkey": pa.array([0] * len(li_rows), type=pa.int64()),
+        "l_suppkey": pa.array([0] * len(li_rows), type=pa.int64()),
+        "l_linenumber": pa.array(list(range(len(li_rows))), type=pa.int64()),
+        "l_quantity": pa.array([1.0] * len(li_rows)),
+        "l_extendedprice": pa.array([r[2] for r in li_rows]),
+        "l_discount": pa.array([r[3] for r in li_rows]),
+        "l_tax": pa.array([0.0] * len(li_rows)),
+        "l_returnflag": pa.array([r[1] for r in li_rows], type=pa.string()),
+        "l_linestatus": ["O"] * len(li_rows),
+        "l_shipdate": pa.array([inside] * len(li_rows), type=pa.timestamp("us")),
+    })
+    sf = str(tmp_path)
+    pq.write_table(cust, f"{sf}/customer.parquet")
+    pq.write_table(orders, f"{sf}/orders.parquet")
+    pq.write_table(lineitem, f"{sf}/lineitem.parquet")
+    pq.write_table(nation, f"{sf}/nation.parquet")
+
+    got = returned_item_revenue(sf)
+    # top-2: cust1 (1400000), then the 600000 tie broken by custkey -> cust2
+    assert got.to_pydict() == {
+        "c_custkey": [1, 2],
+        "c_name": ["ann", "bob"],
+        "revenue_scaled": [1400000, 600000],
+        "c_acctbal": [10.5, -2.25],
+        "n_name": ["N_A", "N_B"],
+    }
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    orc = con.sql(returned_item_revenue_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
