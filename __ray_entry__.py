@@ -622,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "shipping_priority": relational.shipping_priority,
         "returned_item_revenue": relational.returned_item_revenue,
+        "doc_shuffle": sampling.doc_shuffle,
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
         # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
         "knn_pq": simsearch.knn_pq_checked,
@@ -850,5 +851,6 @@ def oracle_sql() -> dict[str, str]:
         "events_recent": events_mod.recent_events_sql(),
         "events_props_agg": events_mod.props_agg_sql(),
         "doc_sample": sampling_mod.doc_sample_sql(),
+        "doc_shuffle": sampling_mod.doc_shuffle_sql(),
         "doc_sample_stratified": sampling_mod.doc_sample_stratified_sql(),
     }

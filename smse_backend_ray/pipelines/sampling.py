@@ -132,3 +132,104 @@ FROM documents
 WHERE {_key_sql()} < {thr}
 ORDER BY doc_id
 """
+
+
+def doc_shuffle(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
+    """Deterministic corpus shuffle: assign every doc a global training-order
+    rank — the epoch-ordering step a training pipeline runs before packing.
+    Membership in a rank depends only on doc_id (same frozen Knuth key as
+    doc_sample), never on run order, partitioning or a driver seed.
+
+    Frozen pair with ``doc_shuffle_sql``: shuffle_key = sample_key(doc_id)
+    (exact mod-2^32 Knuth multiplicative hash); rank = 0-based position in
+    (shuffle_key ASC, doc_id ASC) order. Output (rank, doc_id, shuffle_key)
+    ordered by rank.
+
+    Scale shape: the classic two-level scan (same machinery as
+    packing.pack_bins) but over KEY ranges: keys are uniform on [0, 2^32)
+    by construction, so R equal-width key ranges are balanced for ANY
+    doc_id distribution; per-range counts (R scalars) give the driver the
+    exclusive rank offsets; each fat range then sorts (key, doc_id) and
+    adds its base — O(ranges) driver state, one exchange, no global sort."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.functions.joins import cpu_scaled_buckets
+
+    R = n_ranges or cpu_scaled_buckets(mult=4, floor=8)
+    out_schema = pa.schema(
+        [("rank", pa.int64()), ("doc_id", pa.int64()),
+         ("shuffle_key", pa.int64())]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        key = sample_key(ids).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "shuffle_key": pa.array(key, type=pa.int64()),
+                "rid": pa.array(
+                    (key * R) // SAMPLE_MOD, type=pa.int64()
+                ),
+            }
+        )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["doc_id"])
+    ds = ds.repartition(_parallel_blocks(_parquet_rows(path)))
+    keyed_ds = ds.map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.select(["rid"]).group_by("rid").aggregate([("rid", "count")])
+        return pa.table(
+            {"rid": g["rid"], "n": pc.cast(g["rid_count"], pa.int64())}
+        )
+
+    part = collect_table(
+        keyed_ds.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema=pa.schema([("rid", pa.int64()), ("n", pa.int64())]),
+    )
+    if not part.num_rows:
+        return out_schema.empty_table()
+    counts = np.zeros(R, dtype=np.int64)
+    np.add.at(counts, part["rid"].to_numpy(), part["n"].to_numpy())
+    base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    base_ref = ray.put(base)
+
+    def per_range(g: pa.Table) -> pa.Table:
+        rid = int(g["rid"][0].as_py())
+        b = int(ray.get(base_ref)[rid])
+        order = pc.sort_indices(
+            g, sort_keys=[("shuffle_key", "ascending"), ("doc_id", "ascending")]
+        )
+        s = g.take(order)
+        return pa.table(
+            {
+                "rank": pa.array(
+                    b + np.arange(s.num_rows, dtype=np.int64), type=pa.int64()
+                ),
+                "doc_id": s["doc_id"],
+                "shuffle_key": s["shuffle_key"],
+            }
+        )
+
+    out = collect_table(
+        keyed_ds.groupby("rid").map_groups(per_range, batch_format="pyarrow"),
+        empty_schema=out_schema,
+    )
+    return out.take(pc.sort_indices(out["rank"]))
+
+
+def doc_shuffle_sql() -> str:
+    """Twin of doc_shuffle — row_number over the same frozen key order."""
+    return f"""
+WITH keyed AS (SELECT doc_id, {_key_sql()} AS shuffle_key FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+         AS rank,
+       doc_id, shuffle_key
+FROM keyed ORDER BY rank
+"""

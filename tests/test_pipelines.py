@@ -1416,3 +1416,47 @@ def test_returned_item_revenue_semantics_and_twin(ray_session, tmp_path, monkeyp
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     orc = con.sql(returned_item_revenue_sql()).fetch_arrow_table()
     assert orc.to_pydict() == got.to_pydict()
+
+
+def test_doc_shuffle_semantics_and_twin(ray_session, tmp_path):
+    """Deterministic shuffle rank: rank = position in (shuffle_key ASC,
+    doc_id ASC) order, key collisions (ids 2^32 apart) break by doc_id,
+    output is range-count invariant, and the DuckDB twin agrees."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.pipelines.sampling import (
+        doc_shuffle,
+        doc_shuffle_sql,
+        sample_key,
+    )
+
+    # ids 7 and 7 + 2^32 collide on the key -> doc_id breaks the tie
+    ids = [7, 7 + 2**32, 3, 1_000_003, 999999937, 42]
+    rows = [
+        {"doc_id": i, "text": "x", "lang": "en", "source": "s0", "n_chars": 1}
+        for i in ids
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    got = doc_shuffle(sf)
+    keys = sample_key(np.array(ids, dtype=np.int64)).astype(np.int64)
+    want = sorted(zip(keys.tolist(), ids))
+    assert got["doc_id"].to_pylist() == [d for _, d in want]
+    assert got["shuffle_key"].to_pylist() == [k for k, _ in want]
+    assert got["rank"].to_pylist() == list(range(len(ids)))
+    # the planted collision actually collides and orders by doc_id
+    k7 = [k for k, d in zip(keys.tolist(), ids) if d in (7, 7 + 2**32)]
+    assert k7[0] == k7[1]
+    pos = {d: r for r, d in enumerate(got["doc_id"].to_pylist())}
+    assert pos[7] + 1 == pos[7 + 2**32]
+
+    assert doc_shuffle(sf, n_ranges=2).to_pydict() == got.to_pydict()
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    orc = con.sql(doc_shuffle_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
