@@ -582,6 +582,7 @@ def _q_multimodal(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from smse_backend_ray.pipelines import (
+        curate,
         dedup,
         events,
         packing,
@@ -623,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.shipping_priority,
         "returned_item_revenue": relational.returned_item_revenue,
         "doc_shuffle": sampling.doc_shuffle,
+        "curation_pipeline": curate.curation_pipeline,
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
         # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
         "knn_pq": simsearch.knn_pq_checked,
@@ -705,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
         BM25Params,
     )
     from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import curate as curate_mod
     from smse_backend_ray.pipelines import dedup as dedup_mod
     from smse_backend_ray.pipelines import events as events_mod
     from smse_backend_ray.pipelines import pii as pii_mod
@@ -852,5 +855,6 @@ def oracle_sql() -> dict[str, str]:
         "events_props_agg": events_mod.props_agg_sql(),
         "doc_sample": sampling_mod.doc_sample_sql(),
         "doc_shuffle": sampling_mod.doc_shuffle_sql(),
+        "curation_pipeline": curate_mod.curation_sql(),
         "doc_sample_stratified": sampling_mod.doc_sample_stratified_sql(),
     }

@@ -222,6 +222,17 @@ Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = "1998-06-30"
 Q3_TOP_N = 10
 
+# Composite curation pipeline (curate.curation_pipeline <->
+# curate.curation_sql, frozen pair): exact-dedup winners (min doc_id per
+# md5(text)) FIRST on the full corpus, then ROUNDED quality >=
+# CURATE_MIN_QUALITY, stored lang IN CURATE_LANGS, sample_key(doc_id) <
+# threshold(CURATE_SAMPLE_PCT); rank over survivors in (sample_key,
+# doc_id) order; pack offsets = exclusive prefix sum of raw subtoken
+# counts in rank order, bin = start_offset // PACK_WINDOW.
+CURATE_MIN_QUALITY = 0.5
+CURATE_LANGS = ("de", "en", "es", "fr")
+CURATE_SAMPLE_PCT = 50
+
 # TPC-H Q10 shape (relational.returned_item_revenue <->
 # relational.returned_item_revenue_sql, frozen pair): lineitems with
 # l_returnflag = Q10_RETURNFLAG on orders in [Q10_DATE_LO, Q10_DATE_HI);

@@ -1460,3 +1460,68 @@ def test_doc_shuffle_semantics_and_twin(ray_session, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
     orc = con.sql(doc_shuffle_sql()).fetch_arrow_table()
     assert orc.to_pydict() == got.to_pydict()
+
+
+def test_curation_pipeline_semantics_and_twin(ray_session, tmp_path, monkeypatch):
+    """Composite curation: dedup-FIRST rule (a duplicate of a failing
+    winner is dropped even if it would pass the filters itself), quality
+    floor on the ROUNDED value, lang allowlist, sample cut, and the
+    rank/pack math over survivors — engine vs hand truth vs the twin."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import smse_backend_ray.config as config
+    from smse_backend_ray.functions.analyzer import split_subtokens
+    from smse_backend_ray.pipelines.curate import curation_pipeline, curation_sql
+    from smse_backend_ray.pipelines.sampling import sample_key
+
+    monkeypatch.setattr(config, "CURATE_MIN_QUALITY", 0.4)
+    monkeypatch.setattr(config, "CURATE_LANGS", ("en", "de"))
+    monkeypatch.setattr(config, "CURATE_SAMPLE_PCT", 100)  # sample off first
+
+    longtext = " ".join(["alpha beta gamma delta"] * 15)  # 60 toks, q >= 0.42
+    shorttext = "alpha beta"                              # q ~ 0.014 -> fails
+    rows = [
+        # dup group A: winner id 1 (en) kept; id 5 dropped as a duplicate
+        {"doc_id": 1, "text": longtext, "lang": "en"},
+        {"doc_id": 5, "text": longtext, "lang": "en"},
+        # dup group B: winner id 2 FAILS quality -> ids 2 and 6 BOTH drop,
+        # even though id 6 is an allowed lang and would pass sampling
+        {"doc_id": 2, "text": shorttext, "lang": "en"},
+        {"doc_id": 6, "text": shorttext, "lang": "en"},
+        # lang filter: zh not in the allowlist
+        {"doc_id": 3, "text": longtext + " zz", "lang": "zh"},
+        # clean survivor
+        {"doc_id": 4, "text": longtext + " yy qq", "lang": "de"},
+    ]
+    for r in rows:
+        r.update({"source": "s0", "n_chars": 0})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    got = curation_pipeline(sf)
+    # survivors: ids 1 and 4, ordered by (sample_key, doc_id)
+    keys = {i: int(sample_key(np.array([i]))[0]) for i in (1, 4)}
+    order = [d for _, d in sorted((keys[i], i) for i in (1, 4))]
+    assert got["doc_id"].to_pylist() == order
+    assert got["rank"].to_pylist() == [0, 1]
+    n1 = len(split_subtokens(longtext))
+    n4 = len(split_subtokens(longtext + " yy qq"))
+    first_n = n1 if order[0] == 1 else n4
+    assert got["n_tokens"].to_pylist() == ([n1, n4] if order == [1, 4] else [n4, n1])
+    assert got["start_offset"].to_pylist() == [0, first_n]
+    assert got["bin"].to_pylist() == [0, 0]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    assert con.sql(curation_sql()).fetch_arrow_table().to_pydict() == got.to_pydict()
+
+    # sampling binds: a tiny pct keeps only docs under the key threshold,
+    # ranks stay dense, twin agrees
+    monkeypatch.setattr(config, "CURATE_SAMPLE_PCT", 30)
+    got2 = curation_pipeline(sf)
+    assert got2["rank"].to_pylist() == list(range(got2.num_rows))
+    assert set(got2["doc_id"].to_pylist()) <= {1, 4}
+    assert con.sql(curation_sql()).fetch_arrow_table().to_pydict() == got2.to_pydict()
