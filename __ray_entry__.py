@@ -625,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_revenue": relational.returned_item_revenue,
         "doc_shuffle": sampling.doc_shuffle,
         "curation_pipeline": curate.curation_pipeline,
+        "events_retention": events.events_retention,
         # rows-only in the gate, but SELF-VALIDATING: asserts mean top-k
         # recall vs exact brute force >= PQ_RECALL_FLOOR before returning
         "knn_pq": simsearch.knn_pq_checked,
@@ -849,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue_share": relational_mod.promo_revenue_share_sql(),
         "events_sliding_agg": events_mod.sliding_window_agg_sql(),
         "events_funnel": events_mod.event_funnel_sql(),
+        "events_retention": events_mod.events_retention_sql(),
         "events_hourly_agg": events_mod.hourly_window_agg_sql(),
         "events_sessions": events_mod.user_sessions_sql(),
         "events_recent": events_mod.recent_events_sql(),

@@ -995,3 +995,129 @@ def event_funnel_sql(steps: "tuple[str, ...] | None" = None) -> str:
         "       END AS conv_rate\n"
         "FROM n ORDER BY step"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def events_retention(sf_dir: str) -> pa.Table:
+    """Weekly retention-cohort matrix: users grouped by the Monday-aligned
+    week of their FIRST event (any type), counted in every later week they
+    were active (reference analog: the per-user activity rollup over the
+    CRUD app's search_history log, generalized to cohort retention).
+
+    Frozen pair with ``events_retention_sql``: cohort_week =
+    date_trunc('week', min ts over the user's events); a user counts in
+    (cohort_week, week_offset) iff they have ANY event in the week
+    cohort_week + 7*offset days; offsets are exact integers (both ends are
+    Monday-aligned truncations, so the day difference is a multiple of 7).
+    Output (cohort_week, week_offset, n_users) ordered by both keys.
+
+    Scale shape: ONE user-hash-bucket exchange of 2-column slims; inside a
+    bucket each user's rows co-locate, so min-ts, the distinct
+    (user, week) set and the per-(cohort, offset) user counts are all
+    globally exact per bucket (users are disjoint across buckets) and fold
+    on the driver over at most |weeks|^2/2 tiny partial rows per bucket."""
+    nb = _n_user_buckets()
+
+    def pre(t: pa.Table) -> pa.Table:
+        wk = pc.cast(
+            pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")), unit="week"),
+            pa.int64(),
+        )
+        slim = pa.table(
+            {"user_id": pc.cast(t["user_id"], pa.int64()), "week_us": wk}
+        )
+        # per-batch distinct combiner: the exchange carries one row per
+        # (user, week) per batch, not one per event
+        g = slim.group_by(["user_id", "week_us"]).aggregate([])
+        return _user_bucket_rows(g, nb)
+
+    week_us = 7 * 86400 * 1_000_000
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"cohort_us": pa.array([], type=pa.int64()),
+             "week_offset": pa.array([], type=pa.int64()),
+             "n_users": pa.array([], type=pa.int64())}
+        )
+        if not g.num_rows:
+            return empty
+        d = (
+            g.select(["user_id", "week_us"])
+            .group_by(["user_id", "week_us"])
+            .aggregate([])
+        )
+        u = d["user_id"].to_numpy()
+        w = d["week_us"].to_numpy()
+        uniq, uidx = np.unique(u, return_inverse=True)
+        cohort = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(cohort, uidx, w)
+        off = (w - cohort[uidx]) // week_us
+        p = (
+            pa.table(
+                {"cohort_us": pa.array(cohort[uidx], type=pa.int64()),
+                 "week_offset": pa.array(off, type=pa.int64())}
+            )
+            .group_by(["cohort_us", "week_offset"])
+            .aggregate([("week_offset", "count")])
+        )
+        return pa.table(
+            {"cohort_us": p["cohort_us"],
+             "week_offset": p["week_offset"],
+             "n_users": pc.cast(p["week_offset_count"], pa.int64())}
+        )
+
+    out = (
+        _read_events(sf_dir)
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    t = collect_table(
+        out,
+        empty_schema=pa.schema(
+            [("cohort_us", pa.int64()), ("week_offset", pa.int64()),
+             ("n_users", pa.int64())]
+        ),
+    )
+    # driver fold: sum the per-bucket partials (tiny — weeks x offsets)
+    f = (
+        t.group_by(["cohort_us", "week_offset"])
+        .aggregate([("n_users", "sum")])
+    )
+    f = pa.table(
+        {
+            "cohort_week": pc.cast(f["cohort_us"], pa.timestamp("us")),
+            "week_offset": pc.cast(f["week_offset"], pa.int64()),
+            "n_users": pc.cast(f["n_users_sum"], pa.int64()),
+        }
+    )
+    return f.take(
+        pc.sort_indices(
+            f, sort_keys=[("cohort_week", "ascending"),
+                          ("week_offset", "ascending")]
+        )
+    )
+
+
+def events_retention_sql() -> str:
+    """DuckDB twin of events_retention — MUST stay in lockstep (Monday
+    date_trunc both sides, day-diff // 7 offsets, distinct users)."""
+    return """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cw
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+  FROM events
+)
+SELECT f.cw AS cohort_week,
+       CAST(date_diff('day', f.cw, a.w) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -756,6 +756,14 @@ def returned_item_revenue(sf_dir: str) -> pa.Table:
     meta = {
         r["c_custkey"]: r for r in cust.to_pylist()
     }
+    # FK integrity assumption (TPC-H guarantees it; the SQL twin's inner
+    # join would silently drop an orphan BEFORE top-N, so surfacing it
+    # loudly here keeps the frozen pair honest rather than divergent)
+    missing = [k for k in keys if k not in meta]
+    if missing:
+        raise ValueError(
+            f"orders reference custkeys absent from customer: {missing[:5]}"
+        )
     rows = [meta[k] for k in keys]
     return pa.table(
         {

@@ -1525,3 +1525,57 @@ def test_curation_pipeline_semantics_and_twin(ray_session, tmp_path, monkeypatch
     assert got2["rank"].to_pylist() == list(range(got2.num_rows))
     assert set(got2["doc_id"].to_pylist()) <= {1, 4}
     assert con.sql(curation_sql()).fetch_arrow_table().to_pydict() == got2.to_pydict()
+
+
+def test_events_retention_semantics_and_twin(ray_session, tmp_path):
+    """Retention cohorts: cohort = Monday-truncated week of the user's
+    FIRST event of ANY type; repeat events inside one week count once;
+    offsets are whole weeks; users sum per (cohort, offset) — engine vs
+    hand truth vs the DuckDB twin."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.pipelines.events import (
+        events_retention,
+        events_retention_sql,
+    )
+
+    W0 = datetime.datetime(2024, 1, 1)          # a Monday
+    day = datetime.timedelta(days=1)
+    wk = datetime.timedelta(days=7)
+    evs = [
+        # u1: first event Sunday of week0 -> cohort W0; active weeks 0 and 2
+        (1, W0 + 6 * day, "view"), (1, W0 + 6 * day + day / 24, "click"),
+        (1, W0 + 2 * wk, "purchase"),
+        # u2: cohort W0; active weeks 0, 1, 2 (two events in week 1 -> once)
+        (2, W0, "signup"), (2, W0 + wk, "view"), (2, W0 + wk + day, "view"),
+        (2, W0 + 2 * wk + 3 * day, "error"),
+        # u3: cohort W1 only
+        (3, W0 + wk + 2 * day, "view"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(evs)), type=pa.int64()),
+            "ts": pa.array([e[1] for e in evs], type=pa.timestamp("us")),
+            "user_id": pa.array([e[0] for e in evs], type=pa.int64()),
+            "event_type": pa.array([e[2] for e in evs], type=pa.string()),
+            "value": pa.array([1.0] * len(evs), type=pa.float64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+
+    got = events_retention(sf)
+    assert got.to_pydict() == {
+        "cohort_week": [W0, W0, W0, W0 + wk],
+        "week_offset": [0, 1, 2, 0],
+        "n_users": [2, 1, 2, 1],
+    }
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    orc = con.sql(events_retention_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
