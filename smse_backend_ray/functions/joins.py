@@ -32,16 +32,31 @@ def dsjoin(left, right, join_type, num_partitions, on, right_on=None):
     )
 
 
-def cpu_scaled_buckets(mult: int = 8, floor: int = 16) -> int:
+def cpu_scaled_buckets(
+    mult: int = 8,
+    floor: int = 16,
+    rows: int | None = None,
+    rows_per_bucket: int = 2048,
+) -> int:
     """The ONE cluster-size-scaled bucket/range-count helper (exchange
-    bucket counts, pair-group counts, packing ranges all derive from it)."""
+    bucket counts, pair-group counts, packing ranges all derive from it).
+
+    ``rows`` (optional, e.g. the source parquet footer count) only LOWERS
+    the CPU-scaled target: every bucket is a reduce task AND an output
+    block, so a tiny input through 8*cpus buckets pays dozens of
+    near-empty tasks per exchange. Bucket placement never affects exchange
+    output (each key lives in exactly one bucket either way), so the hint
+    is free to vary with input size."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover
         cpus = 8
-    return max(floor, mult * cpus)
+    n = max(floor, mult * cpus)
+    if rows is not None:
+        n = min(n, max(4, rows // rows_per_bucket))
+    return n
 
 
 def _n_buckets() -> int:

@@ -36,9 +36,22 @@ from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
+    # cheap columnar scans (filter/cast/int math): 4096-row floor — see
+    # _parallel_blocks; the CPU cap keeps large inputs unchanged
     path = os.path.join(sf_dir, f"{table}.parquet")
     ds = ray.data.read_parquet(path, columns=columns)
-    return ds.repartition(_parallel_blocks(_parquet_rows(path)))
+    return ds.repartition(
+        _parallel_blocks(_parquet_rows(path), rows_per_block=4096)
+    )
+
+
+def _fact_buckets(sf_dir: str, table: str) -> int:
+    """Exchange bucket count sized to the query's fact table (footer row
+    count; only lowers the CPU-scaled default — joins.cpu_scaled_buckets)."""
+    from smse_backend_ray.functions.joins import cpu_scaled_buckets
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    return cpu_scaled_buckets(rows=_parquet_rows(path))
 
 
 def _revenue_scaled(price: np.ndarray, discount: np.ndarray) -> np.ndarray:
@@ -230,7 +243,10 @@ def order_priority_counts(sf_dir: str) -> pa.Table:
     left_schema = pa.schema(
         [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
     )
-    kept = semi_join(orders, quals, keys=["o_orderkey"], left_schema=left_schema)
+    kept = semi_join(
+        orders, quals, keys=["o_orderkey"], left_schema=left_schema,
+        nb=_fact_buckets(sf_dir, "orders"),
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("o_orderpriority").aggregate([("o_orderkey", "count")])
@@ -305,6 +321,7 @@ def cust_order_distribution(sf_dir: str) -> pa.Table:
         "o_custkey",
         pa.schema([("c_custkey", pa.int64())]),
         pa.schema([("c_count", pa.int64())]),
+        nb=_fact_buckets(sf_dir, "customer"),
     )
 
     def hist(t: pa.Table) -> pa.Table:
@@ -485,12 +502,7 @@ def shipping_priority(sf_dir: str) -> pa.Table:
     import datetime
 
     from smse_backend_ray import config
-    from smse_backend_ray.functions.joins import (
-        attach_unique,
-        grouped_aggregate,
-        semi_join,
-        with_schema,
-    )
+    from smse_backend_ray.functions.joins import _bucketed_join, semi_join
 
     seg = config.Q3_SEGMENT
     cutoff = datetime.datetime.fromisoformat(config.Q3_CUTOFF)
@@ -529,8 +541,13 @@ def shipping_priority(sf_dir: str) -> pa.Table:
         cust,
         keys=["o_custkey"],
         left_schema=orders_schema,
+        nb=_fact_buckets(sf_dir, "orders"),
     ).map_batches(
-        lambda t: t.select(["o_orderkey", "odate_us"]),
+        # rename to the fact-side key so the fused join buckets both sides
+        # on the same column name
+        lambda t: t.select(["o_orderkey", "odate_us"]).rename_columns(
+            ["l_orderkey", "odate_us"]
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -561,26 +578,27 @@ def shipping_priority(sf_dir: str) -> pa.Table:
     ).map_batches(li_combine, batch_format="pyarrow", zero_copy_batch=True)
 
     facts_schema = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())])
-    joined = attach_unique(
-        facts, orders, "l_orderkey", "o_orderkey", facts_schema,
-        pa.schema([("odate_us", pa.int64())]),
-    )
-
     rolled_schema = pa.schema(
         [("l_orderkey", pa.int64()), ("odate_us", pa.int64()),
          ("revenue_scaled", pa.int64())]
     )
-    rolled = with_schema(
-        grouped_aggregate(
-            joined, ["l_orderkey", "odate_us"],
-            [("rev", "sum", "revenue_scaled")],
-        ),
-        rolled_schema,
-    )
 
-    def block_topn(t: pa.Table) -> pa.Table:
-        if not t.num_rows:
-            return rolled_schema.empty_table()
+    # join + rollup + top-N FUSED into the one orderkey exchange: the
+    # rollup key (l_orderkey, odate_us) contains the bucket key, so every
+    # group is complete within its bucket and per-bucket aggregate + top-N
+    # is globally exact — one all-to-all instead of the
+    # attach_unique -> grouped_aggregate -> block_topn chain (3 exchanges)
+    def join_roll_topn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        rt = rt.rename_columns(
+            ["__rk" if n == "l_orderkey" else n for n in rt.column_names]
+        )
+        j = lt.join(rt, keys=["l_orderkey"], right_keys=["__rk"],
+                    join_type="inner")
+        g = j.group_by(["l_orderkey", "odate_us"]).aggregate([("rev", "sum")])
+        t = pa.table(
+            {"l_orderkey": g["l_orderkey"], "odate_us": g["odate_us"],
+             "revenue_scaled": pc.cast(g["rev_sum"], pa.int64())}
+        )
         idx = pc.sort_indices(
             t,
             sort_keys=[("revenue_scaled", "descending"),
@@ -588,12 +606,17 @@ def shipping_priority(sf_dir: str) -> pa.Table:
         )
         return t.take(idx[:top_n])
 
-    t = collect_table(
-        rolled.map_batches(
-            block_topn, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        empty_schema=rolled_schema,
+    rolled = _bucketed_join(
+        facts,
+        orders,
+        ["l_orderkey"],
+        facts_schema,
+        pa.schema([("l_orderkey", pa.int64()), ("odate_us", pa.int64())]),
+        join_roll_topn,
+        nb=_fact_buckets(sf_dir, "lineitem"),
     )
+
+    t = collect_table(rolled, empty_schema=rolled_schema)
     idx = pc.sort_indices(
         t,
         sort_keys=[("revenue_scaled", "descending"),

@@ -63,13 +63,21 @@ def corpus_table_from_documents(sf_dir: str) -> pa.Table:
     return _derive_batch(t)
 
 
-def _parallel_blocks(rows: int | None = None) -> int:
+def _parallel_blocks(rows: int | None = None, rows_per_block: int = 64) -> int:
     """Block target so downstream map stages parallelize: a single-file
     parquet read yields ONE block, and Ray fuses the whole map chain into one
     task unless we split first (2-4x cores, ray_guide 'partitions ≈ 2-4x
     total cores'). When the caller knows the input row count (parquet footer
     — free), tiny inputs get proportionally fewer blocks: per-task fixed
-    cost dominates sub-64-row blocks long before parallelism helps."""
+    cost dominates long before parallelism helps.
+
+    ``rows_per_block`` declares the stage's per-row cost class and only
+    LOWERS the CPU-scaled target, so behavior at scale is unchanged:
+    64 (default) for heavy per-row work (tokenize/regex/codec — ~ms/row),
+    4096 for cheap columnar scans (filter/cast/int math — ~µs/row, where a
+    64-row floor manufactured hundreds of near-empty tasks per stage and
+    the dispatch tax dominated the relational gate entries 4x over;
+    measured in BASELINE.md 'Exchange sizing')."""
     import ray as _ray
 
     try:
@@ -78,7 +86,7 @@ def _parallel_blocks(rows: int | None = None) -> int:
         cpus = 8
     target = max(16, cpus * 3)
     if rows is not None:
-        target = min(target, max(8, rows // 64))
+        target = min(target, max(1, rows // rows_per_block))
     return target
 
 
