@@ -58,6 +58,13 @@ JACCARD_SHINGLE_DF_CAP = 256
 # paths produce identical output (tested).
 HOT_SHINGLE_BROADCAST_MAX = 65536
 
+# unigram-LM broadcast bound (textstats.unigram_logprob): vocabularies at
+# or under this many terms ship once via ray.put and attach map-side
+# (pc.index_in per batch) — 2 exchanges instead of 4; larger vocabularies
+# fall back to the fully distributed term-attach path. Not semantic — both
+# paths produce bitwise-identical output (tested).
+LM_BROADCAST_MAX = 2_000_000
+
 # SimHash near-dup parameters (engine pipelines/dedup.py AND the DuckDB
 # oracle functions/sqlgen.py mirror these — single-sourced here per the
 # lockstep rule). Banding buckets larger than the cap are skipped (logged);

@@ -1242,9 +1242,23 @@ SUBSTR_DUP_MIN_DF = 2  # a gram is "duplicated" when >= 2 distinct docs carry it
 
 
 def _read_doc_ids(sf_dir: str) -> "ray.data.Dataset":
+    # doc_id-only scan is cheap columnar work — coarse blocks (the 64-row
+    # text-stage floor manufactured ~80 near-empty tasks at 5k docs)
     path = os.path.join(sf_dir, "documents.parquet")
     ds = ray.data.read_parquet(path, columns=["doc_id"])
-    return ds.repartition(_parallel_blocks(_parquet_rows(path)))
+    return ds.repartition(
+        _parallel_blocks(_parquet_rows(path), rows_per_block=4096)
+    )
+
+
+def _doc_buckets(sf_dir: str) -> int:
+    """Exchange bucket count for doc-count-scaled joins (footer row count
+    only LOWERS the CPU-scaled default — joins.cpu_scaled_buckets)."""
+    from smse_backend_ray.functions.joins import cpu_scaled_buckets
+
+    return cpu_scaled_buckets(
+        rows=_parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+    )
 
 
 def substring_dup_stats(
@@ -1325,6 +1339,7 @@ def substring_dup_stats(
         "doc_id",
         pa.schema([("doc_id", pa.int64())]),
         pa.schema([("n_grams", pa.int64()), ("n_dup", pa.int64())]),
+        nb=_doc_buckets(sf_dir),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1377,7 +1392,10 @@ def dedup_survivors(
     schema = pa.schema([("doc_id", pa.int64())])
     base = _read_doc_ids(sf_dir)
     if losers.num_rows:
-        surv = _anti_join(base, ray.data.from_arrow(losers), ["doc_id"], schema)
+        surv = _anti_join(
+            base, ray.data.from_arrow(losers), ["doc_id"], schema,
+            nb=_doc_buckets(sf_dir),
+        )
     else:
         surv = base
     t = collect_table(surv, empty_schema=schema)

@@ -31,6 +31,25 @@ def _read_documents(sf_dir: str) -> "ray.data.Dataset":
     return ds.repartition(_parallel_blocks(_parquet_rows(path)))
 
 
+def _doc_buckets(sf_dir: str, docs_per_bucket: int = 256) -> int:
+    """Exchange bucket count for the doc-term-row exchanges (grouped df
+    sums, term attaches, per-doc reduces): the documents footer row count
+    only LOWERS the CPU-scaled default (joins.cpu_scaled_buckets). A
+    bucket then carries <= docs_per_bucket docs' worth of doc-term rows
+    (~60/doc) — fat enough for the C++ group/join kernels, small enough
+    that a 500-doc gate input stops paying ~256 near-empty reduce tasks
+    per exchange (chains of 3-4 exchanges made doc_logprob/cooc/keywords
+    the slowest textstats gate entries; BASELINE.md 'Exchange sizing')."""
+    import os
+
+    from smse_backend_ray.functions.joins import cpu_scaled_buckets
+
+    return cpu_scaled_buckets(
+        rows=_parquet_rows(os.path.join(sf_dir, "documents.parquet")),
+        rows_per_bucket=docs_per_bucket,
+    )
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
     """Per-doc token accounting: raw subtokens, kept tokens, distinct terms,
     mean raw token length (0.0 when empty)."""
@@ -440,12 +459,17 @@ def unigram_logprob(sf_dir: str) -> pa.Table:
         p(term)    = tf_corpus(term) / total_kept_tokens
         avg_lp(d)  = round( Σ_t tf_d(t)·ln p(t) / dl(d), 4 )   (0.0 if dl=0)
 
-    Scale shape — the corpus streams twice, no driver vocab:
+    Scale shape — the corpus streams twice, no corpus-sized driver state:
       pass 1 builds the vocab-sized (term, tf_corpus) Dataset via a bucketed
       grouped sum; the only driver scalar is the total token count. Pass 2
-      re-explodes doc terms and attaches tf_corpus with a bucketed join on
-      term (the LM stays distributed — vocabulary never lands on the
-      driver), then per-doc sums reduce by doc_id."""
+      re-explodes doc terms; the LM attaches either MAP-SIDE (vocabulary at
+      or under config.LM_BROADCAST_MAX ships once via ray.put, pc.index_in
+      per batch, and a per-doc sentinel row lets the doc reduce emit EVERY
+      doc — 2 exchanges total) or via the fully distributed bucketed join
+      on term + dl=0 attach_left (4 exchanges, vocabulary never on the
+      driver) above the bound. Both paths are bitwise-identical (tested:
+      sentinel lp rows are exact 0.0 adds and the accumulation order is
+      unchanged)."""
     import pyarrow.compute as pc
 
     from smse_backend_ray.functions.joins import (
@@ -455,6 +479,7 @@ def unigram_logprob(sf_dir: str) -> pa.Table:
         with_schema,
     )
 
+    nb_doc = _doc_buckets(sf_dir)
     freq_schema = pa.schema([("term", pa.string()), ("tf_corpus", pa.int64())])
     freq = with_schema(
         grouped_aggregate(
@@ -463,6 +488,7 @@ def unigram_logprob(sf_dir: str) -> pa.Table:
             ),
             ["term"],
             [("tf", "sum", "tf_corpus")],
+            nb=nb_doc,
         ),
         freq_schema,
     ).materialize()
@@ -488,51 +514,19 @@ def unigram_logprob(sf_dir: str) -> pa.Table:
         )
         return t.take(pc.sort_indices(t["doc_id"]))
 
-    rows_schema = pa.schema(
-        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
-    )
-    joined = attach_unique(
-        _read_documents(sf_dir).map_batches(
-            _term_rows_batch, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        freq,
-        "term",
-        "term",
-        rows_schema,
-        pa.schema([("tf_corpus", pa.int64())]),
-    )
-
-    def contrib(t: pa.Table) -> pa.Table:
-        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        p = t["tf_corpus"].to_numpy(zero_copy_only=False).astype(np.float64) / total
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "term": t["term"],
-                "lp": pa.array(tf * np.log(p), type=pa.float64()),
-                "tf": t["tf"],
-            }
-        )
-
-    # per-doc float reduce with a FIXED accumulation order (the repo's
-    # convention for driver-compared float sums — scorer._accumulate):
-    # every doc's rows land in one doc_id-hash bucket, each bucket lexsorts
-    # by (doc_id, term) and accumulates sequentially (np.add.at is ordered,
-    # unlike a C++ group sum whose order follows block arrival) — so the
-    # engine's lp_sum is bit-identical run to run.
-    from smse_backend_ray.functions.joins import cpu_scaled_buckets
-
-    nbk = cpu_scaled_buckets()
     per_schema = pa.schema(
         [("doc_id", pa.int64()), ("lp_sum", pa.float64()), ("dl", pa.int64())]
     )
 
-    def tag_doc(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = ((ids * np.uint64(2654435761)) % np.uint64(nbk)).astype(np.int64)
-        return t.append_column("__b", pa.array(b, type=pa.int64()))
-
     def reduce_fixed(g: pa.Table) -> pa.Table:
+        # per-doc float reduce with a FIXED accumulation order (the repo's
+        # convention for driver-compared float sums — scorer._accumulate):
+        # every doc's rows land in one doc_id-hash bucket, each bucket
+        # lexsorts by (doc_id, term) and accumulates sequentially
+        # (np.add.at is ordered, unlike a C++ group sum whose order follows
+        # block arrival) — so the engine's lp_sum is bit-identical run to
+        # run. Sentinel rows (term "", lp 0.0, tf 0) sort first and add
+        # exact zeros — bitwise no-ops on docs that also have real rows.
         if g.num_rows == 0:
             return per_schema.empty_table()
         d = g["doc_id"].to_numpy(zero_copy_only=False)
@@ -558,6 +552,109 @@ def unigram_logprob(sf_dir: str) -> pa.Table:
             }
         )
 
+    def finish(t: pa.Table) -> pa.Table:
+        dl = pc.fill_null(t["dl"], 0).to_numpy(zero_copy_only=False)
+        lp = pc.fill_null(t["lp_sum"], 0.0).to_numpy(zero_copy_only=False)
+        avg = np.zeros(len(dl), dtype=np.float64)
+        nz = dl > 0
+        avg[nz] = round_half_away(lp[nz] / dl[nz], 4)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dl": pa.array(dl, type=pa.int64()),
+                "avg_logprob": pa.array(avg, type=pa.float64()),
+            }
+        )
+
+    from smse_backend_ray import config as _config
+    from smse_backend_ray.functions.analyzer import term_counts_batch
+
+    if freq.count() <= _config.LM_BROADCAST_MAX:
+        lm_t = collect_table(freq, empty_schema=freq_schema)
+        lm_terms = lm_t["term"].combine_chunks()
+        lm_ref = ray.put((lm_terms, lm_t["tf_corpus"].combine_chunks()))
+        nbk = nb_doc
+
+        def lp_rows(t: pa.Table) -> pa.Table:
+            lm_terms_, lm_tfc_ = ray.get(lm_ref)
+            terms, tfs = term_counts_batch(t["text"])
+            counts = np.diff(np.asarray(terms.offsets, dtype=np.int64))
+            dids = t["doc_id"].to_numpy(zero_copy_only=False)
+            doc_ids = np.repeat(dids, counts)
+            tf = tfs.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            # every real term exists in the LM (built from the same stream)
+            idx = pc.index_in(terms.values, value_set=lm_terms_)
+            tfc = pc.take(lm_tfc_, idx).to_numpy(zero_copy_only=False)
+            p = tfc.astype(np.float64) / total  # frozen: divide THEN ln
+            lp = tf.astype(np.float64) * np.log(p)
+            real = pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, type=pa.int64()),
+                    "term": pc.cast(terms.values, pa.string()),
+                    "lp": pa.array(lp, type=pa.float64()),
+                    "tf": pa.array(tf, type=pa.int64()),
+                }
+            )
+            sent = pa.table(
+                {
+                    "doc_id": pa.array(dids, type=pa.int64()),
+                    "term": pa.array([""] * len(dids), type=pa.string()),
+                    "lp": pa.array(np.zeros(len(dids)), type=pa.float64()),
+                    "tf": pa.array(np.zeros(len(dids), dtype=np.int64)),
+                }
+            )
+            out = pa.concat_tables([real, sent])
+            ids = out["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = ((ids * np.uint64(2654435761)) % np.uint64(nbk)).astype(np.int64)
+            return out.append_column("__b", pa.array(b, type=pa.int64()))
+
+        per_doc = with_schema(
+            _read_documents(sf_dir)
+            .map_batches(lp_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__b")
+            .map_groups(reduce_fixed, batch_format="pyarrow"),
+            per_schema,
+        )
+        out = collect_table(
+            per_doc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+            empty_schema=out_schema,
+        )
+        return out.take(pc.sort_indices(out["doc_id"]))
+
+    rows_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+    joined = attach_unique(
+        _read_documents(sf_dir).map_batches(
+            _term_rows_batch, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        freq,
+        "term",
+        "term",
+        rows_schema,
+        pa.schema([("tf_corpus", pa.int64())]),
+        nb=nb_doc,
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = t["tf_corpus"].to_numpy(zero_copy_only=False).astype(np.float64) / total
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "lp": pa.array(tf * np.log(p), type=pa.float64()),
+                "tf": t["tf"],
+            }
+        )
+
+    nbk = nb_doc
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((ids * np.uint64(2654435761)) % np.uint64(nbk)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, type=pa.int64()))
+
     per_doc = with_schema(
         joined.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True)
@@ -572,21 +669,8 @@ def unigram_logprob(sf_dir: str) -> pa.Table:
         "doc_id",
         pa.schema([("doc_id", pa.int64())]),
         pa.schema([("lp_sum", pa.float64()), ("dl", pa.int64())]),
+        nb=nb_doc,
     )
-
-    def finish(t: pa.Table) -> pa.Table:
-        dl = pc.fill_null(t["dl"], 0).to_numpy(zero_copy_only=False)
-        lp = pc.fill_null(t["lp_sum"], 0.0).to_numpy(zero_copy_only=False)
-        avg = np.zeros(len(dl), dtype=np.float64)
-        nz = dl > 0
-        avg[nz] = round_half_away(lp[nz] / dl[nz], 4)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "dl": pa.array(dl, type=pa.int64()),
-                "avg_logprob": pa.array(avg, type=pa.float64()),
-            }
-        )
 
     out = collect_table(
         final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
@@ -719,7 +803,6 @@ def term_cooc_pmi(sf_dir: str) -> pa.Table:
     from smse_backend_ray.functions.joins import (
         _bucket_of,
         attach_unique,
-        cpu_scaled_buckets,
         grouped_aggregate,
         semi_join,
         with_schema,
@@ -727,6 +810,7 @@ def term_cooc_pmi(sf_dir: str) -> pa.Table:
 
     path = os.path.join(sf_dir, "documents.parquet")
     n_docs = _parquet_rows(path) or 0
+    nb_doc = _doc_buckets(sf_dir)
     out_schema = pa.schema(
         [("a", pa.string()), ("b", pa.string()), ("n_ab", pa.int64()),
          ("df_a", pa.int64()), ("df_b", pa.int64()), ("pmi", pa.float64())]
@@ -754,16 +838,16 @@ def term_cooc_pmi(sf_dir: str) -> pa.Table:
     # distinct-doc df per term; eligibility stays a DATASET (vocab-scaled)
     df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
     df_ds = with_schema(
-        grouped_aggregate(rows, ["term"], [("doc_id", "count", "df")]),
+        grouped_aggregate(rows, ["term"], [("doc_id", "count", "df")], nb=nb_doc),
         df_schema,
     ).filter(expr=f"df >= {COOC_MIN_DF}").materialize()
 
     # consumed exactly once by the pair exchange below — stream it (never
     # pin the full doc-term stream in the object store)
-    elig = semi_join(rows, df_ds, ["term"], rows_schema)
+    elig = semi_join(rows, df_ds, ["term"], rows_schema, nb=nb_doc)
 
     # pair triangle inside doc-hash fat buckets; per-doc width capped
-    nb = cpu_scaled_buckets()
+    nb = nb_doc
     pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()), ("n", pa.int64())])
 
     def tag(t: pa.Table) -> pa.Table:
@@ -830,6 +914,7 @@ def term_cooc_pmi(sf_dir: str) -> pa.Table:
             .map_groups(emit, batch_format="pyarrow"),
             ["a", "b"],
             [("n", "sum", "n_ab")],
+            nb=nb_doc,
         ),
         pa.schema([("a", pa.string()), ("b", pa.string()), ("n_ab", pa.int64())]),
     ).filter(expr=f"n_ab >= {COOC_MIN_PAIRS}").materialize()
@@ -907,13 +992,13 @@ def doc_keywords(sf_dir: str) -> pa.Table:
     from smse_backend_ray.functions.joins import (
         _bucket_of,
         attach_unique,
-        cpu_scaled_buckets,
         grouped_aggregate,
         with_schema,
     )
 
     path = os.path.join(sf_dir, "documents.parquet")
     n_docs = _parquet_rows(path) or 0
+    nb_doc = _doc_buckets(sf_dir)
     out_schema = pa.schema(
         [("doc_id", pa.int64()), ("rank", pa.int64()), ("term", pa.string()),
          ("tf", pa.int64()), ("df", pa.int64()), ("tfidf", pa.float64())]
@@ -944,13 +1029,14 @@ def doc_keywords(sf_dir: str) -> pa.Table:
 
     df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
     df_ds = with_schema(
-        grouped_aggregate(rows, ["term"], [("doc_id", "count", "df")]),
+        grouped_aggregate(rows, ["term"], [("doc_id", "count", "df")], nb=nb_doc),
         df_schema,
     ).materialize()
 
     joined = attach_unique(
         rows, df_ds, "term", "term", tf_schema,
         pa.schema([("df", pa.int64())]),
+        nb=nb_doc,
     )
 
     def score(t: pa.Table) -> pa.Table:
@@ -964,7 +1050,7 @@ def doc_keywords(sf_dir: str) -> pa.Table:
              "tfidf": pa.array(tfidf, type=pa.float64())}
         )
 
-    nb = cpu_scaled_buckets()
+    nb = nb_doc
     joined_schema = pa.schema(
         [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()),
          ("df", pa.int64())]

@@ -869,6 +869,20 @@ def test_unigram_logprob_matches_sql(ray_session, sf_dir, duck):
     assert (lp[dl == 0] == 0.0).all()
 
 
+def test_unigram_logprob_broadcast_matches_distributed(
+    ray_session, sf_dir, monkeypatch
+):
+    """The LM-broadcast fast path (vocab <= LM_BROADCAST_MAX: map-side
+    index_in attach + per-doc sentinel rows) must be BITWISE equal to the
+    fully distributed term-attach + dl=0 attach_left fallback."""
+    from smse_backend_ray import config
+
+    fast = textstats.unigram_logprob(sf_dir)
+    monkeypatch.setattr(config, "LM_BROADCAST_MAX", 0)
+    slow = textstats.unigram_logprob(sf_dir)
+    assert fast.equals(slow)
+
+
 def test_substring_dup_all_short_docs(ray_session, tmp_path):
     """A corpus where every doc has fewer than K subtokens: zero gram rows
     anywhere, the shared-gram set is empty, and every doc still emits the
