@@ -58,6 +58,14 @@ JACCARD_SHINGLE_DF_CAP = 256
 # paths produce identical output (tested).
 HOT_SHINGLE_BROADCAST_MAX = 65536
 
+# connected-components driver bound (dedup._cc_labels): edge tables at or
+# under this many rows run the same min-label + pointer-jump iteration in
+# numpy on the driver (the verified near-dup pair set is candidate-bounded
+# and usually tiny next to the corpus); larger graphs use the distributed
+# label-Dataset rounds. Not semantic — both paths produce identical
+# (node, component-min) labels (tested).
+CC_DRIVER_MAX = 4_000_000
+
 # unigram-LM broadcast bound (textstats.unigram_logprob): vocabularies at
 # or under this many terms ship once via ray.put and attach map-side
 # (pc.index_in per batch) — 2 exchanges instead of 4; larger vocabularies

@@ -116,6 +116,7 @@ def exact_dedup(sf_dir: str) -> pa.Table:
         ),
         ["fingerprint"],
         [("doc_id", "min", "doc_id")],
+        nb=_doc_buckets(sf_dir),
     )
     t = collect_table(winners)
     t = t.select(["doc_id", "fingerprint"])
@@ -209,7 +210,7 @@ def _pair_groups_count() -> int:
     return cpu_scaled_buckets()
 
 
-def _pairs_within_key(ds, key_col: str):
+def _pairs_within_key(ds, key_col: str, nb: int | None = None):
     """(key_col, doc_id) rows -> (a, b, n) PARTIAL pair counts: every
     (a < b) doc pair sharing a key value, counted once per shared key
     (caller finishes with groupby(a, b).Sum).
@@ -225,8 +226,9 @@ def _pairs_within_key(ds, key_col: str):
     distinct shingle sets and band signatures) so within-segment doc ids
     are strictly increasing and a < b holds by construction. Per-group
     memory is O(total rows / n_buckets + emitted pairs in the bucket);
-    pair blowup stays bounded by the callers' df caps."""
-    nb = _pair_groups_count()
+    pair blowup stays bounded by the callers' df caps. ``nb`` overrides
+    the CPU-scaled group count (callers pass the doc-scaled hint)."""
+    nb = nb or _pair_groups_count()
 
     def bucket(t: pa.Table) -> pa.Table:
         h = _hash_strings(t[key_col])
@@ -353,7 +355,10 @@ def _global_hot_shingles(sf_dir: str, df_cap: int, op: str):
         _shingle_rows, batch_format="pyarrow", zero_copy_batch=True
     )
     hot_ds = _with_schema(
-        _grouped_agg(shingles, ["shingle"], [("doc_id", "count", "df")])
+        _grouped_agg(
+            shingles, ["shingle"], [("doc_id", "count", "df")],
+            nb=_doc_buckets(sf_dir),
+        )
         .filter(expr=f"df > {df_cap}")
         .select_columns(["shingle"]),
         pa.schema([("shingle", pa.string())]),
@@ -393,6 +398,18 @@ def _drop_hot_stage(ds, hot):
     return _anti_join(ds, hot_ds, ["shingle"], shingle_schema)
 
 
+_JACCARD_CACHE: dict[tuple, tuple[tuple, pa.Table]] = {}
+
+
+def _docs_stamp(sf_dir: str) -> tuple:
+    """(path, size, mtime) stamp of the documents table — the same cache
+    key discipline as build._docs_meta_table (mtime alone is too coarse
+    on second-granularity filesystems)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
+    return (path, st.st_size, st.st_mtime)
+
+
 def jaccard_pairs(
     sf_dir: str,
     threshold: float = JACCARD_THRESHOLD,
@@ -407,8 +424,18 @@ def jaccard_pairs(
     global hot-shingle df pass, once for sizes/intersections). Both passes
     STREAM with bounded memory; the 1-pass alternative — materializing the
     full (doc_id, shingle) row set to feed both consumers — pins tokens x
-    docs rows in the object store, which is the wrong trade at 100 TB."""
+    docs rows in the object store, which is the wrong trade at 100 TB.
+
+    The verified pair table is memoized per (documents stamp, threshold,
+    df_cap): dedup_clusters and dedup_survivors both start from these
+    pairs, and each gate entry otherwise re-runs the full two-pass shingle
+    sweep."""
     from ray.data.aggregate import Count
+
+    ckey = (_docs_stamp(sf_dir), float(threshold), int(df_cap))
+    hit = _JACCARD_CACHE.get(ckey[1:])
+    if hit and hit[0] == ckey[0]:
+        return hit[1]
 
     docs = _read_documents(sf_dir)
     shingles = docs.map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
@@ -419,8 +446,9 @@ def jaccard_pairs(
     # doc shingle-set sizes: stays a DATASET (joined in _score_jaccard, never
     # a driver dict — O(corpus) entries at scale). Materialized because the
     # scorer joins it twice; it is (doc_id, n) rows, tiny next to the corpus.
+    nb_doc = _doc_buckets(sf_dir)
     sizes_ds = _compact(_grouped_agg(
-        shingles, ["doc_id"], [("shingle", "count", "n")]
+        shingles, ["doc_id"], [("shingle", "count", "n")], nb=nb_doc
     ).materialize())
 
     from ray.data.aggregate import Sum
@@ -431,9 +459,12 @@ def jaccard_pairs(
     # (BASELINE.md round-3 dedup notes); inter is candidate-bounded, so the
     # checkpoint is small by construction.
     inter = _compact(_grouped_agg(
-        _pairs_within_key(shingles, "shingle"), ["a", "b"], [("n", "sum", "inter")]
+        _pairs_within_key(shingles, "shingle", nb=nb_doc),
+        ["a", "b"], [("n", "sum", "inter")], nb=nb_doc,
     ).materialize())
-    return _score_jaccard(inter, sizes_ds, threshold)
+    out = _score_jaccard(inter, sizes_ds, threshold)
+    _JACCARD_CACHE[ckey[1:]] = (ckey[0], out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -553,6 +584,7 @@ def minhash_lsh_pairs(
     # colliding in k bands shuffles k rows but survives distinct-ing once.
     from ray.data.aggregate import Sum
 
+    nb_doc = _doc_buckets(sf_dir)
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     cands = _with_schema(
         _grouped_agg(
@@ -561,9 +593,11 @@ def minhash_lsh_pairs(
                     band_rows, batch_format="pyarrow", zero_copy_batch=True
                 ),
                 "bkey",
+                nb=nb_doc,
             ),
             ["a", "b"],
             [("n", "sum", "n_bands")],
+            nb=nb_doc,
         ).select_columns(["a", "b"]),
         pair_schema,
     ).materialize()
@@ -578,6 +612,7 @@ def minhash_lsh_pairs(
             .union(cands.select_columns(["b"]).rename_columns({"b": "doc_id"})),
             ["doc_id"],
             [("doc_id", "count", "_c")],
+            nb=nb_doc,
         ).select_columns(["doc_id"]),
         pa.schema([("doc_id", pa.int64())]),
     )
@@ -591,13 +626,14 @@ def minhash_lsh_pairs(
         _semi_join(
             _read_documents(sf_dir), need_ids, ["doc_id"],
             pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+            nb=nb_doc,
         )
         .map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True),
         _global_hot_shingles(sf_dir, df_cap, "minhash_lsh_pairs"),
     ).materialize()
     cand_shingles = _compact(cand_shingles)
     sizes_ds = _compact(_grouped_agg(
-        cand_shingles, ["doc_id"], [("shingle", "count", "n")]
+        cand_shingles, ["doc_id"], [("shingle", "count", "n")], nb=nb_doc
     ).materialize())
 
     # all shingle-co-occurrence pairs among candidate docs (bounded by the
@@ -606,14 +642,16 @@ def minhash_lsh_pairs(
     inter = _semi_join(
         _with_schema(
             _grouped_agg(
-                _pairs_within_key(cand_shingles, "shingle"),
+                _pairs_within_key(cand_shingles, "shingle", nb=nb_doc),
                 ["a", "b"],
                 [("n", "sum", "inter")],
+                nb=nb_doc,
             ),
             pa.schema([("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64())]),
         ),
         cands, ["a", "b"],
         pa.schema([("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64())]),
+        nb=nb_doc,
     ).materialize()  # candidate-bounded checkpoint (see jaccard_pairs note)
     inter = _compact(inter)
     return _score_jaccard(inter, sizes_ds, threshold)
@@ -778,9 +816,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> pa.Tab
             ))
         return pa.concat_tables(out_tabs) if out_tabs else empty
 
-    from smse_backend_ray.functions.joins import _bucket_of, _n_buckets
+    from smse_backend_ray.functions.joins import _bucket_of
 
-    nbk = _n_buckets()
+    nbk = _doc_buckets(sf_dir)
 
     def fatten(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -798,6 +836,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> pa.Tab
         # min is chunk-independent — hamming is a pair property)
         ["a", "b"],
         [("hamming", "min", "hamming")],
+        nb=nbk,
     )
     t = collect_table(pairs_ds)
     markers = t.filter(pc.equal(t["a"], -1))
@@ -1081,6 +1120,37 @@ def _cc_jump_emit(g: pa.Table) -> pa.Table:
     )
 
 
+def _cc_labels_driver(
+    edges_t: pa.Table, max_iters: int
+) -> tuple[pa.Table, int, bool]:
+    """Driver-side twin of the distributed _cc_labels rounds (numpy over
+    compact node indices): per round, new(u) = min(label(u), min over
+    edges of label(v)), then one pointer jump new = new[new]. Node ids map
+    to sorted compact indices, so index order == id order and the
+    component-min index maps back to the component-min doc_id."""
+    nodes = np.unique(edges_t["u"].to_numpy(zero_copy_only=False))
+    u = np.searchsorted(nodes, edges_t["u"].to_numpy(zero_copy_only=False))
+    v = np.searchsorted(nodes, edges_t["v"].to_numpy(zero_copy_only=False))
+    lab = np.arange(len(nodes), dtype=np.int64)
+    rounds, converged = 0, False
+    for _ in range(max_iters):
+        rounds += 1
+        new = lab.copy()
+        np.minimum.at(new, u, lab[v])
+        new = new[new]  # pointer jump (labels are compact indices, lab(x) <= x)
+        if np.array_equal(new, lab):
+            converged = True
+            break
+        lab = new
+    out = pa.table(
+        {
+            "node": pa.array(nodes, type=pa.int64()),
+            "label": pa.array(nodes[lab], type=pa.int64()),
+        }
+    )
+    return out, rounds, converged
+
+
 def _cc_labels(edges_t: pa.Table, max_iters: int) -> tuple[pa.Table, int, bool]:
     """Distributed connected components over a bidirectional (u, v) edge
     table -> ((node, label=component min) table, rounds used, converged).
@@ -1093,7 +1163,18 @@ def _cc_labels(edges_t: pa.Table, max_iters: int) -> tuple[pa.Table, int, bool]:
     O(log diameter) rounds instead of O(diameter): a 200-link chain closes
     in ~8 rounds, not 200 (tests pin this). Convergence is checked with a
     scalar aggregate on the min step — its fixpoint implies labels are
-    constant per component, hence the component min."""
+    constant per component, hence the component min.
+
+    Edge tables at or under config.CC_DRIVER_MAX rows run the SAME
+    iteration in numpy on the driver (the verified pair set is
+    candidate-bounded; at gate scale the distributed rounds cost ~2 s of
+    pure exchange latency per round for <100 edges). Identical labels by
+    construction — min-propagation + pointer jumping over compact node
+    indices, component-preserving either way (tested equal)."""
+    from smse_backend_ray import config as _config
+
+    if edges_t.num_rows <= _config.CC_DRIVER_MAX:
+        return _cc_labels_driver(edges_t, max_iters)
     nodes = pc.unique(edges_t["u"])
     edges = ray.data.from_arrow(edges_t).materialize()
     labels = ray.data.from_arrow(
@@ -1283,7 +1364,7 @@ def substring_dup_stats(
          zeros — never a driver-side dict of per-doc counts."""
     from smse_backend_ray.functions.joins import attach_left as _attach_left
 
-    nb = _pair_groups_count()
+    nb = _doc_buckets(sf_dir)
 
     def tag(t: pa.Table) -> pa.Table:
         g = _gram_rows(t, k)
@@ -1329,6 +1410,7 @@ def substring_dup_stats(
             grams.groupby("kb").map_groups(per_bucket, batch_format="pyarrow"),
             ["doc_id"],
             [("n_grams_part", "sum", "n_grams"), ("n_dup_part", "sum", "n_dup")],
+            nb=nb,
         ),
         pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()), ("n_dup", pa.int64())]),
     )

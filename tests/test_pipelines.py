@@ -128,6 +128,34 @@ def test_cc_chain_converges_in_log_rounds(ray_session):
     assert sorted(labels["node"].to_pylist()) == list(range(n))
 
 
+def test_cc_driver_path_matches_distributed(ray_session, monkeypatch):
+    """The driver-side numpy CC fast path (edges <= CC_DRIVER_MAX) must
+    label identically to the distributed label-Dataset rounds — same
+    (node, component-min) table on a graph with a chain, a triangle,
+    an isolated pair, and non-contiguous node ids."""
+    import pyarrow as pa
+
+    from smse_backend_ray import config
+
+    pairs = [(10, 20), (20, 30), (30, 40), (100, 200), (200, 300),
+             (100, 300), (7, 9000)]
+    u = [a for a, b in pairs] + [b for a, b in pairs]
+    v = [b for a, b in pairs] + [a for a, b in pairs]
+    edges = pa.table(
+        {"u": pa.array(u, type=pa.int64()), "v": pa.array(v, type=pa.int64())}
+    )
+    fast, _, conv_fast = dedup._cc_labels(edges, max_iters=64)
+    monkeypatch.setattr(config, "CC_DRIVER_MAX", 0)
+    slow, _, conv_slow = dedup._cc_labels(edges, max_iters=64)
+    assert conv_fast and conv_slow
+    key = lambda t: sorted(zip(t["node"].to_pylist(), t["label"].to_pylist()))
+    assert key(fast) == key(slow)
+    assert dict(key(fast)) == {
+        10: 10, 20: 10, 30: 10, 40: 10,
+        100: 100, 200: 100, 300: 100, 7: 7, 9000: 7,
+    }
+
+
 def test_embedding_dedup_block_invariant(ray_session, sf_dir):
     """The block-pair sweep's output is independent of block size (and the
     upper-triangle handling of diagonal blocks is exercised at tiny blocks)."""
