@@ -70,7 +70,10 @@ def curation_pipeline(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
     min_q = float(config.CURATE_MIN_QUALITY)
     langs = frozenset(config.CURATE_LANGS)
     thr = _threshold(config.CURATE_SAMPLE_PCT)
-    R = n_ranges or cpu_scaled_buckets(mult=4, floor=8)
+    R = n_ranges or cpu_scaled_buckets(
+        mult=4, floor=8,
+        rows=_parquet_rows(os.path.join(sf_dir, "documents.parquet")),
+    )  # rows hint only lowers R; output is R-invariant by test
 
     out_schema = pa.schema(
         [("rank", pa.int64()), ("doc_id", pa.int64()), ("lang", pa.string()),

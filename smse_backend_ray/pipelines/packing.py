@@ -41,10 +41,16 @@ from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
 PACK_WINDOW = 2048
 
 
-def _n_ranges() -> int:
+def _n_ranges(sf_dir: str | None = None) -> int:
+    # the docs footer row count only LOWERS the CPU-scaled range count;
+    # the result is semantics-free (pack_bins is R-invariant by test)
     from smse_backend_ray.functions.joins import cpu_scaled_buckets
 
-    return cpu_scaled_buckets(mult=4, floor=8)
+    rows = (
+        _parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+        if sf_dir else None
+    )
+    return cpu_scaled_buckets(mult=4, floor=8, rows=rows)
 
 
 def _token_counts(sf_dir: str) -> "ray.data.Dataset":
@@ -70,7 +76,7 @@ def pack_bins(sf_dir: str, window: int = PACK_WINDOW, n_ranges: int | None = Non
     start_offset is the exclusive prefix sum of n_tokens in doc_id order and
     bin = start_offset // window. Deterministic and partition-invariant:
     the offsets depend only on (doc_id, n_tokens), not on R or placement."""
-    R = n_ranges or _n_ranges()
+    R = n_ranges or _n_ranges(sf_dir)
     counts = _token_counts(sf_dir).materialize()
     if counts.count() == 0:
         return pa.schema(

@@ -155,7 +155,10 @@ def doc_shuffle(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
 
     from smse_backend_ray.functions.joins import cpu_scaled_buckets
 
-    R = n_ranges or cpu_scaled_buckets(mult=4, floor=8)
+    R = n_ranges or cpu_scaled_buckets(
+        mult=4, floor=8,
+        rows=_parquet_rows(os.path.join(sf_dir, "documents.parquet")),
+    )  # rows hint only lowers R; rank output is R-invariant by test
     out_schema = pa.schema(
         [("rank", pa.int64()), ("doc_id", pa.int64()),
          ("shuffle_key", pa.int64())]
