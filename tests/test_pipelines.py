@@ -1621,3 +1621,19 @@ def test_events_retention_semantics_and_twin(ray_session, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
     orc = con.sql(events_retention_sql()).fetch_arrow_table()
     assert orc.to_pydict() == got.to_pydict()
+
+
+def test_relational_fused_rollups_bucket_invariant(ray_session, sf_dir, monkeypatch):
+    """The fused join+rollup(+top-N) exchanges (Q1-by-month, Q3) argue
+    exactness from bucket-key containment: every rollup group lives
+    entirely inside one bucket, so per-bucket aggregation is globally
+    exact for ANY bucket count. Pin it: nb=1 (everything in one bucket)
+    and nb=97 (prime, scatters groups) must equal the default."""
+    from smse_backend_ray.pipelines import relational
+
+    base_q1 = relational.revenue_by_month(sf_dir)
+    base_q3 = relational.shipping_priority(sf_dir)
+    for forced in (1, 97):
+        monkeypatch.setattr(relational, "_fact_buckets", lambda *a: forced)
+        assert relational.revenue_by_month(sf_dir).equals(base_q1), forced
+        assert relational.shipping_priority(sf_dir).equals(base_q3), forced
