@@ -346,11 +346,21 @@ def _score_jaccard(inter_ds, sizes_ds, threshold: float) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
 
 
+_HOT_SHINGLE_CACHE: dict[tuple, tuple[tuple, object]] = {}
+
+
 def _global_hot_shingles(sf_dir: str, df_cap: int, op: str):
     """Distributed global shingle-df pass -> (materialized Dataset of
     shingles with df > cap, their count). Logged when non-empty — never a
     silent drop. Stays a DATASET: the hot set grows with corpus vocabulary
-    at fixed cap, so it must never be required to fit on the driver."""
+    at fixed cap, so it must never be required to fit on the driver.
+    Memoized per (documents stamp, df_cap) — jaccard_pairs and
+    minhash_lsh_pairs both need the identical hot set and otherwise each
+    pay the full corpus df pass."""
+    stamp = _docs_stamp(sf_dir)
+    hit = _HOT_SHINGLE_CACHE.get((stamp[0], df_cap))
+    if hit and hit[0] == stamp:
+        return hit[1]
     shingles = _read_documents(sf_dir).map_batches(
         _shingle_rows, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -371,7 +381,9 @@ def _global_hot_shingles(sf_dir: str, df_cap: int, op: str):
             "%s: excluding %d shingles with df > %d from Jaccard sets",
             op, n_hot, df_cap,
         )
-    return _compact(hot_ds), n_hot
+    out = (_compact(hot_ds), n_hot)
+    _HOT_SHINGLE_CACHE[(stamp[0], df_cap)] = (stamp, out)
+    return out
 
 
 def _drop_hot_stage(ds, hot):
