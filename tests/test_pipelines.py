@@ -1637,3 +1637,23 @@ def test_relational_fused_rollups_bucket_invariant(ray_session, sf_dir, monkeypa
         monkeypatch.setattr(relational, "_fact_buckets", lambda *a: forced)
         assert relational.revenue_by_month(sf_dir).equals(base_q1), forced
         assert relational.shipping_priority(sf_dir).equals(base_q3), forced
+
+
+def test_exchange_sizing_hints_only_lower(ray_session):
+    """The row hints on the block/bucket sizing helpers must only LOWER
+    the CPU-scaled targets — large inputs (the 100 TB regime) are sized by
+    CPUs exactly as before, tiny inputs stop manufacturing near-empty
+    tasks."""
+    from smse_backend_ray.functions.joins import cpu_scaled_buckets
+    from smse_backend_ray.sources.corpus import _parallel_blocks
+
+    cpu_default = cpu_scaled_buckets()
+    assert cpu_scaled_buckets(rows=10**12) == cpu_default
+    assert cpu_scaled_buckets(rows=0) == 4          # floor of the hint
+    assert cpu_scaled_buckets(rows=2048 * 16) == min(cpu_default, 16)
+
+    blk_default = _parallel_blocks()
+    assert _parallel_blocks(10**12) == blk_default
+    assert _parallel_blocks(10**12, rows_per_block=4096) == blk_default
+    assert _parallel_blocks(100) == min(blk_default, 1)  # 100//64 -> 1 block
+    assert _parallel_blocks(100, rows_per_block=4096) == 1
