@@ -76,9 +76,14 @@ def main():
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # partial sf dirs (e.g. a fuzz corpus that only has documents) still
+        # replay the entries whose tables exist
+        import os as _os
+
+        if _os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
