@@ -3,8 +3,11 @@ training-data additions beyond the reference's surface (quality scoring /
 language-ID / token accounting / fingerprinting), built on the same frozen
 analyzer so the DuckDB oracles reproduce them exactly.
 
-All stages are stateless ``map_batches`` transforms (Arrow in/out); the only
-per-row Python is the compiled-regex tokenizer pass.
+All stages are stateless ``map_batches`` transforms (Arrow in/out), built on
+the vectorized Arrow-C++ analyzer chain (functions/analyzer._flat_subtokens);
+the remaining per-row Python is md5-based hashing (fingerprint/winnow — no
+vectorizable md5 exists in the env) and each keeps a frozen per-doc scalar
+reference (_*_one) for the bitwise parity fuzz in tests.
 """
 
 from __future__ import annotations
@@ -50,24 +53,50 @@ def _doc_buckets(sf_dir: str, docs_per_bucket: int = 256) -> int:
     )
 
 
+def _token_stats_one(text: str) -> tuple[int, int, int, float]:
+    """THE frozen per-doc reference for token_stats (parity fuzz only —
+    the batch twin below is what runs)."""
+    raw = split_subtokens(text or "")
+    kept = tokenize(text or "")
+    mean_len = (sum(len(r) for r in raw) / len(raw)) if raw else 0.0
+    return len(raw), len(kept), len(set(kept)), mean_len
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
     """Per-doc token accounting: raw subtokens, kept tokens, distinct terms,
-    mean raw token length (0.0 when empty)."""
-    doc_ids = batch["doc_id"].to_pylist()
-    texts = batch["text"].to_pylist()
-    n_raw, n_tok, n_distinct, mean_len = [], [], [], []
-    for t in texts:
-        raw = split_subtokens(t or "")
-        kept = tokenize(t or "")
-        n_raw.append(len(raw))
-        n_tok.append(len(kept))
-        n_distinct.append(len(set(kept)))
-        mean_len.append(
-            (sum(len(r) for r in raw) / len(raw)) if raw else 0.0
+    mean raw token length (0.0 when empty). Fully vectorized on the frozen
+    Arrow-C++ analyzer chain (one _flat_subtokens pass, numpy bincounts, a
+    C++ group_by for the distinct count); bitwise-equal to _token_stats_one
+    (mean = exact-int sum / exact-int count in double on both sides)."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.functions.analyzer import _flat_subtokens, _keep_mask
+
+    flat, doc_idx, n = _flat_subtokens(batch["text"])
+    ln = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    ne = ln > 0
+    d_ne = doc_idx[ne]
+    n_raw = np.bincount(d_ne, minlength=n)
+    len_sum = np.bincount(d_ne, weights=ln[ne].astype(np.float64), minlength=n)
+    mean_len = np.divide(
+        len_sum, n_raw, out=np.zeros(n, dtype=np.float64), where=n_raw > 0
+    )
+    km = _keep_mask(flat).to_numpy(zero_copy_only=False)
+    d_k = doc_idx[km]
+    n_tok = np.bincount(d_k, minlength=n)
+    if d_k.size:
+        g = (
+            pa.table({"d": pa.array(d_k), "t": flat.filter(pa.array(km))})
+            .group_by("d")
+            .aggregate([("t", "count_distinct")])
         )
+        n_distinct = np.zeros(n, dtype=np.int64)
+        n_distinct[g["d"].to_numpy()] = g["t_count_distinct"].to_numpy()
+    else:
+        n_distinct = np.zeros(n, dtype=np.int64)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
             "n_subtokens": pa.array(n_raw, type=pa.int64()),
             "n_tokens": pa.array(n_tok, type=pa.int64()),
             "n_distinct_terms": pa.array(n_distinct, type=pa.int64()),
@@ -76,55 +105,104 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _quality_one(text: str) -> tuple[int, float, float]:
+    """THE frozen per-doc reference for quality (parity fuzz only)."""
+    raw = split_subtokens(text or "")
+    n = len(raw)
+    sr = (sum(1 for r in raw if r in STOPWORDS) / n) if n else 0.0
+    return n, round_half_away(sr, 4), round_half_away(
+        0.3 * sr + 0.7 * min(n, 100) / 100, 4
+    )
+
+
+_STOP_VALUE_SET = None
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Heuristic quality score in [0,1] (frozen formula, SQL twin in sqlgen):
 
       stop_ratio = stopword hits / raw subtokens   (0 when empty)
       quality    = round(0.3 * stop_ratio + 0.7 * min(n_raw, 100)/100, 4)
-    """
-    doc_ids = batch["doc_id"].to_pylist()
-    texts = batch["text"].to_pylist()
-    ratios, quals, n_raws = [], [], []
-    for t in texts:
-        raw = split_subtokens(t or "")
-        n = len(raw)
-        sr = (sum(1 for r in raw if r in STOPWORDS) / n) if n else 0.0
-        ratios.append(round_half_away(sr, 4))
-        quals.append(round_half_away(0.3 * sr + 0.7 * min(n, 100) / 100, 4))
-        n_raws.append(n)
+
+    Vectorized on the Arrow chain (is_in for stop hits, numpy for the
+    ratio math — same IEEE op order as the scalar reference, so bitwise
+    parity holds; fuzz in tests/test_pipelines.py)."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.functions.analyzer import _flat_subtokens
+
+    global _STOP_VALUE_SET
+    if _STOP_VALUE_SET is None:
+        _STOP_VALUE_SET = pa.array(sorted(STOPWORDS))
+    flat, doc_idx, n = _flat_subtokens(batch["text"])
+    ne = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+    stop = pc.is_in(flat, value_set=_STOP_VALUE_SET).to_numpy(zero_copy_only=False)
+    n_raw = np.bincount(doc_idx[ne], minlength=n)
+    n_stop = np.bincount(doc_idx[stop], minlength=n)
+    sr = np.divide(
+        n_stop, n_raw, out=np.zeros(n, dtype=np.float64), where=n_raw > 0
+    )
+    quals = round_half_away(0.3 * sr + 0.7 * np.minimum(n_raw, 100) / 100, 4)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "n_subtokens": pa.array(n_raws, type=pa.int64()),
-            "stop_ratio": pa.array(ratios, type=pa.float64()),
+            "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+            "n_subtokens": pa.array(n_raw, type=pa.int64()),
+            "stop_ratio": pa.array(round_half_away(sr, 4), type=pa.float64()),
             "quality": pa.array(quals, type=pa.float64()),
         }
     )
 
 
-def lang_id_batch(batch: pa.Table) -> pa.Table:
-    """Marker-word language ID: no ASCII subtokens -> 'zh'; zero marker hits
-    -> 'unknown'; else argmax marker hits, ties broken by lang ascending."""
-    doc_ids = batch["doc_id"].to_pylist()
-    texts = batch["text"].to_pylist()
+def _lang_id_one(text: str) -> str:
+    """THE frozen per-doc reference for lang_id (parity fuzz only)."""
+    raw = split_subtokens(text or "")
+    if not raw:
+        return "zh"
     marker_sets = {lg: frozenset(ws) for lg, ws in LANG_MARKERS.items()}
     langs_sorted = sorted(marker_sets)
-    preds = []
-    for t in texts:
-        raw = split_subtokens(t or "")
-        if not raw:
-            preds.append("zh")
-            continue
-        hits = {lg: sum(1 for r in raw if r in marker_sets[lg]) for lg in langs_sorted}
-        best = max(hits.values())
-        if best == 0:
-            preds.append("unknown")
-        else:
-            preds.append(next(lg for lg in langs_sorted if hits[lg] == best))
+    hits = {lg: sum(1 for r in raw if r in marker_sets[lg]) for lg in langs_sorted}
+    best = max(hits.values())
+    if best == 0:
+        return "unknown"
+    return next(lg for lg in langs_sorted if hits[lg] == best)
+
+
+_LANG_MARKER_ARRAYS: list | None = None
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Marker-word language ID: no ASCII subtokens -> 'zh'; zero marker hits
+    -> 'unknown'; else argmax marker hits, ties broken by lang ascending
+    (np.argmax returns the FIRST max over the lang-ascending axis, matching
+    the scalar tie rule). One is_in per language over the shared flat
+    stream — no per-row Python."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.functions.analyzer import _flat_subtokens
+
+    global _LANG_MARKER_ARRAYS
+    if _LANG_MARKER_ARRAYS is None:
+        _LANG_MARKER_ARRAYS = [
+            (lg, pa.array(sorted(set(LANG_MARKERS[lg]))))
+            for lg in sorted(LANG_MARKERS)
+        ]
+    flat, doc_idx, n = _flat_subtokens(batch["text"])
+    ne = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+    n_raw = np.bincount(doc_idx[ne], minlength=n)
+    hits = np.zeros((len(_LANG_MARKER_ARRAYS), n), dtype=np.int64)
+    for j, (_, markers) in enumerate(_LANG_MARKER_ARRAYS):
+        m = pc.is_in(flat, value_set=markers).to_numpy(zero_copy_only=False)
+        hits[j] = np.bincount(doc_idx[m], minlength=n)
+    best = hits.max(axis=0) if len(_LANG_MARKER_ARRAYS) else np.zeros(n, dtype=np.int64)
+    arg = hits.argmax(axis=0) if len(_LANG_MARKER_ARRAYS) else np.zeros(n, dtype=np.int64)
+    lang_names = np.array([lg for lg, _ in _LANG_MARKER_ARRAYS], dtype=object)
+    preds = np.where(
+        n_raw == 0, "zh", np.where(best == 0, "unknown", lang_names[arg])
+    )
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "pred_lang": pa.array(preds, type=pa.string()),
+            "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+            "pred_lang": pa.array(preds.tolist(), type=pa.string()),
         }
     )
 

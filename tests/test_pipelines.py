@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
 
 from smse_backend_ray.pipelines import dedup, events, simsearch, textstats
 
@@ -254,6 +255,90 @@ def test_lang_id_paths():
     )
     out = textstats.lang_id_batch(t)
     assert out["pred_lang"].to_pylist() == ["zh", "en", "es", "unknown"]
+
+
+def _textstats_corpus_strategy():
+    """Texts mixing arbitrary unicode with the words the three textstats
+    predicates branch on: stopwords, language markers, digits, long runs."""
+    from hypothesis import strategies as st
+
+    from smse_backend_ray.config import LANG_MARKERS, STOPWORDS
+
+    pool = sorted(STOPWORDS)[:12] + [w for ws in LANG_MARKERS.values() for w in sorted(ws)[:4]]
+    pool += ["42", "x1", "camelCaseWord", "x" * 31, "ab", "北京"]
+    word = st.one_of(
+        st.sampled_from(pool),
+        st.text(
+            alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+            max_size=8,
+        ),
+    )
+    text = st.lists(word, max_size=12).map(" ".join)
+    return st.lists(text, max_size=8)
+
+
+@settings(max_examples=80, deadline=None)
+@given(texts=_textstats_corpus_strategy())
+def test_token_stats_batch_matches_scalar(texts):
+    """Vectorized token_stats is bitwise-equal to the frozen per-doc
+    reference (counts exact, mean = int-sum/int-count in double)."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = textstats.token_stats_batch(t)
+    for i, txt in enumerate(texts):
+        ref = textstats._token_stats_one(txt)
+        got = (
+            out["n_subtokens"][i].as_py(),
+            out["n_tokens"][i].as_py(),
+            out["n_distinct_terms"][i].as_py(),
+            out["mean_subtoken_len"][i].as_py(),
+        )
+        assert got == ref
+
+
+@settings(max_examples=80, deadline=None)
+@given(texts=_textstats_corpus_strategy())
+def test_quality_batch_matches_scalar(texts):
+    """Vectorized quality/stop_ratio is bitwise-equal to the frozen per-doc
+    reference (same IEEE op order in the 0.3/0.7 blend)."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = textstats.quality_batch(t)
+    for i, txt in enumerate(texts):
+        n, sr, q = textstats._quality_one(txt)
+        assert out["n_subtokens"][i].as_py() == n
+        assert out["stop_ratio"][i].as_py() == sr
+        assert out["quality"][i].as_py() == q
+
+
+@settings(max_examples=80, deadline=None)
+@given(texts=_textstats_corpus_strategy())
+def test_lang_id_batch_matches_scalar(texts):
+    """Vectorized lang-ID reproduces the frozen per-doc argmax + tie rule."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = textstats.lang_id_batch(t)
+    assert out["pred_lang"].to_pylist() == [
+        textstats._lang_id_one(txt) for txt in texts
+    ]
 
 
 def test_winnow_fingerprints_properties():
