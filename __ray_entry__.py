@@ -645,6 +645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": sampling.doc_sample,
         "doc_sample_stratified": sampling.doc_sample_stratified,
         "search_history": _q_history,
+        "forecast_revenue": relational.forecast_revenue,
+        "large_order_customers": relational.large_order_customers,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -843,6 +845,8 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": events_mod.range_join_sql(),
         "shipping_priority": relational_mod.shipping_priority_sql(),
         "returned_item_revenue": relational_mod.returned_item_revenue_sql(),
+        "forecast_revenue": relational_mod.forecast_revenue_sql(),
+        "large_order_customers": relational_mod.large_order_customers_sql(),
         "revenue_by_month": relational_mod.revenue_by_month_sql(),
         "nation_revenue": relational_mod.nation_revenue_sql(),
         "order_priority_counts": relational_mod.order_priority_counts_sql(),

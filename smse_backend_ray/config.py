@@ -258,6 +258,26 @@ Q10_DATE_LO = "1996-01-01"
 Q10_DATE_HI = "1996-07-01"
 Q10_TOP_N = 20
 
+# TPC-H Q6 shape (relational.forecast_revenue <->
+# relational.forecast_revenue_sql, frozen pair): lineitems shipped in
+# [Q6_DATE_LO, Q6_DATE_HI) with rounded discount cents in
+# [Q6_DISC_LO_C, Q6_DISC_HI_C] and quantity < Q6_QTY_MAX; revenue =
+# sum of round(price*100) * round(discount*100), an exact 1e-4-dollar
+# int64 (order-free).
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1998-01-01"
+Q6_DISC_LO_C = 5
+Q6_DISC_HI_C = 7
+Q6_QTY_MAX = 24
+
+# TPC-H Q18 shape (relational.large_order_customers <->
+# relational.large_order_customers_sql, frozen pair): orders whose total
+# lineitem quantity (exact scaled-int sum of round(q*100)) exceeds
+# Q18_MIN_QTY * 100, enriched with order + customer meta; ties
+# (o_totalprice DESC, o_orderkey ASC), top Q18_TOP_N.
+Q18_MIN_QTY = 250
+Q18_TOP_N = 20
+
 # Per-lang doc-length quantiles (textstats.doc_length_quantiles <->
 # sqlgen.dl_quantiles_sql, frozen pair): dl = kept-token count per doc
 # (empty docs count with dl = 0); quantiles are linear-interpolated

@@ -851,3 +851,230 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue_scaled DESC, c_custkey
 LIMIT {config.Q10_TOP_N}
 """
+
+
+def forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 shape (forecasting revenue change): total discounted
+    revenue of lineitems shipped in a window with a narrow discount band
+    and small quantities.
+
+    Frozen pair with ``forecast_revenue_sql`` (constants in config.Q6_*):
+    discount eligibility compares ROUNDED cents (floor(d*100+0.5), exact
+    int both sides — a float BETWEEN would be representation-sensitive);
+    revenue = sum of round(p*100) * round(d*100) in exact 1e-4-dollar
+    int64 units, order-free.
+
+    Scale shape: the whole query is one embarrassingly parallel
+    map_batches pass over the pruned 4-column scan — each batch folds to
+    a single (revenue, count) partial and the driver sums a per-block
+    handful of rows. No shuffle at any scale."""
+    import datetime
+
+    from smse_backend_ray import config
+
+    lo = datetime.datetime.fromisoformat(config.Q6_DATE_LO)
+    hi = datetime.datetime.fromisoformat(config.Q6_DATE_HI)
+    dlo, dhi = config.Q6_DISC_LO_C, config.Q6_DISC_HI_C
+    qmax = float(config.Q6_QTY_MAX)
+
+    partial_schema = pa.schema([("rev", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        m = pc.and_(
+            pc.and_(pc.greater_equal(dt, pa.scalar(lo)), pc.less(dt, pa.scalar(hi))),
+            pc.less(t["l_quantity"], qmax),
+        )
+        kept = t.filter(m)
+        d = np.floor(
+            kept["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        band = (d >= dlo) & (d <= dhi)
+        p = np.floor(
+            kept["l_extendedprice"].to_numpy(zero_copy_only=False)[band] * 100.0
+            + 0.5
+        ).astype(np.int64)
+        rev = p * d[band]
+        return pa.table(
+            {
+                "rev": pa.array([int(rev.sum())], type=pa.int64()),
+                "n": pa.array([int(band.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = collect_table(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+        ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=partial_schema,
+    )
+    return pa.table(
+        {
+            "revenue_scaled": pa.array(
+                [int(pc.sum(parts["rev"]).as_py() or 0)], type=pa.int64()
+            ),
+            "n_items": pa.array(
+                [int(pc.sum(parts["n"]).as_py() or 0)], type=pa.int64()
+            ),
+        }
+    )
+
+
+def forecast_revenue_sql() -> str:
+    from smse_backend_ray import config
+
+    return f"""
+SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         * CAST(round(l_discount * 100, 0) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_scaled,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{config.Q6_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{config.Q6_DATE_HI}'
+  AND CAST(round(l_discount * 100, 0) AS BIGINT)
+        BETWEEN {config.Q6_DISC_LO_C} AND {config.Q6_DISC_HI_C}
+  AND l_quantity < {config.Q6_QTY_MAX}
+"""
+
+
+def large_order_customers(sf_dir: str) -> pa.Table:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds a high threshold, with order + customer
+    meta, top-N by order value.
+
+    Frozen pair with ``large_order_customers_sql`` (constants in
+    config.Q18_*): quantities sum as exact scaled ints (round(q*100),
+    order-free), HAVING compares > Q18_MIN_QTY*100, ties
+    (o_totalprice DESC, o_orderkey ASC), top Q18_TOP_N.
+
+    Scale shape: lineitem pre-combines per batch to one row per orderkey,
+    then ONE grouped_aggregate exchange on orderkey; the HAVING filter
+    leaves a tiny qualifying set by construction (the threshold sits in
+    the far tail of the per-order quantity distribution — Q18's defining
+    property), so order/customer enrichment is a pushed-down parquet
+    point read over the surviving keys, never a fact-scale join. Top-N
+    folds per block over complete groups before the driver merge."""
+    import pyarrow.dataset as pads
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import grouped_aggregate, with_schema
+
+    thr = int(config.Q18_MIN_QTY) * 100
+    top_n = int(config.Q18_TOP_N)
+
+    def li_combine(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                    "qty": pa.array(q, type=pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("qty", "sum")])
+        )
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "qty": pc.cast(g["qty_sum"], pa.int64())}
+        )
+
+    facts = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        li_combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+    rolled_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("total_qty_scaled", pa.int64())]
+    )
+    rolled = with_schema(
+        grouped_aggregate(
+            facts,
+            ["l_orderkey"],
+            [("qty", "sum", "total_qty_scaled")],
+            nb=_fact_buckets(sf_dir, "lineitem"),
+        ),
+        rolled_schema,
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["total_qty_scaled"], thr))
+
+    qual = collect_table(
+        rolled.map_batches(having, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=rolled_schema,
+    )
+    out_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_totalprice", pa.float64()),
+            ("total_qty_scaled", pa.int64()),
+        ]
+    )
+    if not qual.num_rows:
+        return out_schema.empty_table()
+
+    okeys = qual["l_orderkey"].to_pylist()
+    qty_of = dict(zip(okeys, qual["total_qty_scaled"].to_pylist()))
+    orders = pads.dataset(os.path.join(sf_dir, "orders.parquet")).to_table(
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        filter=pads.field("o_orderkey").isin(okeys),
+    )
+    idx = pc.sort_indices(
+        orders,
+        sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+    )
+    orders = orders.take(idx[: min(top_n, orders.num_rows)])
+
+    ckeys = orders["o_custkey"].to_pylist()
+    cust = pads.dataset(os.path.join(sf_dir, "customer.parquet")).to_table(
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey").isin(ckeys) if ckeys else None,
+    )
+    cname = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    missing = [k for k in ckeys if k not in cname]
+    if missing:
+        # FK integrity assumption, surfaced loudly (same stance as Q10)
+        raise ValueError(
+            f"orders reference custkeys absent from customer: {missing[:5]}"
+        )
+    return pa.table(
+        {
+            "c_custkey": pa.array(ckeys, type=pa.int64()),
+            "c_name": pa.array([cname[k] for k in ckeys], type=pa.string()),
+            "o_orderkey": orders["o_orderkey"],
+            "o_orderdate": pc.cast(orders["o_orderdate"], pa.timestamp("us")),
+            "o_totalprice": pc.cast(orders["o_totalprice"], pa.float64()),
+            "total_qty_scaled": pa.array(
+                [qty_of[k] for k in orders["o_orderkey"].to_pylist()],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def large_order_customers_sql() -> str:
+    from smse_backend_ray import config
+
+    return f"""
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_qty_scaled
+  FROM lineitem
+  GROUP BY 1
+  HAVING SUM(CAST(round(l_quantity * 100, 0) AS BIGINT))
+           > {int(config.Q18_MIN_QTY) * 100}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       q.total_qty_scaled
+FROM q
+JOIN orders ON o_orderkey = q.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {config.Q18_TOP_N}
+"""

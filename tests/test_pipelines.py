@@ -1742,3 +1742,128 @@ def test_exchange_sizing_hints_only_lower(ray_session):
     assert _parallel_blocks(10**12, rows_per_block=4096) == blk_default
     assert _parallel_blocks(100) == min(blk_default, 1)  # 100//64 -> 1 block
     assert _parallel_blocks(100, rows_per_block=4096) == 1
+
+
+def test_forecast_revenue_semantics_and_twin(ray_session, tmp_path, monkeypatch):
+    """Q6 shape on a micro-warehouse: half-open ship-date window, ROUNDED
+    discount-cent band (inclusive both ends), strict quantity cap, exact
+    scaled-int revenue — engine vs hand truth vs the DuckDB twin."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import smse_backend_ray.config as config
+    from smse_backend_ray.pipelines.relational import (
+        forecast_revenue,
+        forecast_revenue_sql,
+    )
+
+    monkeypatch.setattr(config, "Q6_DATE_LO", "2000-01-01")
+    monkeypatch.setattr(config, "Q6_DATE_HI", "2001-01-01")
+    monkeypatch.setattr(config, "Q6_DISC_LO_C", 5)
+    monkeypatch.setattr(config, "Q6_DISC_HI_C", 7)
+    monkeypatch.setattr(config, "Q6_QTY_MAX", 24)
+    lo = datetime.datetime(2000, 1, 1)
+    hi = datetime.datetime(2001, 1, 1)
+    mid = datetime.datetime(2000, 6, 1)
+
+    # (shipdate, qty, price, discount, note)
+    rows = [
+        (lo, 1.0, 100.0, 0.05, "on lo -> in; 10000*5 = 50000"),
+        (mid, 23.0, 10.0, 0.07, "hi edge of band; 1000*7 = 7000"),
+        (hi, 1.0, 999.0, 0.05, "on hi -> out (strict <)"),
+        (mid, 24.0, 999.0, 0.05, "qty == cap -> out (strict <)"),
+        (mid, 1.0, 999.0, 0.04, "below band -> out"),
+        (mid, 1.0, 999.0, 0.08, "above band -> out"),
+    ]
+    lineitem = pa.table({
+        "l_orderkey": pa.array([1] * len(rows), type=pa.int64()),
+        "l_quantity": pa.array([r[1] for r in rows]),
+        "l_extendedprice": pa.array([r[2] for r in rows]),
+        "l_discount": pa.array([r[3] for r in rows]),
+        "l_shipdate": pa.array([r[0] for r in rows], type=pa.timestamp("us")),
+    })
+    sf = str(tmp_path)
+    pq.write_table(lineitem, f"{sf}/lineitem.parquet")
+
+    got = forecast_revenue(sf)
+    assert got.to_pydict() == {"revenue_scaled": [57000], "n_items": [2]}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')")
+    orc = con.sql(forecast_revenue_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
+
+    # empty qualifying set: engine emits 0, the twin COALESCEs to 0
+    monkeypatch.setattr(config, "Q6_QTY_MAX", 0)
+    got0 = forecast_revenue(sf)
+    assert got0.to_pydict() == {"revenue_scaled": [0], "n_items": [0]}
+    assert con.sql(forecast_revenue_sql()).fetch_arrow_table().to_pydict() == got0.to_pydict()
+
+
+def test_large_order_customers_semantics_and_twin(ray_session, tmp_path, monkeypatch):
+    """Q18 shape on a micro-warehouse: scaled-int quantity sums, strict
+    HAVING threshold, (o_totalprice DESC, o_orderkey ASC) tie order,
+    top-N cap, customer enrichment — engine vs hand truth vs twin."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import smse_backend_ray.config as config
+    from smse_backend_ray.pipelines.relational import (
+        large_order_customers,
+        large_order_customers_sql,
+    )
+
+    monkeypatch.setattr(config, "Q18_MIN_QTY", 10)
+    monkeypatch.setattr(config, "Q18_TOP_N", 2)
+    d = datetime.datetime(2000, 3, 1)
+
+    # o1: qty 10 == threshold -> excluded (strict >). o2: 10.5 -> in but
+    # its price (50) loses to the o3/o4 price tie (70) and TOP_N=2 cuts
+    # it. o3 and o4 price-tie -> o_orderkey ASC order.
+    li = [(1, 4.0), (1, 6.0), (2, 10.5), (3, 12.0), (4, 11.0)]
+    lineitem = pa.table({
+        "l_orderkey": pa.array([r[0] for r in li], type=pa.int64()),
+        "l_quantity": pa.array([r[1] for r in li]),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_custkey": pa.array([7, 8, 9, 7], type=pa.int64()),
+        "o_totalprice": pa.array([99.0, 50.0, 70.0, 70.0]),
+        "o_orderdate": pa.array([d] * 4, type=pa.timestamp("us")),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array([7, 8, 9], type=pa.int64()),
+        "c_name": ["carol", "dave", "erin"],
+    })
+    sf = str(tmp_path)
+    pq.write_table(lineitem, f"{sf}/lineitem.parquet")
+    pq.write_table(orders, f"{sf}/orders.parquet")
+    pq.write_table(customer, f"{sf}/customer.parquet")
+
+    got = large_order_customers(sf)
+    assert got.to_pydict() == {
+        "c_custkey": [9, 7],
+        "c_name": ["erin", "carol"],
+        "o_orderkey": [3, 4],
+        "o_orderdate": [d, d],
+        "o_totalprice": [70.0, 70.0],
+        "total_qty_scaled": [1200, 1100],
+    }
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    orc = con.sql(large_order_customers_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
+
+    # threshold above every order -> empty, both sides
+    monkeypatch.setattr(config, "Q18_MIN_QTY", 1000)
+    got0 = large_order_customers(sf)
+    assert got0.num_rows == 0
+    assert con.sql(large_order_customers_sql()).fetch_arrow_table().num_rows == 0
