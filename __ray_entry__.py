@@ -647,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_history": _q_history,
         "forecast_revenue": relational.forecast_revenue,
         "large_order_customers": relational.large_order_customers,
+        "events_running_totals": events.user_running_totals,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -857,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": events_mod.events_retention_sql(),
         "events_hourly_agg": events_mod.hourly_window_agg_sql(),
         "events_sessions": events_mod.user_sessions_sql(),
+        "events_running_totals": events_mod.user_running_totals_sql(),
         "events_recent": events_mod.recent_events_sql(),
         "events_props_agg": events_mod.props_agg_sql(),
         "doc_sample": sampling_mod.doc_sample_sql(),

@@ -194,6 +194,96 @@ def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> pa.Table:
     return t.take(pc.sort_indices(t["user_id"]))
 
 
+def user_running_totals(sf_dir: str) -> pa.Table:
+    """Per-event window values over each user's timeline: 1-based sequence
+    number, microsecond gap to the previous event (-1 sentinel on the
+    first — a NULL would be compared as NaN by the float-coercing gate
+    comparator), and the running sum of the 4-decimal-scaled value — the
+    LAG / ROW_NUMBER / cumulative-SUM window-function family.
+
+    Frozen pair with ``user_running_totals_sql``: ordering (ts ASC,
+    event_id ASC) within user; values scaled round(v*10000)::int64 BEFORE
+    the running sum (exact, order-free; NULL/NaN values add 0 — the twin
+    COALESCEs), so every prefix sum is bit-exact.
+
+    Scale shape: ONE exchange on a user-hash bucket; inside a bucket all
+    users compute in a single numpy pass (lexsort -> segment bounds ->
+    arange/diff/cumsum with per-segment rebasing) — never a Python call
+    per user or per row."""
+    nb = _n_user_buckets()
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = pc.cast(g["user_id"], pa.int64()).to_numpy()
+        ts = _epoch_us(g["ts"])
+        eid = pc.cast(g["event_id"], pa.int64()).to_numpy()
+        v = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.where(np.isnan(v), 0.0, v)
+        iv = (np.sign(v) * np.floor(np.abs(v) * 10000.0 + 0.5)).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s, eid_s, iv_s = u[order], ts[order], eid[order], iv[order]
+        n = len(u_s)
+        if not n:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "seq": pa.array([], type=pa.int64()),
+                    "gap_us": pa.array([], type=pa.int64()),
+                    "cum_value_scaled": pa.array([], type=pa.int64()),
+                }
+            )
+        newu = np.empty(n, dtype=bool)
+        newu[0] = True
+        newu[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(newu)
+        seg_id = np.cumsum(newu) - 1
+        seq = np.arange(n, dtype=np.int64) - starts[seg_id] + 1
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = ts_s[1:] - ts_s[:-1]
+        gap[newu] = -1
+        cs = np.cumsum(iv_s)
+        base = np.concatenate(([0], cs))[starts[seg_id]]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s, type=pa.int64()),
+                "event_id": pa.array(eid_s, type=pa.int64()),
+                "seq": pa.array(seq, type=pa.int64()),
+                "gap_us": pa.array(gap, type=pa.int64()),
+                "cum_value_scaled": pa.array(cs - base, type=pa.int64()),
+            }
+        )
+
+    out = (
+        _read_events(sf_dir)
+        .map_batches(
+            lambda t: _user_bucket_rows(t, nb),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    t = collect_table(out)
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("seq", "ascending")]
+        )
+    )
+
+
+def user_running_totals_sql() -> str:
+    return """
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       COALESCE(date_diff('microsecond', lag(ts) OVER w, ts), -1) AS gap_us,
+       CAST(SUM(COALESCE(CAST(round(value * 10000, 0) AS BIGINT), 0))
+            OVER w AS BIGINT) AS cum_value_scaled
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, seq
+"""
+
+
 RECENT_HOURS = 24
 
 

@@ -1867,3 +1867,56 @@ def test_large_order_customers_semantics_and_twin(ray_session, tmp_path, monkeyp
     got0 = large_order_customers(sf)
     assert got0.num_rows == 0
     assert con.sql(large_order_customers_sql()).fetch_arrow_table().num_rows == 0
+
+
+def test_user_running_totals_semantics_and_twin(ray_session, tmp_path):
+    """Window-family semantics on a handcrafted stream: (ts, event_id) tie
+    order, -1 first-gap sentinel, per-user cumsum rebasing, scaled-int
+    exactness on negative values, NULL value adds 0 — engine vs hand truth
+    vs the DuckDB twin."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.pipelines.events import (
+        user_running_totals,
+        user_running_totals_sql,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda k: t0 + datetime.timedelta(seconds=k)
+    # user 1: ts tie at s(5) broken by event_id (11 before 12); negative +
+    # fractional values. user 2: single event, NULL value.
+    rows = [
+        (10, s(0), 1, 1.5),
+        (11, s(5), 1, -0.25),
+        (12, s(5), 1, 2.0),
+        (13, s(65), 1, 0.00004),   # rounds to 0.0000 scaled 0
+        (20, s(3), 2, None),
+    ]
+    events = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array(["x"] * len(rows)),
+        "value": pa.array([r[3] for r in rows], type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    sf = str(tmp_path)
+    pq.write_table(events, f"{sf}/events.parquet")
+
+    got = user_running_totals(sf)
+    assert got.to_pydict() == {
+        "user_id": [1, 1, 1, 1, 2],
+        "event_id": [10, 11, 12, 13, 20],
+        "seq": [1, 2, 3, 4, 1],
+        "gap_us": [-1, 5_000_000, 0, 60_000_000, -1],
+        "cum_value_scaled": [15000, 12500, 32500, 32500, 0],
+    }
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    orc = con.sql(user_running_totals_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
