@@ -648,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": relational.forecast_revenue,
         "large_order_customers": relational.large_order_customers,
         "events_running_totals": events.user_running_totals,
+        "embedding_dim_stats": simsearch.embedding_dim_stats,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -841,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": sqlgen.dl_quantiles_sql(),
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
+        "embedding_dim_stats": simsearch_mod.embedding_dim_stats_sql(),
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "events_asof_join": events_mod.asof_join_sql(),
         "events_range_join": events_mod.range_join_sql(),

@@ -833,3 +833,91 @@ def knn_ivfpq_checked(sf_dir: str, k: int = TOP_K) -> pa.Table:
             f"IVF-PQ recall {recall:.3f} below pinned floor {IVFPQ_RECALL_FLOOR}"
         )
     return approx
+
+
+def embedding_dim_stats(sf_dir: str) -> pa.Table:
+    """Per-dimension statistics of the embedding column — the sanity /
+    normalization profile a training pipeline computes before indexing
+    (mean shift, scale, clipped dims).
+
+    Frozen pair with ``embedding_dim_stats_sql``: values promote
+    float32 -> float64 (exact) on both sides; sums run over 4-decimal
+    SCALED int64 (floor(|v|*1e4+0.5) with sign <-> round(v*10000,0)::
+    BIGINT — exact, order-free); min/max are exact float64 of the
+    stored float32 payload; mean = round4(sum_scaled / 10000.0 / n).
+
+    Scale shape: one map_batches pass emitting a d-row partial per block
+    (d = embedding width, corpus-size-independent), then a driver-side
+    pyarrow group_by over n_blocks * d rows. No shuffle at any scale."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.functions.collect import collect_table
+    from smse_backend_ray.functions.rounding import round_half_away
+    from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
+
+    partial_schema = pa.schema(
+        [
+            ("dim", pa.int64()),
+            ("n", pa.int64()),
+            ("sum_scaled", pa.int64()),
+            ("min_v", pa.float64()),
+            ("max_v", pa.float64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        V = _emb_matrix(t["embedding"])
+        n, d = V.shape
+        if not n or not d:
+            return partial_schema.empty_table()
+        iv = (np.sign(V) * np.floor(np.abs(V) * 10000.0 + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "n": pa.array(np.full(d, n, dtype=np.int64)),
+                "sum_scaled": pa.array(iv.sum(axis=0, dtype=np.int64)),
+                "min_v": pa.array(V.min(axis=0)),
+                "max_v": pa.array(V.max(axis=0)),
+            }
+        )
+
+    path = _emb_path(sf_dir)
+    parts = collect_table(
+        ray.data.read_parquet(path, columns=["embedding"])
+        .repartition(_parallel_blocks(_parquet_rows(path), rows_per_block=4096))
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=partial_schema,
+    )
+    g = parts.group_by("dim").aggregate(
+        [("n", "sum"), ("sum_scaled", "sum"), ("min_v", "min"), ("max_v", "max")]
+    )
+    n = g["n_sum"].to_numpy().astype(np.int64)
+    ss = g["sum_scaled_sum"].to_numpy().astype(np.int64)
+    mean = round_half_away(ss / 10000.0 / n, 4)
+    out = pa.table(
+        {
+            "dim": pc.cast(g["dim"], pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+            "sum_scaled": pa.array(ss, type=pa.int64()),
+            "mean_v": pa.array(mean, type=pa.float64()),
+            "min_v": pc.cast(g["min_v_min"], pa.float64()),
+            "max_v": pc.cast(g["max_v_max"], pa.float64()),
+        }
+    )
+    return out.take(pc.sort_indices(out["dim"]))
+
+
+def embedding_dim_stats_sql() -> str:
+    return """
+WITH flat AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(v * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_scaled,
+       round(SUM(CAST(round(v * 10000, 0) AS BIGINT)) / 10000.0 / count(*), 4)
+         AS mean_v,
+       MIN(v) AS min_v, MAX(v) AS max_v
+FROM flat GROUP BY dim ORDER BY dim
+"""

@@ -1920,3 +1920,48 @@ def test_user_running_totals_semantics_and_twin(ray_session, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
     orc = con.sql(user_running_totals_sql()).fetch_arrow_table()
     assert orc.to_pydict() == got.to_pydict()
+
+
+def test_embedding_dim_stats_semantics_and_twin(ray_session, tmp_path):
+    """Per-dim stats on a handcrafted table: scaled-int sums over negative /
+    rounding-edge float32 payloads, exact min/max, mean rounding — engine
+    vs hand truth vs the DuckDB twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.pipelines.simsearch import (
+        embedding_dim_stats,
+        embedding_dim_stats_sql,
+    )
+
+    vecs = [
+        [1.5, -0.25],
+        [0.00004, 2.0],
+        [-1.0, 0.5],
+    ]
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], type=pa.int32()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(emb, f"{sf}/embeddings.parquet")
+
+    got = embedding_dim_stats(sf)
+    f32 = lambda x: float(np.float32(x))
+    assert got.to_pydict() == {
+        "dim": [0, 1],
+        "n": [3, 3],
+        # dim0: 15000 + round(0.4)=0 + -10000 = 5000; dim1: -2500+20000+5000
+        "sum_scaled": [5000, 22500],
+        "mean_v": [0.1667, 0.75],
+        "min_v": [-1.0, -0.25],
+        "max_v": [1.5, 2.0],
+    }
+    assert got["min_v"][0].as_py() == f32(-1.0)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')")
+    orc = con.sql(embedding_dim_stats_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
