@@ -649,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_order_customers": relational.large_order_customers,
         "events_running_totals": events.user_running_totals,
         "embedding_dim_stats": simsearch.embedding_dim_stats,
+        "doc_kmv_distinct": textstats.kmv_distinct,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -840,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_cooc_pmi": sqlgen.cooc_pmi_sql(),
         "doc_keywords": sqlgen.keywords_sql(),
         "doc_length_quantiles": sqlgen.dl_quantiles_sql(),
+        "doc_kmv_distinct": textstats_mod.kmv_distinct_sql(),
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "embedding_dim_stats": simsearch_mod.embedding_dim_stats_sql(),

@@ -286,6 +286,18 @@ Q18_TOP_N = 20
 # derive from these probabilities.
 DL_QUANTILES = (0.25, 0.5, 0.75, 0.9)
 
+# KMV (bottom-k minimum values) distinct-gram sketch
+# (textstats.kmv_distinct <-> textstats.kmv_distinct_sql, frozen pair):
+# grams = KMV_GRAM_K-length subtoken windows joined by chr(1) (the winnow
+# gram identity), hashed with the little-endian uint64 of the first 8 md5
+# bytes (the minhash/simhash base hash — UNIFORM, unlike the md5-digit
+# winnow hash whose short-digit-string tail floods a bottom-k) shifted
+# right 1 bit to fit int64 (domain [0, 2^63)); sketch = the KMV_K
+# smallest DISTINCT hash values; est_distinct = n_sketch when
+# n_sketch < KMV_K (exact), else round4((KMV_K-1) * 2^63 / kth in double).
+KMV_K = 256
+KMV_GRAM_K = 5
+
 # Event funnel (events.event_funnel <-> events.event_funnel_sql, frozen
 # pair): greedy first-match funnel per user over the ordered event log —
 # t_1 = min ts of a step-1 event; t_k = min ts of a step-k event with

@@ -318,6 +318,145 @@ def winnow_rows(sf_dir: str) -> pa.Table:
     )
 
 
+def kmv_distinct(sf_dir: str) -> pa.Table:
+    """KMV (bottom-k minimum values) sketch of the corpus's distinct
+    subtoken K-grams — the cardinality estimate a 100 TB pipeline runs
+    instead of an exact COUNT(DISTINCT) all-to-all (Bar-Yossef et al. 2002;
+    the estimator (k-1)/U(k) with U(k) = the k-th smallest normalized
+    hash).
+
+    Frozen pair with ``kmv_distinct_sql`` (constants in config.KMV_*):
+    gram identity is the winnow pair's (chr(1)-joined subtoken windows);
+    the hash is the minhash/simhash base hash — little-endian uint64 of
+    the first 8 md5 bytes — shifted right 1 bit (int64, uniform on
+    [0, 2^63); the md5-DIGIT winnow hash is unusable here: hex strings
+    with < 15 digit chars yield short numbers that flood a bottom-k and
+    bias the estimator 2-3x high). The sketch keeps the KMV_K smallest
+    DISTINCT hash values; with fewer than KMV_K distinct hashes the
+    estimate is the exact sketch size, else
+    round4((KMV_K-1) * 2^63 / kth_hash).
+
+    Scale shape: each batch emits its bottom-KMV_K distinct hashes (gram
+    strings built by the vectorized window gather + binary_join, md5 only
+    over the batch-unique grams); bottom-k of a union == bottom-k of the
+    union of per-part bottom-ks, so the driver merge is an O(parts * k)
+    unique+sort — corpus-size-independent. No shuffle at any scale."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.config import KMV_GRAM_K, KMV_K
+    from smse_backend_ray.functions.analyzer import subtokens_batch
+
+    K = KMV_GRAM_K
+    empty = pa.table({"g": pa.array([], type=pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = subtokens_batch(batch["text"])
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        dl = np.diff(offs)
+        n_grams = np.maximum(dl - K + 1, 0)
+        total = int(n_grams.sum())
+        if not total:
+            return empty
+        gdoc = np.repeat(np.arange(len(dl), dtype=np.int64), n_grams)
+        first = np.concatenate(([0], np.cumsum(n_grams)))[:-1]
+        gidx = np.arange(total, dtype=np.int64) - first[gdoc]
+        idx = (np.arange(total * K, dtype=np.int64) % K) + np.repeat(
+            offs[gdoc] + gidx, K
+        )
+        windows = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (total + 1) * K, K, dtype=np.int32), type=pa.int32()),
+            toks.values.take(pa.array(idx, type=pa.int64())),
+        )
+        import struct
+
+        grams = pc.unique(pc.binary_join(windows, _GRAM_SEP))
+        hashes = np.unique(
+            np.fromiter(
+                (
+                    struct.unpack("<Q", hashlib.md5(g.encode()).digest()[:8])[0]
+                    >> 1
+                    for g in grams.to_pylist()
+                ),
+                dtype=np.int64,
+                count=len(grams),
+            )
+        )
+        return pa.table({"g": pa.array(hashes[:KMV_K], type=pa.int64())})
+
+    parts = collect_table(
+        _read_documents(sf_dir).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema=empty.schema,
+    )
+    sk = np.unique(parts["g"].to_numpy())[:KMV_K]
+    n_sketch = int(sk.size)
+    kth = int(sk[-1]) if n_sketch else 0
+    if n_sketch < KMV_K:
+        est = float(n_sketch)
+    else:
+        est = round_half_away(
+            ((KMV_K - 1) * 9223372036854775808.0) / float(kth), 4
+        )
+    return pa.table(
+        {
+            "k": pa.array([KMV_K], type=pa.int64()),
+            "n_sketch": pa.array([n_sketch], type=pa.int64()),
+            "kth_hash": pa.array([kth], type=pa.int64()),
+            "est_distinct": pa.array([est], type=pa.float64()),
+        }
+    )
+
+
+def kmv_distinct_sql() -> str:
+    from smse_backend_ray.config import KMV_GRAM_K, KMV_K
+    from smse_backend_ray.functions.sqlgen import subtoken_expr
+
+    k = KMV_GRAM_K
+    toks_expr = subtoken_expr("src.text")
+    leads = " || chr(1) || ".join(
+        ["term"] + [f"lead(term,{j}) OVER w" for j in range(1, k)]
+    )
+    # little-endian uint64 of the first 8 md5 bytes (the minhash/simhash
+    # base-hash expr), >> 1 to fit BIGINT — uniform on [0, 2^63)
+    hexpr = (
+        "CAST(CAST(('0x' || substr(m,15,2) || substr(m,13,2) || substr(m,11,2)"
+        " || substr(m,9,2) || substr(m,7,2) || substr(m,5,2) || substr(m,3,2)"
+        " || substr(m,1,2)) AS UBIGINT) // 2 AS BIGINT)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT src.doc_id, t.term, t.pos
+  FROM documents src,
+  LATERAL (SELECT unnest({toks_expr}) AS term,
+                  generate_subscripts({toks_expr}, 1) AS pos) t
+  WHERE t.term <> ''
+),
+ordered AS (
+  SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM toks
+),
+gram_str AS (
+  SELECT {leads} AS gram,
+         lead(term,{k - 1}) OVER w IS NOT NULL AS full_gram
+  FROM ordered WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+hashes AS (
+  SELECT DISTINCT {hexpr} AS g
+  FROM (SELECT md5(gram) AS m FROM gram_str WHERE full_gram)
+),
+sk AS (SELECT g FROM hashes ORDER BY g LIMIT {KMV_K})
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_sketch,
+       CAST(COALESCE(max(g), 0) AS BIGINT) AS kth_hash,
+       CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+            ELSE round(CAST({KMV_K} - 1 AS DOUBLE) * 9223372036854775808.0
+                       / max(g), 4)
+       END AS est_distinct
+FROM sk
+"""
+
+
 def _run(sf_dir: str, fn) -> pa.Table:
     out = collect_table(
         _read_documents(sf_dir).map_batches(

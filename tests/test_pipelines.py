@@ -1965,3 +1965,55 @@ def test_embedding_dim_stats_semantics_and_twin(ray_session, tmp_path):
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')")
     orc = con.sql(embedding_dim_stats_sql()).fetch_arrow_table()
     assert orc.to_pydict() == got.to_pydict()
+
+
+def test_kmv_distinct_estimate_and_exact_path(ray_session, sf_dir, tmp_path):
+    """KMV sketch: on the driver corpus the estimate lands within 20% of
+    the true distinct-gram count (k=256 -> ~6% expected error); on a tiny
+    corpus (fewer distinct grams than k) the sketch is exhaustive and the
+    estimate is exact."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray.pipelines.textstats import kmv_distinct, kmv_distinct_sql
+
+    got = kmv_distinct(sf_dir)
+    est = got["est_distinct"][0].as_py()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    # exact distinct HASH count via the twin's own gram CTEs
+    sql = kmv_distinct_sql()
+    exact = con.sql(
+        sql[: sql.index("sk AS")] + "x AS (SELECT 1) SELECT count(*) FROM hashes"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.20
+    # twin agreement on the full frozen output
+    orc = con.sql(sql).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
+
+    # tiny corpus: 3 docs, few grams -> exhaustive sketch, exact estimate
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon zeta eta",
+            "one two three four five",
+        ]),
+        "lang": pa.array(["en"] * 3),
+    })
+    sf2 = str(tmp_path)
+    pq.write_table(docs, f"{sf2}/documents.parquet")
+    got2 = kmv_distinct(sf2)
+    # doc1: 2 grams, doc2: 3 grams (2 shared with doc1), doc3: 1 gram
+    assert got2["n_sketch"][0].as_py() == 4
+    assert got2["est_distinct"][0].as_py() == 4.0
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf2}/documents.parquet')"
+    )
+    assert con2.sql(kmv_distinct_sql()).fetch_arrow_table().to_pydict() == got2.to_pydict()
