@@ -650,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_totals": events.user_running_totals,
         "embedding_dim_stats": simsearch.embedding_dim_stats,
         "doc_kmv_distinct": textstats.kmv_distinct,
+        "doc_sample_balanced": sampling.doc_sample_balanced,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -866,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "events_recent": events_mod.recent_events_sql(),
         "events_props_agg": events_mod.props_agg_sql(),
         "doc_sample": sampling_mod.doc_sample_sql(),
+        "doc_sample_balanced": sampling_mod.doc_sample_balanced_sql(),
         "doc_shuffle": sampling_mod.doc_shuffle_sql(),
         "curation_pipeline": curate_mod.curation_sql(),
         "doc_sample_stratified": sampling_mod.doc_sample_stratified_sql(),

@@ -134,6 +134,98 @@ ORDER BY doc_id
 """
 
 
+BALANCED_CAP = 50  # docs kept per language (doc_sample_balanced)
+
+
+def doc_sample_balanced(sf_dir: str, cap: int = BALANCED_CAP) -> pa.Table:
+    """Language-balanced sample: EXACTLY min(cap, n_lang) docs per language,
+    chosen in frozen (sample_key ASC, doc_id ASC) order — the fixed-size
+    counterpart of ``doc_sample_stratified`` (rate-based): rebalancing to a
+    hard per-language budget instead of a rate.
+
+    Frozen pair with ``doc_sample_balanced_sql`` (row_number() OVER
+    (PARTITION BY lang ORDER BY key, doc_id) <= cap); the same decision
+    key as doc_sample, so balanced picks nest inside Bernoulli samples.
+
+    Scale shape: per-batch each language folds to its cap smallest
+    (key, doc_id) rows in one vectorized sort + segment-position mask
+    (top-k of a union == top-k of the union of per-part top-ks), so the
+    driver merge is O(blocks * n_langs * cap) — language count and cap are
+    constants, never corpus-scale. No shuffle."""
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("rank", pa.int64()), ("doc_id", pa.int64()),
+         ("skey", pa.int64())]
+    )
+
+    def _top_per_lang(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("lang", "ascending"), ("skey", "ascending"),
+                       ("doc_id", "ascending")],
+        )
+        s = t.take(order)
+        langs = s["lang"].to_numpy(zero_copy_only=False)
+        newl = np.empty(len(langs), dtype=bool)
+        newl[0] = True
+        newl[1:] = langs[1:] != langs[:-1]
+        starts = np.flatnonzero(newl)
+        seg = np.cumsum(newl) - 1
+        pos = np.arange(len(langs), dtype=np.int64) - starts[seg]
+        kept = s.filter(pa.array(pos < cap))
+        return pa.table(
+            {
+                "lang": kept["lang"],
+                "rank": pa.array(
+                    (pos[pos < cap] + 1).astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": kept["doc_id"],
+                "skey": kept["skey"],
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = sample_key(t["doc_id"].to_numpy()).astype(np.int64)
+        return _top_per_lang(
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "rank": pa.array(np.zeros(len(key), dtype=np.int64)),
+                    "doc_id": pa.compute.cast(t["doc_id"], pa.int64()),
+                    "skey": pa.array(key, type=pa.int64()),
+                }
+            )
+        )
+
+    parts = collect_table(
+        _read_docs(sf_dir).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema=out_schema,
+    )
+    out = _top_per_lang(parts).drop_columns(["skey"])
+    return out.take(
+        pa.compute.sort_indices(
+            out, sort_keys=[("lang", "ascending"), ("rank", "ascending")]
+        )
+    )
+
+
+def doc_sample_balanced_sql(cap: int = BALANCED_CAP) -> str:
+    return f"""
+SELECT lang,
+       CAST(row_number() OVER w AS BIGINT) AS rank,
+       doc_id
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY {_key_sql()}, doc_id)
+QUALIFY row_number() OVER w <= {cap}
+ORDER BY lang, rank
+"""
+
+
 def doc_shuffle(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
     """Deterministic corpus shuffle: assign every doc a global training-order
     rank — the epoch-ordering step a training pipeline runs before packing.

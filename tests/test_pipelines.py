@@ -2017,3 +2017,40 @@ def test_kmv_distinct_estimate_and_exact_path(ray_session, sf_dir, tmp_path):
         f"read_parquet('{sf2}/documents.parquet')"
     )
     assert con2.sql(kmv_distinct_sql()).fetch_arrow_table().to_pydict() == got2.to_pydict()
+
+
+def test_doc_sample_balanced_properties(ray_session, sf_dir):
+    """Balanced sample: exactly min(cap, n_lang) rows per language, ranks
+    dense, and the picks equal the brute-force (sample_key, doc_id) order
+    computed driver-side — partition-invariant by construction."""
+    import pyarrow.parquet as pq_mod
+
+    from smse_backend_ray.pipelines.sampling import (
+        BALANCED_CAP,
+        doc_sample_balanced,
+        sample_key,
+    )
+
+    got = doc_sample_balanced(sf_dir)
+    docs = pq_mod.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    ids = docs["doc_id"].to_numpy()
+    langs = docs["lang"].to_pylist()
+    key = sample_key(ids)
+    by_lang: dict[str, list] = {}
+    for i, lg in enumerate(langs):
+        by_lang.setdefault(lg, []).append((int(key[i]), int(ids[i])))
+    want = {}
+    for lg, rows in by_lang.items():
+        want[lg] = [d for _, d in sorted(rows)[:BALANCED_CAP]]
+    got_by_lang: dict[str, list] = {}
+    for lg, rk, did in zip(
+        got["lang"].to_pylist(), got["rank"].to_pylist(), got["doc_id"].to_pylist()
+    ):
+        got_by_lang.setdefault(lg, []).append((rk, did))
+    assert set(got_by_lang) == set(want)
+    for lg, rows in got_by_lang.items():
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        assert [d for _, d in rows] == want[lg]
+        assert len(rows) == min(BALANCED_CAP, len(by_lang[lg]))
