@@ -271,3 +271,26 @@ def test_dl_quantiles_adversarial(ray_session, adv_dir, adv_duck):
     assert t.to_pylist() == want.to_pylist()
     # single lang; empty docs hold the p25 down to a real 0-containing lerp
     assert t.num_rows == 1 and t["n_docs"][0].as_py() == len(ADVERSARIAL_TEXTS)
+
+
+def test_kmv_distinct_adversarial(ray_session, adv_dir, adv_duck):
+    """KMV on adversarial docs: fewer distinct grams than KMV_K, so the
+    sketch is exhaustive and est_distinct is the exact distinct-hash
+    count — twin-exact including the short-corpus CASE branch."""
+    t = textstats.kmv_distinct(adv_dir)
+    want = adv_duck.sql(textstats.kmv_distinct_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    row = t.to_pylist()[0]
+    assert row["n_sketch"] == row["est_distinct"] > 0
+
+
+def test_doc_sample_balanced_adversarial(ray_session, adv_dir, adv_duck):
+    """Balanced sample on the single-lang adversarial corpus: cap above
+    the corpus size keeps everything, ranks follow the frozen
+    (sample_key, doc_id) order — twin-exact."""
+    from smse_backend_ray.pipelines import sampling
+
+    t = sampling.doc_sample_balanced(adv_dir)
+    want = adv_duck.sql(sampling.doc_sample_balanced_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    assert t.num_rows == len(ADVERSARIAL_TEXTS)  # cap 50 > corpus
