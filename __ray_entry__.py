@@ -651,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": simsearch.embedding_dim_stats,
         "doc_kmv_distinct": textstats.kmv_distinct,
         "doc_sample_balanced": sampling.doc_sample_balanced,
+        "doc_sample_temperature": sampling.doc_sample_temperature,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -868,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_agg": events_mod.props_agg_sql(),
         "doc_sample": sampling_mod.doc_sample_sql(),
         "doc_sample_balanced": sampling_mod.doc_sample_balanced_sql(),
+        "doc_sample_temperature": sampling_mod.doc_sample_temperature_sql(),
         "doc_shuffle": sampling_mod.doc_shuffle_sql(),
         "curation_pipeline": curate_mod.curation_sql(),
         "doc_sample_stratified": sampling_mod.doc_sample_stratified_sql(),

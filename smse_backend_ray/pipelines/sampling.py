@@ -226,6 +226,98 @@ ORDER BY lang, rank
 """
 
 
+def doc_sample_temperature(sf_dir: str) -> pa.Table:
+    """Temperature (alpha = 0.5) language rebalancing — the XLM-R-style
+    sampling that raises low-resource language share: per-doc keep rate
+    r_lang = sqrt(n_min / n_lang) (rarest language kept fully, others
+    downsampled by the square root of their relative size), decided by
+    the frozen sample_key so picks nest with every other sample.
+
+    Frozen pair with ``doc_sample_temperature_sql``: alpha is FIXED at
+    0.5 because sqrt is IEEE-754 correctly rounded in both numpy and
+    DuckDB — an arbitrary pow() would risk last-ulp divergence across
+    libm builds. threshold_lang = floor(2^32 * sqrt(n_min/n_lang)) with
+    n_min/n_lang divided in double; keep iff sample_key < threshold.
+
+    Scale shape: pass 1 folds per-batch lang value-counts into a
+    |langs|-row driver table (lang column only leaves the scan); the
+    thresholds broadcast as a tiny dict into the pass-2 stateless filter.
+    No shuffle at any scale."""
+    import pyarrow.compute as pc
+
+    count_schema = pa.schema([("lang", pa.string()), ("n", pa.int64())])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("lang", "count")])
+        return pa.table(
+            {"lang": g["lang"], "n": pc.cast(g["lang_count"], pa.int64())}
+        )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    parts = collect_table(
+        ray.data.read_parquet(path, columns=["lang"])
+        .repartition(_parallel_blocks(_parquet_rows(path), rows_per_block=4096))
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=count_schema,
+    )
+    g = parts.group_by("lang").aggregate([("n", "sum")])
+    langs = g["lang"].to_pylist()
+    counts = g["n_sum"].to_numpy().astype(np.int64)
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("thr", pa.int64())]
+    )
+    if not langs:
+        return out_schema.empty_table()
+    n_min = int(counts.min())
+    thr = {
+        lg: int(np.floor(float(SAMPLE_MOD) * np.sqrt(float(n_min) / float(n))))
+        for lg, n in zip(langs, counts)
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        key = sample_key(t["doc_id"].to_numpy())
+        lv = t["lang"].to_numpy(zero_copy_only=False)
+        tv = np.empty(len(lv), dtype=np.uint64)
+        for lg, th in thr.items():  # |langs| branches, each vectorized
+            tv[lv == lg] = np.uint64(th)
+        mask = key < tv
+        kept = t.filter(pa.array(mask))
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(kept["doc_id"], pa.int64()),
+                "lang": kept["lang"],
+                "thr": pa.array(tv[mask].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    t = collect_table(
+        _read_docs(sf_dir).map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema=out_schema,
+    )
+    return t.take(pa.compute.sort_indices(t["doc_id"]))
+
+
+def doc_sample_temperature_sql() -> str:
+    return f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+m AS (SELECT min(n) AS nmin FROM c),
+thr AS (
+  SELECT lang,
+         CAST(floor({SAMPLE_MOD} * sqrt(CAST(nmin AS DOUBLE) / n)) AS BIGINT)
+           AS t
+  FROM c, m
+)
+SELECT d.doc_id, d.lang, thr.t AS thr
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE {_key_sql()} < thr.t
+ORDER BY d.doc_id
+"""
+
+
 def doc_shuffle(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
     """Deterministic corpus shuffle: assign every doc a global training-order
     rank — the epoch-ordering step a training pipeline runs before packing.

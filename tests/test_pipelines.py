@@ -2054,3 +2054,44 @@ def test_doc_sample_balanced_properties(ray_session, sf_dir):
         assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
         assert [d for _, d in rows] == want[lg]
         assert len(rows) == min(BALANCED_CAP, len(by_lang[lg]))
+
+
+def test_doc_sample_temperature_properties(ray_session, sf_dir):
+    """Temperature sample: the rarest language is kept in full (threshold
+    = 2^32 exactly, above every uint32 key); every kept doc matches the
+    brute-force threshold rule; kept fractions order inversely with
+    language size."""
+    import pyarrow.parquet as pq_mod
+
+    from smse_backend_ray.pipelines.sampling import (
+        SAMPLE_MOD,
+        doc_sample_temperature,
+        sample_key,
+    )
+
+    got = doc_sample_temperature(sf_dir)
+    docs = pq_mod.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    ids = docs["doc_id"].to_numpy()
+    langs = docs["lang"].to_pylist()
+    n_by_lang: dict[str, int] = {}
+    for lg in langs:
+        n_by_lang[lg] = n_by_lang.get(lg, 0) + 1
+    n_min = min(n_by_lang.values())
+    thr = {
+        lg: int(np.floor(float(SAMPLE_MOD) * np.sqrt(float(n_min) / n)))
+        for lg, n in n_by_lang.items()
+    }
+    key = sample_key(ids)
+    want = {
+        int(d)
+        for d, lg, k in zip(ids, langs, key)
+        if int(k) < thr[lg]
+    }
+    assert set(got["doc_id"].to_pylist()) == want
+    rare = min(n_by_lang, key=lambda lg: (n_by_lang[lg], lg))
+    kept_by_lang: dict[str, int] = {}
+    for lg in got["lang"].to_pylist():
+        kept_by_lang[lg] = kept_by_lang.get(lg, 0) + 1
+    assert kept_by_lang.get(rare, 0) == n_by_lang[rare]  # rarest kept whole
