@@ -37,6 +37,14 @@ def main(argv: list[str] | None = None) -> int:
         help="parquet file, directory, or glob over corpus files with "
         "columns (repo, path, commit, lang, content)",
     )
+    ap.add_argument(
+        "--format",
+        choices=["parquet", "csv", "jsonl"],
+        default="parquet",
+        help="corpus file format; csv/jsonl stream through "
+        "sources.corpus.corpus_from_files (parquet keeps per-file "
+        "resume lineage, interchange formats build as one dataset)",
+    )
     ap.add_argument("--index-dir", required=True, help="index root (local path or any pyarrow.fs URI)")
     ap.add_argument("--n-shards", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
@@ -110,11 +118,19 @@ def main(argv: list[str] | None = None) -> int:
         def make_corpus():
             return corpus_from_documents(sf_dir)
 
-    else:
+    elif args.format == "parquet":
         files = sorted(globmod.glob(args.input)) or [args.input]
 
         def make_corpus():
             return ray.data.read_parquet(files)
+
+    else:
+        from smse_backend_ray.sources.corpus import corpus_from_files
+
+        fmt_files = sorted(globmod.glob(args.input)) or [args.input]
+
+        def make_corpus():
+            return corpus_from_files(fmt_files, format=args.format)
 
     t0 = time.time()
     if args.append:

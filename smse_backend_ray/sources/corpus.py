@@ -144,6 +144,42 @@ def replicated_corpus_from_documents(sf_dir: str, repl: int) -> "ray.data.Datase
     )
 
 
+def corpus_from_files(
+    paths, format: str = "parquet", rows_hint: int | None = None
+) -> "ray.data.Dataset":
+    """Read an input_hint-shaped corpus (repo, path, commit, lang, content —
+    all strings) from parquet, CSV, or JSONL files into a build-ready
+    Dataset. Parquet is the primary path (column-pruned at the read); CSV
+    and JSONL cover the interchange dumps a migration actually starts from
+    (Arrow's readers handle quoted newlines / unicode; every column is
+    normalized to utf8 so a CSV that parses a commit hash as something
+    exotic can't poison the doc_id derivation).
+
+    Missing columns fail loudly on the FIRST batch (validate_corpus_schema)
+    rather than deep inside the SPIMI stage."""
+    fmt = format.lower()
+    if fmt == "parquet":
+        ds = ray.data.read_parquet(paths, columns=list(CORPUS_COLUMNS))
+    elif fmt == "csv":
+        ds = ray.data.read_csv(paths)
+    elif fmt in ("json", "jsonl"):
+        ds = ray.data.read_json(paths)
+    else:
+        raise ValueError(f"unsupported corpus format: {format!r}")
+
+    def project(t: pa.Table) -> pa.Table:
+        validate_corpus_schema(t.schema)
+        return pa.table(
+            {c: pc.cast(t[c], pa.string()) for c in CORPUS_COLUMNS}
+        )
+
+    if rows_hint is None and fmt == "parquet" and isinstance(paths, str):
+        rows_hint = _parquet_rows(paths) if paths.endswith(".parquet") else None
+    return ds.repartition(_parallel_blocks(rows_hint)).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def validate_corpus_schema(schema: pa.Schema) -> None:
     missing = [c for c in CORPUS_COLUMNS if c not in schema.names]
     if missing:

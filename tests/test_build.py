@@ -190,3 +190,72 @@ def test_crash_mid_build_resumes_without_recompute(ray_session, corpus_files, mo
     with SearchEngine("/tmp/smse_test_filebuild") as eng:
         b = eng.search(["hashMap lookup"], limit=20).to_pylist()
     assert a == b
+
+
+def test_corpus_from_files_csv_jsonl_parquet_equivalent(ray_session, tmp_path):
+    """The same corpus ingested from CSV, JSONL, and parquet builds
+    BITWISE-identical indexes: identical docs tables and identical BM25
+    results (source format must never leak into doc identity or scores)."""
+    import csv as csvmod
+    import json
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from smse_backend_ray.config import EngineConfig
+    from smse_backend_ray.pipelines.build import build_index
+    from smse_backend_ray.pipelines.search import SearchEngine
+    from smse_backend_ray.sources.corpus import (
+        corpus_from_files,
+        corpus_table_from_documents,
+    )
+
+    t = corpus_table_from_documents("/root/testdata/sf0.001")
+    t = t.slice(0, 120)
+    rows = t.to_pylist()
+    pq.write_table(t, str(tmp_path / "corpus.parquet"))
+    with open(tmp_path / "corpus.csv", "w", newline="") as f:
+        w = csvmod.DictWriter(f, fieldnames=t.column_names)
+        w.writeheader()
+        w.writerows(rows)
+    with open(tmp_path / "corpus.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    results = {}
+    docs_tables = {}
+    for fmt, fname in [
+        ("parquet", "corpus.parquet"),
+        ("csv", "corpus.csv"),
+        ("jsonl", "corpus.jsonl"),
+    ]:
+        idx = str(tmp_path / f"idx_{fmt}")
+        build_index(
+            corpus=corpus_from_files(str(tmp_path / fname), format=fmt),
+            index_dir=idx,
+            cfg=EngineConfig(n_shards=2),
+        )
+        d = pads.dataset(f"{idx}/docs", partitioning="hive").to_table(
+            columns=["doc_id", "repo", "path", "content_sha256", "dl"]
+        )
+        docs_tables[fmt] = d.take(pa.compute.sort_indices(d["doc_id"])).to_pydict()
+        with SearchEngine(idx) as eng:
+            r = eng.search("hash join table", limit=10)
+            results[fmt] = r.select(["rank", "doc_id", "score"]).to_pydict()
+
+    assert docs_tables["csv"] == docs_tables["parquet"]
+    assert docs_tables["jsonl"] == docs_tables["parquet"]
+    assert results["csv"] == results["parquet"]
+    assert results["jsonl"] == results["parquet"]
+
+    # missing column fails loudly at the first executed batch
+    with open(tmp_path / "bad.csv", "w", newline="") as f:
+        w = csvmod.DictWriter(f, fieldnames=[c for c in t.column_names if c != "commit"])
+        w.writeheader()
+        w.writerows([{k: v for k, v in r.items() if k != "commit"} for r in rows[:3]])
+    with pytest.raises(Exception, match="commit"):
+        corpus_from_files(str(tmp_path / "bad.csv"), format="csv").take_batch(1)
+    with pytest.raises(ValueError, match="unsupported"):
+        corpus_from_files(str(tmp_path / "corpus.csv"), format="xml")
