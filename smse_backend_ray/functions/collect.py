@@ -34,3 +34,18 @@ def collect_table(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
     if len(tabs) == 1:
         return tabs[0]
     return pa.concat_tables(tabs, promote_options="permissive")
+
+
+def fold_partials(ds, fold_fn, fan_in: int = 64):
+    """Insert a tree-fold level between per-block partials and the driver
+    merge: repartition the (tiny) partial rows to <= ``fan_in`` blocks and
+    re-apply the associative ``fold_fn`` per block, so the driver-side
+    merge sees O(fan_in * partial_size) rows instead of
+    O(source_blocks * partial_size) — the difference between a bounded
+    merge and a multi-GB driver table when the source is 10^6+ blocks at
+    100 TB. ``fold_fn`` must be a combiner (fold(concat(a, b)) ==
+    fold(concat(fold(a), fold(b)))) — true for top-k / bottom-k / grouped
+    sums, the three shapes using this."""
+    return ds.repartition(fan_in).map_batches(
+        fold_fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -135,6 +135,7 @@ ORDER BY doc_id
 
 
 BALANCED_CAP = 50  # docs kept per language (doc_sample_balanced)
+FOLD_FAN_IN = 64   # tree-fold width for partial merges (collect.fold_partials)
 
 
 def doc_sample_balanced(sf_dir: str, cap: int = BALANCED_CAP) -> pa.Table:
@@ -149,10 +150,13 @@ def doc_sample_balanced(sf_dir: str, cap: int = BALANCED_CAP) -> pa.Table:
 
     Scale shape: per-batch each language folds to its cap smallest
     (key, doc_id) rows in one vectorized sort + segment-position mask
-    (top-k of a union == top-k of the union of per-part top-ks), so the
-    driver merge is O(blocks * n_langs * cap) — language count and cap are
-    constants, never corpus-scale. No shuffle."""
+    (top-k of a union == top-k of the union of per-part top-ks); above
+    FOLD_FAN_IN source blocks a tree-fold level re-applies the same
+    combiner so the driver merge stays O(fan_in * n_langs * cap) no
+    matter the corpus block count. No key shuffle."""
     import pyarrow.compute as pc
+
+    from smse_backend_ray.functions.collect import fold_partials
 
     out_schema = pa.schema(
         [("lang", pa.string()), ("rank", pa.int64()), ("doc_id", pa.int64()),
@@ -200,12 +204,15 @@ def doc_sample_balanced(sf_dir: str, cap: int = BALANCED_CAP) -> pa.Table:
             )
         )
 
-    parts = collect_table(
-        _read_docs(sf_dir).map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        empty_schema=out_schema,
+    ds = _read_docs(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
+    nb = _parallel_blocks(
+        _parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+    )
+    if nb > FOLD_FAN_IN:
+        ds = fold_partials(ds, _top_per_lang, FOLD_FAN_IN)
+    parts = collect_table(ds, empty_schema=out_schema)
     out = _top_per_lang(parts).drop_columns(["skey"])
     return out.take(
         pa.compute.sort_indices(

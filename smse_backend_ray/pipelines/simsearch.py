@@ -847,12 +847,15 @@ def embedding_dim_stats(sf_dir: str) -> pa.Table:
     stored float32 payload; mean = round4(sum_scaled / 10000.0 / n).
 
     Scale shape: one map_batches pass emitting a d-row partial per block
-    (d = embedding width, corpus-size-independent), then a driver-side
-    pyarrow group_by over n_blocks * d rows. No shuffle at any scale."""
+    (d = embedding width, corpus-size-independent); above FOLD_FAN_IN
+    source blocks a tree-fold re-applies the grouped sum/min/max combiner
+    so the driver group_by sees O(fan_in * d) rows regardless of corpus
+    block count. No key shuffle at any scale."""
     import pyarrow.compute as pc
 
-    from smse_backend_ray.functions.collect import collect_table
+    from smse_backend_ray.functions.collect import collect_table, fold_partials
     from smse_backend_ray.functions.rounding import round_half_away
+    from smse_backend_ray.pipelines.sampling import FOLD_FAN_IN
     from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
 
     partial_schema = pa.schema(
@@ -881,13 +884,31 @@ def embedding_dim_stats(sf_dir: str) -> pa.Table:
             }
         )
 
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("dim").aggregate(
+            [("n", "sum"), ("sum_scaled", "sum"), ("min_v", "min"),
+             ("max_v", "max")]
+        )
+        return pa.table(
+            {
+                "dim": pc.cast(g["dim"], pa.int64()),
+                "n": pc.cast(g["n_sum"], pa.int64()),
+                "sum_scaled": pc.cast(g["sum_scaled_sum"], pa.int64()),
+                "min_v": g["min_v_min"],
+                "max_v": g["max_v_max"],
+            }
+        )
+
     path = _emb_path(sf_dir)
-    parts = collect_table(
+    nb = _parallel_blocks(_parquet_rows(path), rows_per_block=4096)
+    ds = (
         ray.data.read_parquet(path, columns=["embedding"])
-        .repartition(_parallel_blocks(_parquet_rows(path), rows_per_block=4096))
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-        empty_schema=partial_schema,
+        .repartition(nb)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     )
+    if nb > FOLD_FAN_IN:
+        ds = fold_partials(ds, fold, FOLD_FAN_IN)
+    parts = collect_table(ds, empty_schema=partial_schema)
     g = parts.group_by("dim").aggregate(
         [("n", "sum"), ("sum_scaled", "sum"), ("min_v", "min"), ("max_v", "max")]
     )

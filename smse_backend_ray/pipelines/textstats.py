@@ -339,12 +339,16 @@ def kmv_distinct(sf_dir: str) -> pa.Table:
     Scale shape: each batch emits its bottom-KMV_K distinct hashes (gram
     strings built by the vectorized window gather + binary_join, md5 only
     over the batch-unique grams); bottom-k of a union == bottom-k of the
-    union of per-part bottom-ks, so the driver merge is an O(parts * k)
-    unique+sort — corpus-size-independent. No shuffle at any scale."""
+    union of per-part bottom-ks, so the merge is associative — above
+    FOLD_FAN_IN source blocks a tree-fold level re-applies the bottom-k
+    combiner and the driver sees O(fan_in * k) rows regardless of corpus
+    block count. No key shuffle at any scale."""
     import pyarrow.compute as pc
 
     from smse_backend_ray.config import KMV_GRAM_K, KMV_K
     from smse_backend_ray.functions.analyzer import subtokens_batch
+    from smse_backend_ray.functions.collect import fold_partials
+    from smse_backend_ray.pipelines.sampling import FOLD_FAN_IN
 
     K = KMV_GRAM_K
     empty = pa.table({"g": pa.array([], type=pa.int64())})
@@ -383,12 +387,21 @@ def kmv_distinct(sf_dir: str) -> pa.Table:
         )
         return pa.table({"g": pa.array(hashes[:KMV_K], type=pa.int64())})
 
-    parts = collect_table(
-        _read_documents(sf_dir).map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        empty_schema=empty.schema,
+    def bottomk_fold(t: pa.Table) -> pa.Table:
+        g = np.unique(t["g"].to_numpy())[:KMV_K]
+        return pa.table({"g": pa.array(g, type=pa.int64())})
+
+    import os
+
+    ds = _read_documents(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
+    nb = _parallel_blocks(
+        _parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+    )
+    if nb > FOLD_FAN_IN:
+        ds = fold_partials(ds, bottomk_fold, FOLD_FAN_IN)
+    parts = collect_table(ds, empty_schema=empty.schema)
     sk = np.unique(parts["g"].to_numpy())[:KMV_K]
     n_sketch = int(sk.size)
     kth = int(sk[-1]) if n_sketch else 0

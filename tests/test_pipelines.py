@@ -2095,3 +2095,24 @@ def test_doc_sample_temperature_properties(ray_session, sf_dir):
     for lg in got["lang"].to_pylist():
         kept_by_lang[lg] = kept_by_lang.get(lg, 0) + 1
     assert kept_by_lang.get(rare, 0) == n_by_lang[rare]  # rarest kept whole
+
+
+def test_fold_partials_invariance(ray_session, sf_dir, monkeypatch):
+    """Forcing the tree-fold level on (FOLD_FAN_IN=1 makes every source
+    exceed it) leaves doc_sample_balanced, doc_kmv_distinct, and
+    embedding_dim_stats outputs IDENTICAL — the fold functions are true
+    combiners, placement only."""
+    import smse_backend_ray.pipelines.sampling as sampling_mod
+    from smse_backend_ray.pipelines.sampling import doc_sample_balanced
+    from smse_backend_ray.pipelines.simsearch import embedding_dim_stats
+    from smse_backend_ray.pipelines.textstats import kmv_distinct
+
+    base = {
+        "balanced": doc_sample_balanced(sf_dir).to_pydict(),
+        "kmv": kmv_distinct(sf_dir).to_pydict(),
+        "dim": embedding_dim_stats(sf_dir).to_pydict(),
+    }
+    monkeypatch.setattr(sampling_mod, "FOLD_FAN_IN", 1)
+    assert doc_sample_balanced(sf_dir).to_pydict() == base["balanced"]
+    assert kmv_distinct(sf_dir).to_pydict() == base["kmv"]
+    assert embedding_dim_stats(sf_dir).to_pydict() == base["dim"]
