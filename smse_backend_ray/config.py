@@ -298,6 +298,11 @@ DL_QUANTILES = (0.25, 0.5, 0.75, 0.9)
 KMV_K = 256
 KMV_GRAM_K = 5
 
+# Tree-fold width for partial->driver merges (functions/collect.py
+# fold_partials): above this many source blocks an associative combiner
+# re-fold bounds the driver merge at O(FOLD_FAN_IN * partial size).
+FOLD_FAN_IN = 64
+
 # Event funnel (events.event_funnel <-> events.event_funnel_sql, frozen
 # pair): greedy first-match funnel per user over the ordered event log —
 # t_1 = min ts of a step-1 event; t_k = min ts of a step-k event with

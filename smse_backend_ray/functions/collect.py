@@ -36,7 +36,7 @@ def collect_table(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
     return pa.concat_tables(tabs, promote_options="permissive")
 
 
-def fold_partials(ds, fold_fn, fan_in: int = 64):
+def fold_partials(ds, fold_fn, fan_in: int | None = None):
     """Insert a tree-fold level between per-block partials and the driver
     merge: repartition the (tiny) partial rows to <= ``fan_in`` blocks and
     re-apply the associative ``fold_fn`` per block, so the driver-side
@@ -45,7 +45,13 @@ def fold_partials(ds, fold_fn, fan_in: int = 64):
     merge and a multi-GB driver table when the source is 10^6+ blocks at
     100 TB. ``fold_fn`` must be a combiner (fold(concat(a, b)) ==
     fold(concat(fold(a), fold(b)))) — true for top-k / bottom-k / grouped
-    sums, the three shapes using this."""
+    sums, the three shapes using this. ``fan_in`` defaults to
+    config.FOLD_FAN_IN — the same constant callers compare their source
+    block count against, so trigger and width can't desynchronize."""
+    if fan_in is None:
+        from smse_backend_ray.config import FOLD_FAN_IN
+
+        fan_in = FOLD_FAN_IN
     return ds.repartition(fan_in).map_batches(
         fold_fn, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -277,7 +277,8 @@ SELECT user_id, event_id,
        CAST(row_number() OVER w AS BIGINT) AS seq,
        COALESCE(date_diff('microsecond', lag(ts) OVER w, ts), -1) AS gap_us,
        CAST(SUM(COALESCE(CAST(round(value * 10000, 0) AS BIGINT), 0))
-            OVER w AS BIGINT) AS cum_value_scaled
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_value_scaled
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, seq

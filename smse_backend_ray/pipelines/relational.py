@@ -1024,6 +1024,11 @@ def large_order_customers(sf_dir: str) -> pa.Table:
         columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
         filter=pads.field("o_orderkey").isin(okeys),
     )
+    if not orders.num_rows:
+        # FK-broken/partial warehouse: no qualifying orderkey exists in
+        # orders — return empty WITHOUT the customer read (an empty isin
+        # key list would otherwise fall to filter=None = a full scan)
+        return out_schema.empty_table()
     idx = pc.sort_indices(
         orders,
         sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],

@@ -48,10 +48,18 @@ def _threshold(pct: int) -> int:
     return (SAMPLE_MOD * pct) // 100
 
 
+def _n_doc_blocks(sf_dir: str) -> int:
+    """THE block count _read_docs repartitions to — fold triggers compare
+    against this same value so they can't desynchronize from the read."""
+    return _parallel_blocks(
+        _parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
 def _read_docs(sf_dir: str) -> "ray.data.Dataset":
     path = os.path.join(sf_dir, "documents.parquet")
     ds = ray.data.read_parquet(path, columns=["doc_id", "lang"])
-    return ds.repartition(_parallel_blocks(_parquet_rows(path)))
+    return ds.repartition(_n_doc_blocks(sf_dir))
 
 
 def _key_sql() -> str:
@@ -135,7 +143,6 @@ ORDER BY doc_id
 
 
 BALANCED_CAP = 50  # docs kept per language (doc_sample_balanced)
-FOLD_FAN_IN = 64   # tree-fold width for partial merges (collect.fold_partials)
 
 
 def doc_sample_balanced(sf_dir: str, cap: int = BALANCED_CAP) -> pa.Table:
@@ -156,6 +163,7 @@ def doc_sample_balanced(sf_dir: str, cap: int = BALANCED_CAP) -> pa.Table:
     matter the corpus block count. No key shuffle."""
     import pyarrow.compute as pc
 
+    from smse_backend_ray.config import FOLD_FAN_IN
     from smse_backend_ray.functions.collect import fold_partials
 
     out_schema = pa.schema(
@@ -207,10 +215,7 @@ def doc_sample_balanced(sf_dir: str, cap: int = BALANCED_CAP) -> pa.Table:
     ds = _read_docs(sf_dir).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    nb = _parallel_blocks(
-        _parquet_rows(os.path.join(sf_dir, "documents.parquet"))
-    )
-    if nb > FOLD_FAN_IN:
+    if _n_doc_blocks(sf_dir) > FOLD_FAN_IN:
         ds = fold_partials(ds, _top_per_lang, FOLD_FAN_IN)
     parts = collect_table(ds, empty_schema=out_schema)
     out = _top_per_lang(parts).drop_columns(["skey"])
@@ -255,9 +260,14 @@ def doc_sample_temperature(sf_dir: str) -> pa.Table:
     count_schema = pa.schema([("lang", pa.string()), ("n", pa.int64())])
 
     def count_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("lang").aggregate([("lang", "count")])
+        # count_all, NOT ("lang","count"): counting the group key itself
+        # returns 0 for a NULL-lang group, which would poison n_min. SQL's
+        # GROUP BY lang keeps the NULL group in the count table (so it DOES
+        # participate in min(n)) while the inner join never matches it —
+        # mirrored below: NULL counts toward n_min, NULL-lang docs never kept.
+        g = t.group_by("lang").aggregate([([], "count_all")])
         return pa.table(
-            {"lang": g["lang"], "n": pc.cast(g["lang_count"], pa.int64())}
+            {"lang": g["lang"], "n": pc.cast(g["count_all"], pa.int64())}
         )
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -279,12 +289,15 @@ def doc_sample_temperature(sf_dir: str) -> pa.Table:
     thr = {
         lg: int(np.floor(float(SAMPLE_MOD) * np.sqrt(float(n_min) / float(n))))
         for lg, n in zip(langs, counts)
+        if lg is not None  # NULL-lang rows count toward n_min, never kept
     }
 
     def keep(t: pa.Table) -> pa.Table:
         key = sample_key(t["doc_id"].to_numpy())
         lv = t["lang"].to_numpy(zero_copy_only=False)
-        tv = np.empty(len(lv), dtype=np.uint64)
+        # zeros, not empty: a lang outside thr (NULL, or unseen in pass 1)
+        # must never be kept — matches the SQL twin's inner join
+        tv = np.zeros(len(lv), dtype=np.uint64)
         for lg, th in thr.items():  # |langs| branches, each vectorized
             tv[lv == lg] = np.uint64(th)
         mask = key < tv

@@ -853,9 +853,9 @@ def embedding_dim_stats(sf_dir: str) -> pa.Table:
     block count. No key shuffle at any scale."""
     import pyarrow.compute as pc
 
+    from smse_backend_ray.config import FOLD_FAN_IN
     from smse_backend_ray.functions.collect import collect_table, fold_partials
     from smse_backend_ray.functions.rounding import round_half_away
-    from smse_backend_ray.pipelines.sampling import FOLD_FAN_IN
     from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
 
     partial_schema = pa.schema(

@@ -26,12 +26,22 @@ from smse_backend_ray.functions.rounding import round_half_away
 from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
 
 
+def _n_doc_blocks(sf_dir: str) -> int:
+    """THE block count _read_documents repartitions to — fold triggers
+    compare against this same value (can't desynchronize from the read)."""
+    import os
+
+    return _parallel_blocks(
+        _parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
 def _read_documents(sf_dir: str) -> "ray.data.Dataset":
     import os
 
     path = os.path.join(sf_dir, "documents.parquet")
     ds = ray.data.read_parquet(path, columns=["doc_id", "text", "lang"])
-    return ds.repartition(_parallel_blocks(_parquet_rows(path)))
+    return ds.repartition(_n_doc_blocks(sf_dir))
 
 
 def _doc_buckets(sf_dir: str, docs_per_bucket: int = 256) -> int:
@@ -345,10 +355,9 @@ def kmv_distinct(sf_dir: str) -> pa.Table:
     block count. No key shuffle at any scale."""
     import pyarrow.compute as pc
 
-    from smse_backend_ray.config import KMV_GRAM_K, KMV_K
+    from smse_backend_ray.config import FOLD_FAN_IN, KMV_GRAM_K, KMV_K
     from smse_backend_ray.functions.analyzer import subtokens_batch
     from smse_backend_ray.functions.collect import fold_partials
-    from smse_backend_ray.pipelines.sampling import FOLD_FAN_IN
 
     K = KMV_GRAM_K
     empty = pa.table({"g": pa.array([], type=pa.int64())})
@@ -367,8 +376,11 @@ def kmv_distinct(sf_dir: str) -> pa.Table:
         idx = (np.arange(total * K, dtype=np.int64) % K) + np.repeat(
             offs[gdoc] + gidx, K
         )
-        windows = pa.ListArray.from_arrays(
-            pa.array(np.arange(0, (total + 1) * K, K, dtype=np.int32), type=pa.int32()),
+        # int64 (large_list) offsets: the gather duplicates the token
+        # stream K-fold, so int32 offsets would wrap K-times earlier than
+        # the analyzer's own per-block int32 list limit
+        windows = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(0, (total + 1) * K, K, dtype=np.int64), type=pa.int64()),
             toks.values.take(pa.array(idx, type=pa.int64())),
         )
         import struct
@@ -391,15 +403,10 @@ def kmv_distinct(sf_dir: str) -> pa.Table:
         g = np.unique(t["g"].to_numpy())[:KMV_K]
         return pa.table({"g": pa.array(g, type=pa.int64())})
 
-    import os
-
     ds = _read_documents(sf_dir).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    nb = _parallel_blocks(
-        _parquet_rows(os.path.join(sf_dir, "documents.parquet"))
-    )
-    if nb > FOLD_FAN_IN:
+    if _n_doc_blocks(sf_dir) > FOLD_FAN_IN:
         ds = fold_partials(ds, bottomk_fold, FOLD_FAN_IN)
     parts = collect_table(ds, empty_schema=empty.schema)
     sk = np.unique(parts["g"].to_numpy())[:KMV_K]

@@ -158,12 +158,30 @@ def corpus_from_files(
     Missing columns fail loudly on the FIRST batch (validate_corpus_schema)
     rather than deep inside the SPIMI stage."""
     fmt = format.lower()
+    str_schema = pa.schema([(c, pa.string()) for c in CORPUS_COLUMNS])
     if fmt == "parquet":
         ds = ray.data.read_parquet(paths, columns=list(CORPUS_COLUMNS))
     elif fmt == "csv":
-        ds = ray.data.read_csv(paths)
+        # utf8 is FORCED at parse time: type inference + cast-back would
+        # silently rewrite values (commit '00123' -> int64 -> '123'),
+        # changing the derived doc_id with no error
+        from pyarrow import csv as pacsv
+
+        ds = ray.data.read_csv(
+            paths,
+            convert_options=pacsv.ConvertOptions(
+                column_types={c: pa.string() for c in CORPUS_COLUMNS}
+            ),
+        )
     elif fmt in ("json", "jsonl"):
-        ds = ray.data.read_json(paths)
+        from pyarrow import json as pajson
+
+        ds = ray.data.read_json(
+            paths,
+            parse_options=pajson.ParseOptions(
+                explicit_schema=str_schema, unexpected_field_behavior="ignore"
+            ),
+        )
     else:
         raise ValueError(f"unsupported corpus format: {format!r}")
 

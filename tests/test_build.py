@@ -259,3 +259,36 @@ def test_corpus_from_files_csv_jsonl_parquet_equivalent(ray_session, tmp_path):
         corpus_from_files(str(tmp_path / "bad.csv"), format="csv").take_batch(1)
     with pytest.raises(ValueError, match="unsupported"):
         corpus_from_files(str(tmp_path / "corpus.csv"), format="xml")
+
+
+def test_corpus_from_files_numeric_looking_strings_survive(ray_session, tmp_path):
+    """utf8 is forced at parse time: numeric-looking commit/repo values
+    ('00123', '42') must round-trip byte-identically through CSV and JSONL
+    — inference + cast-back would render them as integers ('123') and
+    silently change the derived doc_id."""
+    import csv as csvmod
+    import json
+
+    from smse_backend_ray.sources.corpus import corpus_from_files
+
+    rows = [
+        {"repo": "42", "path": "a/b.txt", "commit": "00123",
+         "lang": "en", "content": "007 true"},
+        {"repo": "42", "path": "a/c.txt", "commit": "0456",
+         "lang": "en", "content": "99999999999999999999"},
+    ]
+    with open(tmp_path / "n.csv", "w", newline="") as f:
+        w = csvmod.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    with open(tmp_path / "n.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    from smse_backend_ray.functions.collect import collect_table
+
+    for fmt, fname in [("csv", "n.csv"), ("jsonl", "n.jsonl")]:
+        t = collect_table(corpus_from_files(str(tmp_path / fname), format=fmt))
+        got = sorted(t.to_pylist(), key=lambda r: r["path"])
+        assert [r["commit"] for r in got] == ["00123", "0456"], fmt
+        assert [r["repo"] for r in got] == ["42", "42"], fmt
+        assert got[1]["content"] == "99999999999999999999", fmt

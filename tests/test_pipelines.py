@@ -2102,7 +2102,7 @@ def test_fold_partials_invariance(ray_session, sf_dir, monkeypatch):
     exceed it) leaves doc_sample_balanced, doc_kmv_distinct, and
     embedding_dim_stats outputs IDENTICAL — the fold functions are true
     combiners, placement only."""
-    import smse_backend_ray.pipelines.sampling as sampling_mod
+    import smse_backend_ray.config as config_mod
     from smse_backend_ray.pipelines.sampling import doc_sample_balanced
     from smse_backend_ray.pipelines.simsearch import embedding_dim_stats
     from smse_backend_ray.pipelines.textstats import kmv_distinct
@@ -2112,7 +2112,38 @@ def test_fold_partials_invariance(ray_session, sf_dir, monkeypatch):
         "kmv": kmv_distinct(sf_dir).to_pydict(),
         "dim": embedding_dim_stats(sf_dir).to_pydict(),
     }
-    monkeypatch.setattr(sampling_mod, "FOLD_FAN_IN", 1)
+    monkeypatch.setattr(config_mod, "FOLD_FAN_IN", 1)
     assert doc_sample_balanced(sf_dir).to_pydict() == base["balanced"]
     assert kmv_distinct(sf_dir).to_pydict() == base["kmv"]
     assert embedding_dim_stats(sf_dir).to_pydict() == base["dim"]
+
+
+def test_doc_sample_temperature_null_lang(ray_session, tmp_path):
+    """NULL-lang rows participate in n_min (SQL GROUP BY keeps the NULL
+    group in the count table) but are never kept (inner join) — engine
+    matches the twin on a fixture with a NULL-lang majority group."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from smse_backend_ray.pipelines.sampling import (
+        doc_sample_temperature,
+        doc_sample_temperature_sql,
+    )
+
+    n = 40
+    langs = (["en"] * 30) + (["de"] * 6) + ([None] * 4)
+    docs = pa.table({
+        "doc_id": pa.array(range(1, n + 1), type=pa.int64()),
+        "text": pa.array(["word " * 5] * n),
+        "lang": pa.array(langs, type=pa.string()),
+    })
+    sf = str(tmp_path)
+    pq_mod.write_table(docs, f"{sf}/documents.parquet")
+
+    got = doc_sample_temperature(sf)
+    assert None not in set(got["lang"].to_pylist())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    orc = con.sql(doc_sample_temperature_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
