@@ -652,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_kmv_distinct": textstats.kmv_distinct,
         "doc_sample_balanced": sampling.doc_sample_balanced,
         "doc_sample_temperature": sampling.doc_sample_temperature,
+        "doc_rollup_counts": textstats.doc_rollup_counts,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -844,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": sqlgen.keywords_sql(),
         "doc_length_quantiles": sqlgen.dl_quantiles_sql(),
         "doc_kmv_distinct": textstats_mod.kmv_distinct_sql(),
+        "doc_rollup_counts": textstats_mod.doc_rollup_counts_sql(),
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "embedding_dim_stats": simsearch_mod.embedding_dim_stats_sql(),

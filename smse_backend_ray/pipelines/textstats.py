@@ -328,6 +328,120 @@ def winnow_rows(sf_dir: str) -> pa.Table:
     )
 
 
+def doc_rollup_counts(sf_dir: str) -> pa.Table:
+    """OLAP rollup with subtotals over (source, lang): doc count + exact
+    character sum at three grains — (source, lang), (source), and grand
+    total — the GROUPING SETS shape of a corpus-composition report.
+
+    Frozen pair with ``doc_rollup_counts_sql``: subtotal keys use the
+    '__ALL__' sentinel via GROUPING() (NOT a COALESCE, which would
+    conflate a NULL data value with a subtotal row); chars =
+    SUM(COALESCE(length(text), 0)) — utf8 CHARACTER count, exact int64.
+
+    Scale shape: per-batch partials group to the finest grain only
+    ((source, lang) — bounded by the label-pair domain, never row count);
+    the driver derives the coarser grains by re-aggregating the finest
+    partials (exact integer sums are associative). Above FOLD_FAN_IN
+    source blocks a tree-fold level bounds the driver merge. No key
+    shuffle at any scale."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.config import FOLD_FAN_IN
+    from smse_backend_ray.functions.collect import fold_partials
+
+    partial_schema = pa.schema(
+        [("source", pa.string()), ("lang", pa.string()),
+         ("n", pa.int64()), ("chars", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        chars = pc.coalesce(pc.utf8_length(t["text"]), pa.scalar(0, pa.int32()))
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "lang": t["lang"],
+                    "chars": pc.cast(chars, pa.int64()),
+                }
+            )
+            .group_by(["source", "lang"])
+            .aggregate([("chars", "sum"), ("chars", "count")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "lang": g["lang"],
+                "n": pc.cast(g["chars_count"], pa.int64()),
+                "chars": pc.cast(g["chars_sum"], pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("n", "sum"), ("chars", "sum")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "lang": g["lang"],
+                "n": pc.cast(g["n_sum"], pa.int64()),
+                "chars": pc.cast(g["chars_sum"], pa.int64()),
+            }
+        )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = (
+        ray.data.read_parquet(path, columns=["source", "lang", "text"])
+        .repartition(_n_doc_blocks(sf_dir))
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if _n_doc_blocks(sf_dir) > FOLD_FAN_IN:
+        ds = fold_partials(ds, fold)
+    fine = fold(collect_table(ds, empty_schema=partial_schema))
+
+    def subtotal(t: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = t.group_by(keys).aggregate([("n", "sum"), ("chars", "sum")])
+            cols = {k: g[k] for k in keys}
+            n, ch = g["n_sum"], g["chars_sum"]
+        else:
+            cols = {}
+            n = pa.array([pc.sum(t["n"]).as_py() or 0], type=pa.int64())
+            ch = pa.array([pc.sum(t["chars"]).as_py() or 0], type=pa.int64())
+        rows = len(n)
+        out = {
+            "source": cols.get("source", pa.array(["__ALL__"] * rows)),
+            "lang": cols.get("lang", pa.array(["__ALL__"] * rows)),
+            "n": pc.cast(n, pa.int64()),
+            "chars": pc.cast(ch, pa.int64()),
+        }
+        return pa.table(out)
+
+    out = pa.concat_tables(
+        [subtotal(fine, ["source", "lang"]), subtotal(fine, ["source"]),
+         subtotal(fine, [])]
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("source", "ascending"), ("lang", "ascending")]
+        )
+    )
+
+
+def doc_rollup_counts_sql() -> str:
+    return """
+SELECT CASE WHEN GROUPING(source) = 1 THEN '__ALL__' ELSE source END AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN '__ALL__' ELSE lang END AS lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), ())
+ORDER BY 1, 2
+"""
+
+
 def kmv_distinct(sf_dir: str) -> pa.Table:
     """KMV (bottom-k minimum values) sketch of the corpus's distinct
     subtoken K-grams — the cardinality estimate a 100 TB pipeline runs

@@ -294,3 +294,32 @@ def test_doc_sample_balanced_adversarial(ray_session, adv_dir, adv_duck):
     want = adv_duck.sql(sampling.doc_sample_balanced_sql()).arrow()
     assert t.to_pylist() == want.to_pylist()
     assert t.num_rows == len(ADVERSARIAL_TEXTS)  # cap 50 > corpus
+
+
+def test_doc_rollup_counts_adversarial(ray_session, tmp_path_factory):
+    """GROUPING-SETS rollup twin-exact on adversarial text (unicode chars
+    count as CHARACTERS on both sides, empties count 0) with multiple
+    sources/langs; grand total equals corpus size; subtotal sentinel rows
+    sort deterministically among real labels."""
+    d = tmp_path_factory.mktemp("rollup_docs")
+    srcs = ["s1", "s2"] * (len(ADVERSARIAL_TEXTS) // 2)
+    langs = (["en", "de", "zh"] * len(ADVERSARIAL_TEXTS))[: len(ADVERSARIAL_TEXTS)]
+    t_in = pa.table(
+        {
+            "doc_id": pa.array(range(len(ADVERSARIAL_TEXTS)), type=pa.int64()),
+            "text": pa.array(ADVERSARIAL_TEXTS, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+            "source": pa.array(srcs, type=pa.string()),
+        }
+    )
+    pq.write_table(t_in, os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}')"
+    )
+    t = textstats.doc_rollup_counts(str(d))
+    want = con.sql(textstats.doc_rollup_counts_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    grand = [r for r in t.to_pylist() if r["source"] == "__ALL__"]
+    assert len(grand) == 1 and grand[0]["n"] == len(ADVERSARIAL_TEXTS)
