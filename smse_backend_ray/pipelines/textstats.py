@@ -435,7 +435,7 @@ def doc_rollup_counts_sql() -> str:
 SELECT CASE WHEN GROUPING(source) = 1 THEN '__ALL__' ELSE source END AS source,
        CASE WHEN GROUPING(lang) = 1 THEN '__ALL__' ELSE lang END AS lang,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS chars
+       CAST(COALESCE(SUM(COALESCE(length(text), 0)), 0) AS BIGINT) AS chars
 FROM documents
 GROUP BY GROUPING SETS ((source, lang), (source), ())
 ORDER BY 1, 2
