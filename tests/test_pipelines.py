@@ -2105,17 +2105,19 @@ def test_fold_partials_invariance(ray_session, sf_dir, monkeypatch):
     import smse_backend_ray.config as config_mod
     from smse_backend_ray.pipelines.sampling import doc_sample_balanced
     from smse_backend_ray.pipelines.simsearch import embedding_dim_stats
-    from smse_backend_ray.pipelines.textstats import kmv_distinct
+    from smse_backend_ray.pipelines.textstats import doc_rollup_counts, kmv_distinct
 
     base = {
         "balanced": doc_sample_balanced(sf_dir).to_pydict(),
         "kmv": kmv_distinct(sf_dir).to_pydict(),
         "dim": embedding_dim_stats(sf_dir).to_pydict(),
+        "rollup": doc_rollup_counts(sf_dir).to_pydict(),
     }
     monkeypatch.setattr(config_mod, "FOLD_FAN_IN", 1)
     assert doc_sample_balanced(sf_dir).to_pydict() == base["balanced"]
     assert kmv_distinct(sf_dir).to_pydict() == base["kmv"]
     assert embedding_dim_stats(sf_dir).to_pydict() == base["dim"]
+    assert doc_rollup_counts(sf_dir).to_pydict() == base["rollup"]
 
 
 def test_doc_sample_temperature_null_lang(ray_session, tmp_path):
