@@ -323,3 +323,113 @@ def test_doc_rollup_counts_adversarial(ray_session, tmp_path_factory):
     assert t.to_pylist() == want.to_pylist()
     grand = [r for r in t.to_pylist() if r["source"] == "__ALL__"]
     assert len(grand) == 1 and grand[0]["n"] == len(ADVERSARIAL_TEXTS)
+
+
+# ---------------------------------------------------------------------------
+# randomized warehouse cross-checks: hypothesis generates SMALL random
+# corpora/event logs and the engine must stay twin-exact on each — a
+# randomized driver_sim for the round-5 operators whose tie/sentinel/
+# threshold paths depend on the data distribution, not the text content.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    langs=st.lists(
+        st.sampled_from(["en", "de", "es", "zh", None]), min_size=1, max_size=40
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_sampling_twins_random_corpora(ray_session, tmp_path_factory, langs, seed):
+    """doc_sample_balanced / doc_sample_temperature / doc_rollup_counts stay
+    twin-exact on random lang distributions (incl. NULL langs and sparse
+    non-contiguous doc_ids)."""
+    import numpy as np
+
+    from smse_backend_ray.pipelines import sampling as smp
+    from smse_backend_ray.pipelines import textstats as ts
+
+    rng = np.random.RandomState(seed % (2**31))
+    n = len(langs)
+    ids = sorted(rng.choice(10**7, size=n, replace=False).tolist())
+    d = tmp_path_factory.mktemp("rand_docs")
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([f"word{i} common text" for i in range(n)]),
+            "lang": pa.array(langs, type=pa.string()),
+            "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}')"
+    )
+    for fn, sql in [
+        (smp.doc_sample_balanced, smp.doc_sample_balanced_sql()),
+        (smp.doc_sample_temperature, smp.doc_sample_temperature_sql()),
+        (ts.doc_rollup_counts, ts.doc_rollup_counts_sql()),
+    ]:
+        got = fn(str(d))
+        want = con.sql(sql).arrow()
+        assert got.to_pylist() == want.to_pylist(), fn.__name__
+    con.close()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user
+            st.integers(min_value=0, max_value=50),         # ts seconds
+            st.floats(min_value=-5, max_value=5, allow_nan=False) | st.none(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_running_totals_twin_random_events(ray_session, tmp_path_factory, rows):
+    """user_running_totals stays twin-exact on random event logs with
+    clustered ts ties, NULL values, and negative values."""
+    import datetime
+
+    from smse_backend_ray.pipelines import events
+
+    t0 = datetime.datetime(2024, 1, 1)
+    d = tmp_path_factory.mktemp("rand_events")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array(
+                [t0 + datetime.timedelta(seconds=r[1]) for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["x"] * len(rows)),
+            "value": pa.array([r[2] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'events.parquet')}')"
+    )
+    got = events.user_running_totals(str(d))
+    want = con.sql(events.user_running_totals_sql()).arrow()
+    assert got.to_pylist() == want.to_pylist()
+    con.close()
