@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--bulk", action="store_true", help="use the offline Dataset pipeline")
     ap.add_argument(
+        "--output",
+        default=None,
+        help="(bulk only) write results as qbucket-partitioned parquet to "
+        "this directory instead of printing rows; prints the per-bucket "
+        "manifest (fact-scale result sets must not funnel through the driver)",
+    )
+    ap.add_argument(
         "--num-actors",
         type=int,
         default=None,
@@ -75,6 +82,8 @@ def main(argv: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
 
+    if args.output and not args.bulk:
+        ap.error("--output is a --bulk feature (the serving path prints rows)")
     if args.bulk:
         from smse_backend_ray.pipelines.bulk_search import bulk_search
         from smse_backend_ray.queryset import QuerySpec
@@ -101,9 +110,16 @@ def main(argv: list[str] | None = None) -> int:
             )
             for i, q in enumerate(queries)
         ]
-        out = bulk_search(args.index_dir, specs, limit=args.limit)
-        for row in out.to_pylist():
-            print(json.dumps({"query": queries[row["query_id"]], **row}, default=str))
+        if args.output:
+            manifest = bulk_search(
+                args.index_dir, specs, limit=args.limit, out_dir=args.output
+            )
+            for row in manifest.to_pylist():
+                print(json.dumps({"output": args.output, **row}))
+        else:
+            out = bulk_search(args.index_dir, specs, limit=args.limit)
+            for row in out.to_pylist():
+                print(json.dumps({"query": queries[row["query_id"]], **row}, default=str))
     else:
         from smse_backend_ray.pipelines.search import SearchEngine
         from smse_backend_ray.queryset import QuerySpec

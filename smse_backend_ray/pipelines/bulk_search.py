@@ -65,11 +65,22 @@ N_QUERY_BUCKETS = 64
 
 
 def bulk_search(
-    index_dir, queries, limit: int = DEFAULT_TOP_K, n_qbuckets: int = N_QUERY_BUCKETS
+    index_dir,
+    queries,
+    limit: int = DEFAULT_TOP_K,
+    n_qbuckets: int = N_QUERY_BUCKETS,
+    out_dir: str | None = None,
 ) -> pa.Table:
     """``queries``: sequence of queryset.QuerySpec (parts + limit are used;
     scope/threshold are serving-path features). Returns RESULT_SCHEMA rows
-    sorted by (query_id, rank)."""
+    sorted by (query_id, rank).
+
+    ``out_dir``: when set, results are WRITTEN as qbucket-partitioned
+    parquet (one directory per query bucket — the resumable-output shape:
+    a re-run can skip finished buckets) instead of being collected; the
+    return value is then a small per-bucket manifest (qbucket, n_rows).
+    At 10^6-query offline batches the result set is itself fact-scale and
+    must never funnel through the driver."""
     cat = Catalog(index_dir)
     ifs = cat.ifs
     stats = cat.get_stats()
@@ -122,6 +133,10 @@ def bulk_search(
         for t in [t for t, _w in tw] + ex_terms:
             term_buckets.setdefault(t, set()).add(qb)
     if not term_buckets:
+        if out_dir is not None:
+            return pa.schema(
+                [("qbucket", pa.int64()), ("n_rows", pa.int64())]
+            ).empty_table()
         return RESULT_SCHEMA.empty_table()
 
     needed = sorted(term_buckets)
@@ -187,7 +202,8 @@ def bulk_search(
     def bucket_topk(g: pa.Table) -> pa.Table:
         """All queries of one bucket, scored from the bucket's term rows;
         per query: terms ascending, shard-rows of one term disjoint."""
-        qplans = ray.get(plans_ref)[g["qbucket"][0].as_py()]
+        qb = g["qbucket"][0].as_py()
+        qplans = ray.get(plans_ref)[qb]
         by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
         doc_col = g["doc_ids"].combine_chunks()
         flat_ids = np.asarray(doc_col.values, dtype=np.int64)
@@ -252,6 +268,7 @@ def bulk_search(
             out["doc_id"].extend(uniq[top].tolist())
             out["score"].extend(rscore[top].tolist())
             out["exact_score"].extend(scores[top].tolist())
+        n_out = len(out["query_id"])
         return pa.table(
             {
                 "query_id": pa.array(out["query_id"], type=pa.int64()),
@@ -259,6 +276,7 @@ def bulk_search(
                 "doc_id": pa.array(out["doc_id"], type=pa.int64()),
                 "score": pa.array(out["score"], type=pa.float64()),
                 "exact_score": pa.array(out["exact_score"], type=pa.float64()),
+                "qbucket": pa.array([qb] * n_out, type=pa.int64()),
             }
         )
 
@@ -267,7 +285,25 @@ def bulk_search(
         .groupby("qbucket")
         .map_groups(bucket_topk, batch_format="pyarrow")
     )
-    t = collect_table(results, empty_schema=RESULT_SCHEMA)
+    if out_dir is not None:
+        results.write_parquet(out_dir, partition_cols=["qbucket"])
+        import pyarrow.dataset as pads_mod
+
+        frags = pads_mod.dataset(out_dir, partitioning="hive").to_table(
+            columns=["qbucket"]
+        )
+        g = frags.group_by("qbucket").aggregate([([], "count_all")])
+        m = pa.table(
+            {
+                "qbucket": pc.cast(g["qbucket"], pa.int64()),
+                "n_rows": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+        return m.take(pc.sort_indices(m["qbucket"]))
+    t = collect_table(
+        results, empty_schema=RESULT_SCHEMA.append(pa.field("qbucket", pa.int64()))
+    )
+    t = t.drop_columns(["qbucket"])
     return t.take(
         pc.sort_indices(
             t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]

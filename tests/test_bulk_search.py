@@ -56,3 +56,25 @@ def test_bulk_search_no_hit(bulk_idx):
     out = bulk_search(IDX, [QuerySpec(999, ("qqzzquux nohitterm",))])
     assert out.num_rows == 0
     assert out.schema.names == ["query_id", "rank", "doc_id", "score", "exact_score"]
+
+
+def test_bulk_search_parquet_sink_matches_collect(bulk_idx, tmp_path):
+    """out_dir mode writes qbucket-partitioned parquet whose rows equal the
+    collected path exactly; the returned manifest counts per bucket."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    want = bulk_search(IDX, BASE_QUERIES)
+    out_dir = str(tmp_path / "bulk_out")
+    manifest = bulk_search(IDX, BASE_QUERIES, out_dir=out_dir)
+    assert int(pa.compute.sum(manifest["n_rows"]).as_py()) == want.num_rows
+
+    got = pads.dataset(out_dir, partitioning="hive").to_table(
+        columns=["query_id", "rank", "doc_id", "score", "exact_score"]
+    )
+    got = got.take(
+        pa.compute.sort_indices(
+            got, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]
+        )
+    )
+    assert got.to_pydict() == want.to_pydict()
