@@ -45,9 +45,17 @@ from smse_backend_ray.functions.collect import collect_table
 from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
 
 
-def curation_pipeline(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
+def curation_pipeline(
+    sf_dir: str, n_ranges: int | None = None, out_dir: str | None = None
+) -> pa.Table:
     """(rank, doc_id, lang, quality, n_tokens, start_offset, bin) for every
-    curated survivor, ordered by rank. See module doc for the frozen rules."""
+    curated survivor, ordered by rank. See module doc for the frozen rules.
+
+    ``out_dir``: when set, survivor rows are WRITTEN as shard-partitioned
+    parquet (shard = the ordered key range each row's rank derives from —
+    one directory per range, so a failed run resumes per shard) and the
+    return value is a small (shard, n_rows) manifest. A 100 TB curation's
+    output is itself fact-scale and must not funnel through the driver."""
     from smse_backend_ray import config
     from smse_backend_ray.functions.analyzer import subtokens_batch
     from smse_backend_ray.functions.joins import (
@@ -80,8 +88,13 @@ def curation_pipeline(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
          ("quality", pa.float64()), ("n_tokens", pa.int64()),
          ("start_offset", pa.int64()), ("bin", pa.int64())]
     )
+    manifest_schema = pa.schema([("shard", pa.int64()), ("n_rows", pa.int64())])
+
+    def _empty():
+        return (manifest_schema if out_dir is not None else out_schema).empty_table()
+
     if thr <= 0:
-        return out_schema.empty_table()
+        return _empty()
 
     def meta(t: pa.Table) -> pa.Table:
         q = quality_batch(t)
@@ -171,7 +184,7 @@ def curation_pipeline(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
         ),
     )
     if not part.num_rows:
-        return out_schema.empty_table()
+        return _empty()
     tok_sums = np.zeros(R, dtype=np.int64)
     cnts = np.zeros(R, dtype=np.int64)
     np.add.at(tok_sums, part["rid"].to_numpy(), part["s"].to_numpy())
@@ -202,13 +215,35 @@ def curation_pipeline(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
                 "n_tokens": pa.array(nt, type=pa.int64()),
                 "start_offset": pa.array(start, type=pa.int64()),
                 "bin": pa.array(start // window, type=pa.int64()),
+                "shard": pa.array(
+                    np.full(s.num_rows, rid, dtype=np.int64), type=pa.int64()
+                ),
             }
         )
 
-    out = collect_table(
-        survivors.groupby("rid").map_groups(per_range, batch_format="pyarrow"),
-        empty_schema=out_schema,
+    finished = survivors.groupby("rid").map_groups(
+        per_range, batch_format="pyarrow"
     )
+    if out_dir is not None:
+        finished.write_parquet(out_dir, partition_cols=["shard"])
+        import pyarrow.dataset as pads_mod
+
+        frags = pads_mod.dataset(out_dir, partitioning="hive").to_table(
+            columns=["shard"]
+        )
+        g = frags.group_by("shard").aggregate([([], "count_all")])
+        m = pa.table(
+            {
+                "shard": pc.cast(g["shard"], pa.int64()),
+                "n_rows": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+        return m.take(pc.sort_indices(m["shard"]))
+    out = collect_table(
+        finished,
+        empty_schema=out_schema.append(pa.field("shard", pa.int64())),
+    )
+    out = out.drop_columns(["shard"])
     return out.take(pc.sort_indices(out["rank"]))
 
 

@@ -2149,3 +2149,24 @@ def test_doc_sample_temperature_null_lang(ray_session, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
     orc = con.sql(doc_sample_temperature_sql()).fetch_arrow_table()
     assert orc.to_pydict() == got.to_pydict()
+
+
+def test_curation_parquet_sink_matches_collect(ray_session, sf_dir, tmp_path):
+    """curation_pipeline(out_dir=) writes shard-partitioned parquet whose
+    rows equal the collected path exactly; the manifest counts per shard."""
+    import pyarrow.dataset as pads
+
+    from smse_backend_ray.pipelines.curate import curation_pipeline
+
+    want = curation_pipeline(sf_dir)
+    out_dir = str(tmp_path / "curated")
+    manifest = curation_pipeline(sf_dir, out_dir=out_dir)
+    assert int(np.sum(manifest["n_rows"].to_numpy())) == want.num_rows
+
+    import pyarrow as pa
+
+    got = pads.dataset(out_dir, partitioning="hive").to_table(
+        columns=[c for c in want.column_names]
+    )
+    got = got.take(pa.compute.sort_indices(got["rank"]))
+    assert got.to_pydict() == want.to_pydict()
