@@ -653,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_balanced": sampling.doc_sample_balanced,
         "doc_sample_temperature": sampling.doc_sample_temperature,
         "doc_rollup_counts": textstats.doc_rollup_counts,
+        "embedding_label_centroids": simsearch.embedding_label_centroids,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -849,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": sqlgen.embedding_dup_pairs_sql(dedup_mod.EMB_DUP_THRESHOLD),
         "knn_bruteforce": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "embedding_dim_stats": simsearch_mod.embedding_dim_stats_sql(),
+        "embedding_label_centroids": simsearch_mod.embedding_label_centroids_sql(),
         "knn_ivf_full_probe": sqlgen.knn_sql(simsearch_mod.N_QUERIES, simsearch_mod.TOP_K),
         "events_asof_join": events_mod.asof_join_sql(),
         "events_range_join": events_mod.range_join_sql(),

@@ -942,3 +942,111 @@ SELECT dim, CAST(count(*) AS BIGINT) AS n,
        MIN(v) AS min_v, MAX(v) AS max_v
 FROM flat GROUP BY dim ORDER BY dim
 """
+
+
+def embedding_label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroids — the class-prototype computation a
+    labeling-QA / clustering-eval pipeline runs (one mean vector per
+    label), exploded to (label, dim) rows so the gate comparator sees
+    scalars.
+
+    Frozen pair with ``embedding_label_centroids_sql``: the same
+    scaled-int discipline as embedding_dim_stats (elements promote
+    float32 -> float64 exactly, sums run over round(v*1e4)::int64 —
+    order-free), mean = round4(sum_scaled / 10000.0 / n).
+
+    Scale shape: each block folds to one (labels_in_block x d) partial
+    (label domain is small by construction — it's a class id); above
+    FOLD_FAN_IN source blocks the grouped-sum tree-fold bounds the driver
+    merge. No key shuffle at any scale."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.config import FOLD_FAN_IN
+    from smse_backend_ray.functions.collect import collect_table, fold_partials
+    from smse_backend_ray.functions.rounding import round_half_away
+    from smse_backend_ray.sources.corpus import _parallel_blocks, _parquet_rows
+
+    partial_schema = pa.schema(
+        [("label", pa.int64()), ("dim", pa.int64()),
+         ("n", pa.int64()), ("sum_scaled", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        V = _emb_matrix(t["embedding"])
+        n, d = V.shape
+        if not n or not d:
+            return partial_schema.empty_table()
+        labels = pc.cast(t["label"], pa.int64()).to_numpy()
+        iv = (np.sign(V) * np.floor(np.abs(V) * 10000.0 + 0.5)).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        # one (labels x d) matmul-free fold: scatter-add rows by label
+        sums = np.zeros((uniq.size, d), dtype=np.int64)
+        np.add.at(sums, inv, iv)
+        counts = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), type=pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), uniq.size)),
+                "n": pa.array(np.repeat(counts, d), type=pa.int64()),
+                "sum_scaled": pa.array(sums.reshape(-1), type=pa.int64()),
+            }
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["label", "dim"]).aggregate(
+            [("n", "sum"), ("sum_scaled", "sum")]
+        )
+        return pa.table(
+            {
+                "label": pc.cast(g["label"], pa.int64()),
+                "dim": pc.cast(g["dim"], pa.int64()),
+                "n": pc.cast(g["n_sum"], pa.int64()),
+                "sum_scaled": pc.cast(g["sum_scaled_sum"], pa.int64()),
+            }
+        )
+
+    path = _emb_path(sf_dir)
+    nb = _parallel_blocks(_parquet_rows(path), rows_per_block=4096)
+    ds = (
+        ray.data.read_parquet(path, columns=["label", "embedding"])
+        .repartition(nb)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if nb > FOLD_FAN_IN:
+        ds = fold_partials(ds, fold)
+    merged = fold(collect_table(ds, empty_schema=partial_schema))
+    n = merged["n"].to_numpy().astype(np.int64)
+    ss = merged["sum_scaled"].to_numpy().astype(np.int64)
+    mean = round_half_away(
+        np.divide(ss / 10000.0, n, out=np.zeros(len(n)), where=n > 0), 4
+    )
+    out = pa.table(
+        {
+            "label": merged["label"],
+            "dim": merged["dim"],
+            "n": merged["n"],
+            "sum_scaled": merged["sum_scaled"],
+            "mean_v": pa.array(mean, type=pa.float64()),
+        }
+    )
+    return out.take(
+        pa.compute.sort_indices(
+            out, sort_keys=[("label", "ascending"), ("dim", "ascending")]
+        )
+    )
+
+
+def embedding_label_centroids_sql() -> str:
+    return """
+WITH flat AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(v * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_scaled,
+       round(SUM(CAST(round(v * 10000, 0) AS BIGINT)) / 10000.0 / count(*), 4)
+         AS mean_v
+FROM flat GROUP BY label, dim ORDER BY label, dim
+"""

