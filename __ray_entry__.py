@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_temperature": sampling.doc_sample_temperature,
         "doc_rollup_counts": textstats.doc_rollup_counts,
         "embedding_label_centroids": simsearch.embedding_label_centroids,
+        "dedup_winnow_pairs": dedup.winnow_dup_pairs,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -829,6 +830,12 @@ def oracle_sql() -> dict[str, str]:
             dedup_mod.LSH_BANDS,
         ),
         "dedup_simhash": sqlgen.simhash_pairs_sql(),
+        "dedup_winnow_pairs": sqlgen.winnow_dup_pairs_sql(
+            textstats_mod.WINNOW_K,
+            textstats_mod.WINNOW_W,
+            dedup_mod.WINNOW_DUP_FP_DF_CAP,
+            dedup_mod.WINNOW_DUP_MIN_SHARED,
+        ),
         "doc_substring_dup": sqlgen.substring_dup_sql(
             dedup_mod.SUBSTR_DUP_K, dedup_mod.SUBSTR_DUP_MIN_DF
         ),

@@ -222,13 +222,12 @@ def repo_sizes_sql() -> str:
     )
 
 
-def winnow_sql(k: int, w: int) -> str:
-    """Winnowing fingerprints twin (pipelines/textstats.py winnow_rows):
-    ordered subtoken stream -> k-gram strings via lead() -> md5-digit gram
-    hash -> windowed min -> first-seen dedup, exploded to
-    (doc_id, fp_rank, fingerprint) rows. The engine's window tie rule is
-    irrelevant to the output (dedup is by value), so a plain min() OVER
-    reproduces it exactly."""
+def _winnow_wmins_cte(k: int, w: int) -> str:
+    """The shared winnow CTE prelude (toks -> ordered -> gram_str ->
+    grams -> wmins) used by winnow_sql AND winnow_dup_pairs_sql — one
+    copy so the twins can't diverge. The caller appends its own final
+    CTEs + SELECT; the prelude ends after ``wmins`` with a trailing
+    comma slot (caller adds ',\\n<cte>')."""
     toks_expr = subtoken_expr("src.text")
     leads = " || chr(1) || ".join(
         ["term"] + [f"lead(term,{j}) OVER w" for j in range(1, k)]
@@ -265,7 +264,47 @@ wmins AS (
                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin,
     n_grams
   FROM grams
+)"""
+
+
+def winnow_dup_pairs_sql(
+    k: int, w: int, df_cap: int, min_shared: int
+) -> str:
+    """MOSS-style near-dup pairs twin (pipelines/dedup.py winnow_dup_pairs):
+    doc pairs sharing >= min_shared DISTINCT winnow fingerprints, after
+    dropping fingerprints with document frequency > df_cap (boilerplate
+    guard — identical cap on the engine side)."""
+    return (
+        _winnow_wmins_cte(k, w)
+        + f""",
+fps AS (
+  SELECT DISTINCT doc_id, wmin AS fp
+  FROM wmins WHERE p <= GREATEST(n_grams - {w} + 1, 1)
 ),
+kept AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {df_cap})
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+ORDER BY a, b
+"""
+    )
+
+
+def winnow_sql(k: int, w: int) -> str:
+    """Winnowing fingerprints twin (pipelines/textstats.py winnow_rows):
+    ordered subtoken stream -> k-gram strings via lead() -> md5-digit gram
+    hash -> windowed min -> first-seen dedup, exploded to
+    (doc_id, fp_rank, fingerprint) rows. The engine's window tie rule is
+    irrelevant to the output (dedup is by value), so a plain min() OVER
+    reproduces it exactly."""
+    return (
+        _winnow_wmins_cte(k, w)
+        + f""",
 firsts AS (
   SELECT doc_id, wmin, min(p) AS fp
   FROM wmins WHERE p <= GREATEST(n_grams - {w} + 1, 1)
@@ -276,6 +315,8 @@ SELECT doc_id,
   wmin AS fingerprint
 FROM firsts ORDER BY doc_id, fp_rank
 """
+    )
+
 
 
 def top_docs_per_repo_sql(k: int) -> str:

@@ -410,6 +410,99 @@ def _drop_hot_stage(ds, hot):
     return _anti_join(ds, hot_ds, ["shingle"], shingle_schema)
 
 
+WINNOW_DUP_FP_DF_CAP = 64   # fingerprints in more docs are boilerplate
+WINNOW_DUP_MIN_SHARED = 2   # pair needs >= this many shared fingerprints
+
+
+def winnow_dup_pairs(
+    sf_dir: str,
+    df_cap: int = WINNOW_DUP_FP_DF_CAP,
+    min_shared: int = WINNOW_DUP_MIN_SHARED,
+) -> pa.Table:
+    """MOSS-style near-dup pairs over winnow fingerprints (Schleimer/
+    Wilkerson/Aiken): doc pairs sharing >= ``min_shared`` distinct
+    fingerprints, after dropping fingerprints with document frequency >
+    ``df_cap`` (ubiquitous boilerplate would otherwise emit d^2/2 pairs).
+    THE plagiarism/near-dup detector for a source-code corpus — robust to
+    local edits because fingerprints are windowed k-gram minima.
+
+    Frozen pair with sqlgen.winnow_dup_pairs_sql (same winnow CTE prelude
+    as the winnow_rows twin — one copy, can't diverge).
+
+    Scale shape: identical to jaccard_pairs — a deliberate 2-pass stream
+    (global fingerprint-df pass -> hot drop by broadcast-or-anti-join,
+    then the fat-bucket pair triangle), every stage vectorized, pair
+    blowup bounded by the df cap. Fingerprint sets are ~20x smaller than
+    shingle sets (the winnowing window keeps ~1/W of grams), so this is
+    the CHEAPER near-dup signal at equal robustness."""
+    from smse_backend_ray.pipelines.textstats import winnow_fingerprints_one
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for v in winnow_fingerprints_one(text):
+                ids.append(did)
+                fps.append(str(v))
+        # column named "shingle" so the shared dedup machinery
+        # (_drop_hot_stage / _pairs_within_key) applies verbatim — the
+        # column semantically is "the dedup key"
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shingle": pa.array(fps, type=pa.string()),
+            }
+        )
+
+    def rows_ds():
+        return _read_documents(sf_dir).map_batches(
+            fp_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    nb = _doc_buckets(sf_dir)
+    dfs = _grouped_agg(
+        rows_ds(), ["shingle"], [("doc_id", "count", "df")], nb=nb
+    )
+    hot_ds = dfs.map_batches(
+        lambda t: t.filter(pc.greater(t["df"], df_cap)).select(["shingle"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n_hot = hot_ds.count()
+    if n_hot:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "winnow_dup_pairs: dropping %d fingerprints with df > %d",
+            n_hot, df_cap,
+        )
+    kept = _drop_hot_stage(rows_ds(), (hot_ds, n_hot))
+    inter = _grouped_agg(
+        _pairs_within_key(kept, "shingle", nb=nb),
+        ["a", "b"], [("n", "sum", "n_shared")], nb=nb,
+    )
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("n_shared", pa.int64())]
+    )
+    t = collect_table(
+        inter.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        empty_schema=out_schema,
+    )
+    t = pa.table(
+        {
+            "a": pc.cast(t["a"], pa.int64()),
+            "b": pc.cast(t["b"], pa.int64()),
+            "n_shared": pc.cast(t["n_shared"], pa.int64()),
+        }
+    )
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    )
+
+
 _JACCARD_CACHE: dict[tuple, tuple[tuple, pa.Table]] = {}
 
 

@@ -2209,3 +2209,62 @@ def test_embedding_label_centroids_semantics(ray_session, tmp_path):
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')")
     orc = con.sql(embedding_label_centroids_sql()).fetch_arrow_table()
     assert orc.to_pydict() == got.to_pydict()
+
+
+def test_winnow_dup_pairs_semantics(ray_session, sf_dir, tmp_path):
+    """MOSS overlap pairs: on the driver corpus the winnow pairs cover the
+    exact-Jaccard near-dups (both detect the planted near-duplicates); on
+    a planted fixture a locally-edited copy still pairs with its original
+    (the winnowing robustness property), the df cap drops boilerplate
+    fingerprints, and the twin agrees."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import dedup
+    from smse_backend_ray.pipelines.textstats import WINNOW_K, WINNOW_W
+
+    wp = dedup.winnow_dup_pairs(sf_dir)
+    wset = set(zip(wp["a"].to_pylist(), wp["b"].to_pylist()))
+    jac = dedup.jaccard_pairs(sf_dir)
+    jset = set(zip(jac["a"].to_pylist(), jac["b"].to_pylist()))
+    # winnowing SAMPLES ~1/W of grams, so a borderline Jaccard pair can
+    # share < min_shared sampled fingerprints — assert high recall, not
+    # containment (measured: 24/25 on the driver corpus)
+    assert jset and len(jset & wset) / len(jset) >= 0.9
+
+    base = (
+        "def parse_http_request(stream): return HeaderBlock(stream) "
+        "with fallback retry limits and checksum validation logic "
+        "for every incoming frame buffer in the queue " * 3
+    )
+    edited = base.replace("checksum validation", "digest verification", 1)
+    boiler = "copyright header license apache version two point zero"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([base, edited, boiler + " alpha", boiler + " beta"]),
+        "lang": pa.array(["en"] * 4),
+    })
+    sf2 = str(tmp_path)
+    pq_mod.write_table(docs, f"{sf2}/documents.parquet")
+    got = dedup.winnow_dup_pairs(sf2)
+    pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    assert (1, 2) in pairs  # edit-robust: original pairs with edited copy
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf2}/documents.parquet')")
+    orc = con.sql(
+        sqlgen.winnow_dup_pairs_sql(
+            WINNOW_K, WINNOW_W,
+            dedup.WINNOW_DUP_FP_DF_CAP, dedup.WINNOW_DUP_MIN_SHARED,
+        )
+    ).fetch_arrow_table()
+    assert orc.to_pydict() == got.to_pydict()
+
+    # df cap engaged: cap=0 drops every fingerprint -> no pairs, twin agrees
+    got0 = dedup.winnow_dup_pairs(sf2, df_cap=0)
+    assert got0.num_rows == 0
+    orc0 = con.sql(
+        sqlgen.winnow_dup_pairs_sql(WINNOW_K, WINNOW_W, 0, dedup.WINNOW_DUP_MIN_SHARED)
+    ).fetch_arrow_table()
+    assert orc0.num_rows == 0
