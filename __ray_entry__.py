@@ -655,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rollup_counts": textstats.doc_rollup_counts,
         "embedding_label_centroids": simsearch.embedding_label_centroids,
         "dedup_winnow_pairs": dedup.winnow_dup_pairs,
+        "dedup_winnow_clusters": dedup.winnow_dup_clusters,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -831,6 +832,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": sqlgen.simhash_pairs_sql(),
         "dedup_winnow_pairs": sqlgen.winnow_dup_pairs_sql(
+            textstats_mod.WINNOW_K,
+            textstats_mod.WINNOW_W,
+            dedup_mod.WINNOW_DUP_FP_DF_CAP,
+            dedup_mod.WINNOW_DUP_MIN_SHARED,
+        ),
+        "dedup_winnow_clusters": sqlgen.winnow_dup_clusters_sql(
             textstats_mod.WINNOW_K,
             textstats_mod.WINNOW_W,
             dedup_mod.WINNOW_DUP_FP_DF_CAP,

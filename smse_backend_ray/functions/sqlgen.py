@@ -742,15 +742,13 @@ FROM pairs GROUP BY a, b ORDER BY a, b
 """
 
 
-def dedup_clusters_sql(
-    threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
-) -> str:
-    """Connected-components twin (pipelines/dedup.py dedup_clusters):
-    transitive closure over the verified Jaccard pairs via a recursive CTE,
-    cluster_id = min doc_id reachable."""
-    inner = jaccard_pairs_sql(threshold, k, df_cap)
+def _clusters_closure_sql(pairs_inner: str) -> str:
+    """Shared CC closure: wrap any (a, b[, ...]) pair query in a recursive
+    transitive-closure CTE, cluster_id = min doc_id reachable. The ONE copy
+    both cluster twins (jaccard, winnow) compose — mirrors the engine's
+    shared dedup._clusters_from_pairs tail."""
     return f"""
-WITH RECURSIVE pairs AS ({inner}),
+WITH RECURSIVE pairs AS ({pairs_inner}),
 edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
 nodes AS (SELECT DISTINCT u AS n FROM edges),
 reach(n, m) AS (
@@ -763,6 +761,24 @@ SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM lbl ORDER BY doc_id
 """
+
+
+def dedup_clusters_sql(
+    threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
+) -> str:
+    """Connected-components twin (pipelines/dedup.py dedup_clusters):
+    transitive closure over the verified Jaccard pairs via a recursive CTE,
+    cluster_id = min doc_id reachable."""
+    return _clusters_closure_sql(jaccard_pairs_sql(threshold, k, df_cap))
+
+
+def winnow_dup_clusters_sql(
+    k: int, w: int, df_cap: int, min_shared: int
+) -> str:
+    """Connected-components twin (pipelines/dedup.py winnow_dup_clusters):
+    the same recursive closure over the MOSS-style winnow-fingerprint
+    pairs (winnow_dup_pairs_sql)."""
+    return _clusters_closure_sql(winnow_dup_pairs_sql(k, w, df_cap, min_shared))
 
 
 def substring_dup_sql(k: int, min_df: int) -> str:

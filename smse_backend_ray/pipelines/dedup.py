@@ -1361,22 +1361,13 @@ def _cc_labels(edges_t: pa.Table, max_iters: int) -> tuple[pa.Table, int, bool]:
     return collect_table(labels), rounds, converged
 
 
-def dedup_clusters(
-    sf_dir: str,
-    threshold: float = JACCARD_THRESHOLD,
-    max_iters: int = CLUSTER_MAX_ITERS,
+def _clusters_from_pairs(
+    pairs: pa.Table, max_iters: int, op_name: str
 ) -> pa.Table:
-    """Connected components over the verified Jaccard pairs -> per-doc
-    cluster assignment (cluster_id = min doc_id in the component) and
-    cluster size. The canonical 'pick one representative per near-dup
-    group' step a training pipeline runs after pair generation.
-
-    Scale shape: see _cc_labels — iterative distributed min-label
-    propagation + pointer jumping, O(log diameter) rounds, state lives in a
-    materialized label Dataset (one row per CANDIDATE doc, not per corpus
-    doc). Capped at ``max_iters`` with a logged warning, never a silent
-    stop. The DuckDB twin computes the same closure with a recursive CTE."""
-    pairs = jaccard_pairs(sf_dir, threshold)
+    """Shared CC tail for every pair-producing dedup signal: (a, b) pair
+    table -> (doc_id, cluster_id = component-min doc_id, cluster_size),
+    sorted by doc_id. See _cc_labels for the distributed iteration shape;
+    ``op_name`` labels the non-convergence warning."""
     empty = pa.table(
         {
             "doc_id": pa.array([], type=pa.int64()),
@@ -1399,8 +1390,9 @@ def dedup_clusters(
         import logging
 
         logging.getLogger(__name__).warning(
-            "dedup_clusters: label propagation hit max_iters=%d before "
-            "convergence — labels may span partial components", max_iters
+            "%s: label propagation hit max_iters=%d before "
+            "convergence — labels may span partial components",
+            op_name, max_iters,
         )
     # one row per candidate doc (bounded, like pairs)
     sz = t.group_by("label").aggregate([("label", "count")])
@@ -1417,6 +1409,50 @@ def dedup_clusters(
         }
     )
     return out.take(pc.sort_indices(out["doc_id"]))
+
+
+def dedup_clusters(
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iters: int = CLUSTER_MAX_ITERS,
+) -> pa.Table:
+    """Connected components over the verified Jaccard pairs -> per-doc
+    cluster assignment (cluster_id = min doc_id in the component) and
+    cluster size. The canonical 'pick one representative per near-dup
+    group' step a training pipeline runs after pair generation.
+
+    Scale shape: see _cc_labels — iterative distributed min-label
+    propagation + pointer jumping, O(log diameter) rounds, state lives in a
+    materialized label Dataset (one row per CANDIDATE doc, not per corpus
+    doc). Capped at ``max_iters`` with a logged warning, never a silent
+    stop. The DuckDB twin computes the same closure with a recursive CTE."""
+    return _clusters_from_pairs(
+        jaccard_pairs(sf_dir, threshold), max_iters, "dedup_clusters"
+    )
+
+
+def winnow_dup_clusters(
+    sf_dir: str,
+    df_cap: int = WINNOW_DUP_FP_DF_CAP,
+    min_shared: int = WINNOW_DUP_MIN_SHARED,
+    max_iters: int = CLUSTER_MAX_ITERS,
+) -> pa.Table:
+    """Connected components over the MOSS-style winnow-fingerprint pairs
+    (winnow_dup_pairs) — the grouping step of fingerprint-based near-dup
+    removal on a source-code corpus. Same output contract as
+    dedup_clusters: (doc_id, cluster_id = component-min doc_id,
+    cluster_size) per candidate doc, sorted by doc_id.
+
+    Scale shape: pair generation is the bounded winnow_dup_pairs sweep;
+    the closure is the shared _clusters_from_pairs tail (distributed
+    min-label propagation + pointer jumping, O(log diameter) rounds).
+    Frozen with sqlgen.winnow_dup_clusters_sql (recursive-CTE closure over
+    the identical pair query)."""
+    return _clusters_from_pairs(
+        winnow_dup_pairs(sf_dir, df_cap, min_shared),
+        max_iters,
+        "winnow_dup_clusters",
+    )
 
 
 # ---------------------------------------------------------------------------

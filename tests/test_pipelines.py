@@ -109,6 +109,29 @@ def test_dedup_clusters_matches_sql(ray_session, sf_dir, duck):
         assert lbl[x] == lbl[y]
 
 
+def test_winnow_dup_clusters_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import textstats
+
+    t = dedup.winnow_dup_clusters(sf_dir)
+    want = duck.sql(
+        sqlgen.winnow_dup_clusters_sql(
+            textstats.WINNOW_K,
+            textstats.WINNOW_W,
+            dedup.WINNOW_DUP_FP_DF_CAP,
+            dedup.WINNOW_DUP_MIN_SHARED,
+        )
+    ).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # consistency with the pair source: both endpoints of every MOSS pair
+    # share a cluster, cluster_id is the component-min doc_id
+    pairs = dedup.winnow_dup_pairs(sf_dir)
+    lbl = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    for x, y in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        assert lbl[x] == lbl[y]
+    assert all(cid <= did for did, cid in lbl.items())
+
+
 def test_cc_chain_converges_in_log_rounds(ray_session):
     """Pointer jumping bounds connected-components rounds by O(log diameter):
     a 200-link chain (worst case for plain min propagation, which needs 200
