@@ -656,6 +656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": simsearch.embedding_label_centroids,
         "dedup_winnow_pairs": dedup.winnow_dup_pairs,
         "dedup_winnow_clusters": dedup.winnow_dup_clusters,
+        "line_priority_counts": relational.line_priority_counts,
+        "volume_shipping": relational.volume_shipping,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -843,6 +845,8 @@ def oracle_sql() -> dict[str, str]:
             dedup_mod.WINNOW_DUP_FP_DF_CAP,
             dedup_mod.WINNOW_DUP_MIN_SHARED,
         ),
+        "line_priority_counts": relational_mod.line_priority_counts_sql(),
+        "volume_shipping": relational_mod.volume_shipping_sql(),
         "doc_substring_dup": sqlgen.substring_dup_sql(
             dedup_mod.SUBSTR_DUP_K, dedup_mod.SUBSTR_DUP_MIN_DF
         ),

@@ -270,6 +270,21 @@ Q6_DISC_LO_C = 5
 Q6_DISC_HI_C = 7
 Q6_QTY_MAX = 24
 
+# TPC-H Q12 shape adapted to this warehouse's lineitem columns
+# (relational.line_priority_counts <-> line_priority_counts_sql, frozen
+# pair): lines shipped in [Q12_DATE_LO, Q12_DATE_HI) joined to their
+# order's priority, counted per l_linestatus as high (o_orderpriority in
+# Q12_HIGH_PRIORITIES) vs low.
+Q12_DATE_LO = "1996-01-01"
+Q12_DATE_HI = "1997-01-01"
+Q12_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+# TPC-H Q7 shape (relational.volume_shipping <-> volume_shipping_sql,
+# frozen pair): exact scaled-int revenue between every (supplier nation,
+# customer nation) pair per ship year, window [Q7_DATE_LO, Q7_DATE_HI).
+Q7_DATE_LO = "1996-01-01"
+Q7_DATE_HI = "1998-01-01"
+
 # TPC-H Q18 shape (relational.large_order_customers <->
 # relational.large_order_customers_sql, frozen pair): orders whose total
 # lineitem quantity (exact scaled-int sum of round(q*100)) exceeds

@@ -1083,3 +1083,353 @@ JOIN customer ON c_custkey = o_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT {config.Q18_TOP_N}
 """
+
+
+def line_priority_counts(sf_dir: str) -> pa.Table:
+    """TPC-H Q12 shape adapted to this warehouse's columns (the classic
+    Q12 groups by l_shipmode, which this lineitem lacks; l_linestatus is
+    the stand-in grain — the join/CASE-count skeleton is identical):
+    lines shipped in [Q12_DATE_LO, Q12_DATE_HI) joined to their order's
+    priority, counted per l_linestatus as high (o_orderpriority in
+    Q12_HIGH_PRIORITIES) vs low.
+
+    Scale shape: the lineitem side pre-combines to one row per
+    (orderkey, linestatus) per batch BEFORE the one orderkey exchange;
+    the orders side ships only (orderkey, is_high int8-as-int64). Join +
+    rollup are FUSED per bucket (each bucket emits <= #linestatus rows),
+    so the driver merges nb * #linestatus rows — exact integer sums,
+    order-free (the revenue_by_month pattern)."""
+    import datetime
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import _bucketed_join
+
+    lo = datetime.datetime.fromisoformat(config.Q12_DATE_LO)
+    hi = datetime.datetime.fromisoformat(config.Q12_DATE_HI)
+    high_set = list(config.Q12_HIGH_PRIORITIES)
+
+    def li_combine(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        m = pc.and_(
+            pc.greater_equal(dt, pa.scalar(lo)), pc.less(dt, pa.scalar(hi))
+        )
+        part = pa.table(
+            {
+                "l_orderkey": pc.cast(t.filter(m)["l_orderkey"], pa.int64()),
+                "l_linestatus": t.filter(m)["l_linestatus"],
+            }
+        )
+        g = part.group_by(["l_orderkey", "l_linestatus"]).aggregate(
+            [("l_orderkey", "count")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "l_linestatus": g["l_linestatus"],
+                "n": pc.cast(g["l_orderkey_count"], pa.int64()),
+            }
+        )
+
+    facts = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"]
+    ).map_batches(li_combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    def ord_high(t: pa.Table) -> pa.Table:
+        hi_m = pc.is_in(t["o_orderpriority"], value_set=pa.array(high_set))
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "is_high": pc.cast(hi_m, pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+    ).map_batches(ord_high, batch_format="pyarrow", zero_copy_batch=True)
+
+    facts_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_linestatus", pa.string()),
+         ("n", pa.int64())]
+    )
+    orders_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("is_high", pa.int64())]
+    )
+
+    def join_roll(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        rt = rt.rename_columns(
+            ["__rk" if nm == "l_orderkey" else nm for nm in rt.column_names]
+        )
+        j = lt.join(rt, keys=["l_orderkey"], right_keys=["__rk"],
+                    join_type="inner")
+        n = j["n"].to_numpy(zero_copy_only=False)
+        ih = j["is_high"].to_numpy(zero_copy_only=False)
+        part = pa.table(
+            {
+                "l_linestatus": j["l_linestatus"],
+                "high": pa.array(n * ih, type=pa.int64()),
+                "low": pa.array(n * (1 - ih), type=pa.int64()),
+            }
+        )
+        g = part.group_by("l_linestatus").aggregate(
+            [("high", "sum"), ("low", "sum")]
+        )
+        return pa.table(
+            {
+                "l_linestatus": g["l_linestatus"],
+                "high": pc.cast(g["high_sum"], pa.int64()),
+                "low": pc.cast(g["low_sum"], pa.int64()),
+            }
+        )
+
+    partial_schema = pa.schema(
+        [("l_linestatus", pa.string()), ("high", pa.int64()),
+         ("low", pa.int64())]
+    )
+    rolled = _bucketed_join(
+        facts, orders, ["l_orderkey"], facts_schema, orders_schema,
+        join_roll, nb=_fact_buckets(sf_dir, "lineitem"),
+    )
+    t = collect_table(rolled, empty_schema=partial_schema)
+    g = t.group_by("l_linestatus").aggregate([("high", "sum"), ("low", "sum")])
+    t = pa.table(
+        {
+            "l_linestatus": g["l_linestatus"],
+            "high_line_count": pc.cast(g["high_sum"], pa.int64()),
+            "low_line_count": pc.cast(g["low_sum"], pa.int64()),
+        }
+    )
+    return t.take(pc.sort_indices(t["l_linestatus"]))
+
+
+def line_priority_counts_sql() -> str:
+    from smse_backend_ray import config
+
+    hs = ", ".join(f"'{p}'" for p in config.Q12_HIGH_PRIORITIES)
+    return f"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ({hs}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ({hs}) THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{config.Q12_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{config.Q12_DATE_HI}'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def volume_shipping(sf_dir: str) -> pa.Table:
+    """TPC-H Q7 shape generalized to the full nation matrix (classic Q7
+    restricts to one nation pair; the full matrix is the same plan with a
+    calendar*nations^2-bounded output): exact scaled-int revenue between
+    every (supplier nation, customer nation) pair per ship year, window
+    [Q7_DATE_LO, Q7_DATE_HI).
+
+    Scale shape — a 3-hop chain with ONE broadcast and TWO fused
+    exchanges, never a 6-table shuffle:
+      1. supplier ⋈ nation is a tiny dim chain -> driver-joined once,
+         ray.put, map-side array lookup on the lineitem side (the
+         nation_revenue pattern);
+      2. customer nation reaches orders via a bucketed join on custkey
+         (customer is corpus-scaled — NOT broadcastable at 100 TB);
+      3. the lineitem partials (pre-combined per batch to one row per
+         (orderkey, supp_nation, year)) meet the enriched orders in a
+         second bucketed join on orderkey, rolled up per bucket to
+         <= nations^2 * years rows. Driver merge is bounded by plan
+         shape, not corpus size."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import _bucketed_join
+
+    lo = datetime.datetime.fromisoformat(config.Q7_DATE_LO)
+    hi = datetime.datetime.fromisoformat(config.Q7_DATE_HI)
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    nkey = nat["n_nationkey"].to_numpy()
+    names = nat["n_name"].to_pylist()
+    # dense nationkey -> name index; names_sorted gives a stable int code
+    names_sorted = sorted(set(names))
+    name_idx = {n: i for i, n in enumerate(names_sorted)}
+    nat_to_idx = np.full(int(nkey.max()) + 1, -1, dtype=np.int64)
+    for k, nm in zip(nkey.tolist(), names):
+        nat_to_idx[k] = name_idx[nm]
+    skeys = sup["s_suppkey"].to_numpy()
+    snat = sup["s_nationkey"].to_numpy()
+    sup_lut = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    sup_lut[skeys] = nat_to_idx[snat]
+    ref = ray.put((sup_lut, nat_to_idx))
+
+    def li_combine(t: pa.Table) -> pa.Table:
+        sup_lut_, _ = ray.get(ref)
+        dt = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        m = pc.and_(
+            pc.greater_equal(dt, pa.scalar(lo)), pc.less(dt, pa.scalar(hi))
+        )
+        t = t.filter(m)
+        rev = _revenue_scaled(
+            t["l_extendedprice"].to_numpy(), t["l_discount"].to_numpy()
+        )
+        yr = pc.year(pc.cast(t["l_shipdate"], pa.timestamp("us"))).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int32)
+        part = pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "sidx": pa.array(
+                    sup_lut_[t["l_suppkey"].to_numpy()], type=pa.int64()
+                ),
+                "l_year": pa.array(yr, type=pa.int32()),
+                "rev": pa.array(rev, type=pa.int64()),
+            }
+        )
+        g = part.group_by(["l_orderkey", "sidx", "l_year"]).aggregate(
+            [("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "sidx": g["sidx"],
+                "l_year": pc.cast(g["l_year"], pa.int32()),
+                "rev": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    facts = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+         "l_discount"],
+    ).map_batches(li_combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    # exchange 1: orders pick up the customer's nation index on custkey
+    def ord_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        ord_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def cust_keys(t: pa.Table) -> pa.Table:
+        _, n2i = ray.get(ref)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "cidx": pa.array(
+                    n2i[t["c_nationkey"].to_numpy()], type=pa.int64()
+                ),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    ord_schema = pa.schema([("c_custkey", pa.int64()), ("o_orderkey", pa.int64())])
+    cust_schema = pa.schema([("c_custkey", pa.int64()), ("cidx", pa.int64())])
+
+    def join_cust(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        rt = rt.rename_columns(
+            ["__rk" if nm == "c_custkey" else nm for nm in rt.column_names]
+        )
+        j = lt.join(rt, keys=["c_custkey"], right_keys=["__rk"],
+                    join_type="inner")
+        return j.select(["o_orderkey", "cidx"]).rename_columns(
+            ["l_orderkey", "cidx"]
+        )
+
+    enriched = _bucketed_join(
+        orders, cust, ["c_custkey"], ord_schema, cust_schema, join_cust,
+        nb=_fact_buckets(sf_dir, "orders"),
+    )
+
+    # exchange 2: fact partials meet enriched orders on orderkey; fused
+    # per-bucket rollup to <= nations^2 * years rows
+    facts_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("sidx", pa.int64()),
+         ("l_year", pa.int32()), ("rev", pa.int64())]
+    )
+    enr_schema = pa.schema([("l_orderkey", pa.int64()), ("cidx", pa.int64())])
+
+    def join_roll(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        rt = rt.rename_columns(
+            ["__rk" if nm == "l_orderkey" else nm for nm in rt.column_names]
+        )
+        j = lt.join(rt, keys=["l_orderkey"], right_keys=["__rk"],
+                    join_type="inner")
+        g = j.group_by(["sidx", "cidx", "l_year"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {
+                "sidx": g["sidx"],
+                "cidx": g["cidx"],
+                "l_year": pc.cast(g["l_year"], pa.int32()),
+                "rev": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    partial_schema = pa.schema(
+        [("sidx", pa.int64()), ("cidx", pa.int64()),
+         ("l_year", pa.int32()), ("rev", pa.int64())]
+    )
+    rolled = _bucketed_join(
+        facts, enriched, ["l_orderkey"], facts_schema, enr_schema,
+        join_roll, nb=_fact_buckets(sf_dir, "lineitem"),
+    )
+    t = collect_table(rolled, empty_schema=partial_schema)
+    g = t.group_by(["sidx", "cidx", "l_year"]).aggregate([("rev", "sum")])
+    out = pa.table(
+        {
+            "supp_nation": pa.array(
+                [names_sorted[i] for i in g["sidx"].to_pylist()],
+                type=pa.string(),
+            ),
+            "cust_nation": pa.array(
+                [names_sorted[i] for i in g["cidx"].to_pylist()],
+                type=pa.string(),
+            ),
+            "l_year": pc.cast(g["l_year"], pa.int32()),
+            "revenue_scaled": pc.cast(g["rev_sum"], pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("supp_nation", "ascending"),
+                       ("cust_nation", "ascending"),
+                       ("l_year", "ascending")],
+        )
+    )
+
+
+def volume_shipping_sql() -> str:
+    from smse_backend_ray import config
+
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_scaled
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{config.Q7_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{config.Q7_DATE_HI}'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""

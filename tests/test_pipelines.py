@@ -1741,10 +1741,54 @@ def test_relational_fused_rollups_bucket_invariant(ray_session, sf_dir, monkeypa
 
     base_q1 = relational.revenue_by_month(sf_dir)
     base_q3 = relational.shipping_priority(sf_dir)
+    base_q12 = relational.line_priority_counts(sf_dir)
+    base_q7 = relational.volume_shipping(sf_dir)
     for forced in (1, 97):
         monkeypatch.setattr(relational, "_fact_buckets", lambda *a: forced)
         assert relational.revenue_by_month(sf_dir).equals(base_q1), forced
         assert relational.shipping_priority(sf_dir).equals(base_q3), forced
+        assert relational.line_priority_counts(sf_dir).equals(base_q12), forced
+        assert relational.volume_shipping(sf_dir).equals(base_q7), forced
+
+
+def test_line_priority_counts_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines import relational
+
+    t = relational.line_priority_counts(sf_dir)
+    want = duck.sql(relational.line_priority_counts_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # every windowed line is exactly one of high/low
+    n = duck.sql(
+        "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01'"
+    ).fetchone()[0]
+    import pyarrow.compute as _pc
+
+    assert (
+        _pc.sum(t["high_line_count"]).as_py()
+        + _pc.sum(t["low_line_count"]).as_py()
+        == n
+    )
+
+
+def test_volume_shipping_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines import relational
+
+    t = relational.volume_shipping(sf_dir)
+    want = duck.sql(relational.volume_shipping_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # matrix total equals the plain windowed revenue sum (no pair lost)
+    tot = duck.sql(
+        "SELECT CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01'"
+    ).fetchone()[0]
+    import pyarrow.compute as _pc
+
+    assert _pc.sum(t["revenue_scaled"]).as_py() == tot
 
 
 def test_exchange_sizing_hints_only_lower(ray_session):
