@@ -658,6 +658,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_winnow_clusters": dedup.winnow_dup_clusters,
         "line_priority_counts": relational.line_priority_counts,
         "volume_shipping": relational.volume_shipping,
+        "small_qty_order_revenue": relational.small_qty_order_revenue,
+        "top_supplier_revenue": relational.top_supplier_revenue,
+        "idle_customer_balance": relational.idle_customer_balance,
+        "banded_revenue": relational.banded_revenue,
+        "market_share": relational.market_share,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -847,6 +852,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "line_priority_counts": relational_mod.line_priority_counts_sql(),
         "volume_shipping": relational_mod.volume_shipping_sql(),
+        "small_qty_order_revenue": relational_mod.small_qty_order_revenue_sql(),
+        "top_supplier_revenue": relational_mod.top_supplier_revenue_sql(),
+        "idle_customer_balance": relational_mod.idle_customer_balance_sql(),
+        "banded_revenue": relational_mod.banded_revenue_sql(),
+        "market_share": relational_mod.market_share_sql(),
         "doc_substring_dup": sqlgen.substring_dup_sql(
             dedup_mod.SUBSTR_DUP_K, dedup_mod.SUBSTR_DUP_MIN_DF
         ),

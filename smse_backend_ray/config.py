@@ -285,6 +285,54 @@ Q12_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
 Q7_DATE_LO = "1996-01-01"
 Q7_DATE_HI = "1998-01-01"
 
+# TPC-H Q17 shape (relational.small_qty_order_revenue <->
+# small_qty_order_revenue_sql, frozen pair): lines of Q17_BRAND parts
+# with p_size < Q17_SIZE_MAX whose quantity is under 20% of the part's
+# average line quantity. The threshold is the CROSS-MULTIPLIED exact-int
+# form 5 * round(q*100) * n_part < sum_part(round(q*100)) — never a
+# double division, so eligibility is bit-identical on both sides.
+Q17_BRAND = "Brand#13"
+Q17_SIZE_MAX = 26
+Q17_YEARS = 7  # avg_yearly divisor (the classic /7.0)
+
+# TPC-H Q15 shape (relational.top_supplier_revenue <->
+# top_supplier_revenue_sql, frozen pair): per-supplier scaled-int revenue
+# over ship window [Q15_DATE_LO, Q15_DATE_HI); winners = ALL suppliers at
+# the exact-int max (ties kept, s_suppkey ASC), enriched with s_name.
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+# TPC-H Q22 shape adapted (relational.idle_customer_balance <->
+# idle_customer_balance_sql, frozen pair; classic Q22's "no orders at
+# all" is empty in this warehouse, so idle = no orders on/after
+# Q22_CUTOFF): customers with above-average positive balance — the
+# average test is the cross-multiplied exact-int form
+# round(bal*100) * n_pos > sum_pos(round(bal*100)) — and no recent
+# orders, counted + balance-summed per nation.
+Q22_CUTOFF = "1999-01-01"
+
+# TPC-H Q19 shape (relational.banded_revenue <-> banded_revenue_sql,
+# frozen pair): disjunctive (brand, max size, quantity band) predicates
+# over lineitem x part; a line qualifies when ANY band matches its
+# part's brand, p_size in [1, size_max] and ROUNDED quantity cents in
+# [qty_lo*100, qty_hi*100]. Revenue = the exact scaled-int sum.
+Q19_BANDS = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#15", 15, 20, 30),
+)
+
+# TPC-H Q8 shape (relational.market_share <-> market_share_sql, frozen
+# pair): yearly market share of Q8_NATION suppliers in Q8_REGION
+# customers' orders of Q8_TYPE parts, order window [Q8_DATE_LO,
+# Q8_DATE_HI); share = round4(nation_rev / total_rev), both sums exact
+# scaled ints, the ratio one double division per year.
+Q8_NATION = "NATION_13"
+Q8_REGION = "EUROPE"
+Q8_TYPE = "PROMO"
+Q8_DATE_LO = "1996-01-01"
+Q8_DATE_HI = "1998-01-01"
+
 # TPC-H Q18 shape (relational.large_order_customers <->
 # relational.large_order_customers_sql, frozen pair): orders whose total
 # lineitem quantity (exact scaled-int sum of round(q*100)) exceeds

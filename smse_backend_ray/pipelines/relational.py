@@ -1433,3 +1433,847 @@ WHERE l_shipdate >= TIMESTAMP '{config.Q7_DATE_LO}'
   AND l_shipdate < TIMESTAMP '{config.Q7_DATE_HI}'
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+
+def small_qty_order_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines of
+    Q17_BRAND / p_size < Q17_SIZE_MAX parts whose quantity is under 20%
+    of that part's average line quantity; one-row result (revenue,
+    line count, avg_yearly).
+
+    The correlated-subquery threshold is frozen in CROSS-MULTIPLIED
+    exact-int form — a line qualifies iff 5 * round(q*100) * n_part <
+    sum_part(round(q*100)) — so eligibility never touches a double
+    division and matches small_qty_order_revenue_sql bit-for-bit.
+
+    Scale shape: the fact side pre-combines per batch to one row per
+    (partkey, quantity-cents) — lines with equal quantity of the same
+    part qualify together, so (n, price_sum) carry them losslessly —
+    then ONE partkey exchange joins the brand-filtered part keys
+    (dimension side ships keys only). Every line of a part lands in the
+    same bucket, so per-part (n, total) computed in-bucket is globally
+    exact and each bucket emits a single (revenue, n_lines) partial;
+    the driver folds #buckets rows. Reference analog: the SQLAlchemy
+    aggregate lookups in smse_backend/routes/search.py:88-127."""
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import _bucketed_join
+    from smse_backend_ray.functions.rounding import round_half_away
+
+    def li_combine(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        p = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        part = pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "q_s": pa.array(q, type=pa.int64()),
+                "price_s": pa.array(p, type=pa.int64()),
+            }
+        )
+        g = part.group_by(["p_partkey", "q_s"]).aggregate(
+            [("price_s", "sum"), ("price_s", "count")]
+        )
+        return pa.table(
+            {
+                "p_partkey": g["p_partkey"],
+                "q_s": g["q_s"],
+                "price_sum": pc.cast(g["price_s_sum"], pa.int64()),
+                "n": pc.cast(g["price_s_count"], pa.int64()),
+            }
+        )
+
+    facts = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(li_combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    def part_keys(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(t["p_brand"], config.Q17_BRAND),
+            pc.less(t["p_size"], config.Q17_SIZE_MAX),
+        )
+        return pa.table(
+            {"p_partkey": pc.cast(t.filter(m)["p_partkey"], pa.int64())}
+        )
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        part_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    facts_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("q_s", pa.int64()),
+         ("price_sum", pa.int64()), ("n", pa.int64())]
+    )
+    keys_schema = pa.schema([("p_partkey", pa.int64())])
+
+    def join_roll(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lt = lt.join(rt.rename_columns(["__rk"]), keys=["p_partkey"],
+                     right_keys=["__rk"], join_type="left semi")
+        if not lt.num_rows:
+            return pa.table(
+                {"rev": pa.array([], type=pa.int64()),
+                 "n_lines": pa.array([], type=pa.int64())}
+            )
+        qn = pc.multiply(lt["q_s"], lt["n"])
+        per_part = (
+            pa.table({"p_partkey": lt["p_partkey"], "n": lt["n"], "qn": qn})
+            .group_by("p_partkey")
+            .aggregate([("n", "sum"), ("qn", "sum")])
+        )
+        j = lt.join(
+            per_part.rename_columns(["__rk", "cnt", "tot"]),
+            keys=["p_partkey"], right_keys=["__rk"], join_type="inner",
+        )
+        q_s = j["q_s"].to_numpy(zero_copy_only=False)
+        cnt = j["cnt"].to_numpy(zero_copy_only=False)
+        tot = j["tot"].to_numpy(zero_copy_only=False)
+        elig = 5 * q_s * cnt < tot
+        price = j["price_sum"].to_numpy(zero_copy_only=False)
+        nrow = j["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rev": pa.array([int(price[elig].sum())], type=pa.int64()),
+                "n_lines": pa.array([int(nrow[elig].sum())], type=pa.int64()),
+            }
+        )
+
+    partial_schema = pa.schema([("rev", pa.int64()), ("n_lines", pa.int64())])
+    rolled = _bucketed_join(
+        facts, parts, ["p_partkey"], facts_schema, keys_schema, join_roll,
+        nb=_fact_buckets(sf_dir, "lineitem"),
+    )
+    t = collect_table(rolled, empty_schema=partial_schema)
+    rev = int(pc.sum(t["rev"]).as_py() or 0)
+    n_lines = int(pc.sum(t["n_lines"]).as_py() or 0)
+    avg_yearly = round_half_away(rev / 100.0 / float(config.Q17_YEARS), 4)
+    return pa.table(
+        {
+            "revenue_scaled": pa.array([rev], type=pa.int64()),
+            "n_lines": pa.array([n_lines], type=pa.int64()),
+            "avg_yearly": pa.array([avg_yearly], type=pa.float64()),
+        }
+    )
+
+
+def small_qty_order_revenue_sql() -> str:
+    from smse_backend_ray import config
+
+    return f"""
+WITH pq AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS tot
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{config.Q17_BRAND}' AND p_size < {config.Q17_SIZE_MAX}
+  GROUP BY 1
+)
+SELECT COALESCE(CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT), 0) AS revenue_scaled,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(COALESCE(CAST(SUM(CAST(round(l_extendedprice * 100, 0)
+                AS BIGINT)) AS BIGINT), 0) / 100.0 / {config.Q17_YEARS}.0, 4)
+         AS avg_yearly
+FROM lineitem JOIN pq USING (l_partkey)
+WHERE 5 * CAST(round(l_quantity * 100, 0) AS BIGINT) * cnt < tot
+"""
+
+
+def top_supplier_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q15 shape (top supplier): per-supplier scaled-int revenue
+    over ship window [Q15_DATE_LO, Q15_DATE_HI); winners are ALL
+    suppliers at the exact-int maximum (ties kept), s_suppkey ASC,
+    enriched with s_name via a pushed-down point read.
+
+    Scale shape: per-batch supplier partials -> ONE grouped_aggregate
+    exchange on suppkey -> per-block LOCAL winners (each output block
+    keeps only its max-revenue rows, <= a handful) -> driver folds
+    #blocks candidate sets and takes the global max. The driver never
+    sees the full supplier ledger, only block winners; enrichment is an
+    isin point read over the tied key set. Frozen pair with
+    top_supplier_revenue_sql."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import grouped_aggregate, with_schema
+
+    lo = datetime.datetime.fromisoformat(config.Q15_DATE_LO)
+    hi = datetime.datetime.fromisoformat(config.Q15_DATE_HI)
+
+    def li_combine(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        m = pc.and_(
+            pc.greater_equal(dt, pa.scalar(lo)), pc.less(dt, pa.scalar(hi))
+        )
+        t = t.filter(m)
+        rev = _revenue_scaled(
+            t["l_extendedprice"].to_numpy(), t["l_discount"].to_numpy()
+        )
+        g = (
+            pa.table(
+                {
+                    "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                    "rev": pa.array(rev, type=pa.int64()),
+                }
+            )
+            .group_by("s_suppkey")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table(
+            {"s_suppkey": g["s_suppkey"], "rev": pc.cast(g["rev_sum"], pa.int64())}
+        )
+
+    facts = _read(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    rolled_schema = pa.schema([("s_suppkey", pa.int64()), ("rev", pa.int64())])
+    rolled = with_schema(
+        grouped_aggregate(
+            facts, ["s_suppkey"], [("rev", "sum", "rev")],
+            nb=_fact_buckets(sf_dir, "lineitem"),
+        ),
+        rolled_schema,
+    )
+
+    def block_winners(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return rolled_schema.empty_table()
+        mx = pc.max(t["rev"])
+        return t.filter(pc.equal(t["rev"], mx))
+
+    cand = collect_table(
+        rolled.map_batches(
+            block_winners, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema=rolled_schema,
+    )
+    out_schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+         ("total_revenue_scaled", pa.int64())]
+    )
+    if not cand.num_rows:
+        return out_schema.empty_table()
+    mx = pc.max(cand["rev"]).as_py()
+    winners = cand.filter(pc.equal(cand["rev"], mx))
+    skeys = sorted(winners["s_suppkey"].to_pylist())
+    sup = pads.dataset(os.path.join(sf_dir, "supplier.parquet")).to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(skeys),
+    )
+    name_of = dict(zip(sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist()))
+    missing = [k for k in skeys if k not in name_of]
+    if missing:
+        raise ValueError(
+            f"lineitem references suppkeys absent from supplier: {missing[:5]}"
+        )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(skeys, type=pa.int64()),
+            "s_name": pa.array([name_of[k] for k in skeys], type=pa.string()),
+            "total_revenue_scaled": pa.array(
+                [mx] * len(skeys), type=pa.int64()
+            ),
+        }
+    )
+
+
+def top_supplier_revenue_sql() -> str:
+    from smse_backend_ray import config
+
+    return f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+              AS BIGINT) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{config.Q15_DATE_LO}'
+    AND l_shipdate < TIMESTAMP '{config.Q15_DATE_HI}'
+  GROUP BY 1
+)
+SELECT r.s_suppkey, s_name, rev AS total_revenue_scaled
+FROM r JOIN supplier ON supplier.s_suppkey = r.s_suppkey
+WHERE rev = (SELECT max(rev) FROM r)
+ORDER BY r.s_suppkey
+"""
+
+
+def idle_customer_balance(sf_dir: str) -> pa.Table:
+    """TPC-H Q22 shape adapted (global sales opportunity): customers
+    with above-average positive balance and NO orders on/after
+    Q22_CUTOFF (classic Q22's "no orders at all" set is empty in this
+    warehouse), counted + balance-summed per nation.
+
+    The scalar-subquery average is frozen in CROSS-MULTIPLIED exact-int
+    form — eligible iff round(bal*100) * n_pos > sum_pos(round(bal*100))
+    — so the threshold never touches a double division; positivity is
+    the raw-double test c_acctbal > 0 on both sides. Frozen pair with
+    idle_customer_balance_sql.
+
+    Scale shape: pass 1 folds the two scalar ints per batch (driver
+    sums #blocks partials); the recent-order side pre-combines to
+    DISTINCT custkeys per batch before ONE custkey anti-join exchange;
+    survivors filter map-side against the two broadcast scalars and
+    fold to <= #nations rows per block. Nation names are a driver-side
+    broadcast dict (25 rows at any scale)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import anti_join
+
+    cutoff = datetime.datetime.fromisoformat(config.Q22_CUTOFF)
+
+    # pass 1: the two scalars (count, scaled sum) over positive balances
+    def pos_partial(t: pa.Table) -> pa.Table:
+        m = pc.greater(t["c_acctbal"], 0.0)
+        bal = t.filter(m)["c_acctbal"].to_numpy(zero_copy_only=False)
+        bal_s = np.floor(np.abs(bal) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(bal_s)], type=pa.int64()),
+                "s": pa.array([int(bal_s.sum())], type=pa.int64()),
+            }
+        )
+
+    pos_schema = pa.schema([("n", pa.int64()), ("s", pa.int64())])
+    pos = collect_table(
+        _read(sf_dir, "customer", ["c_acctbal"]).map_batches(
+            pos_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema=pos_schema,
+    )
+    n_pos = int(pc.sum(pos["n"]).as_py() or 0)
+    sum_pos = int(pc.sum(pos["s"]).as_py() or 0)
+
+    out_schema = pa.schema(
+        [("n_name", pa.string()), ("n_cust", pa.int64()),
+         ("total_acctbal_scaled", pa.int64())]
+    )
+    if n_pos == 0:
+        # avg over an empty set is NULL -> no customer qualifies
+        return out_schema.empty_table()
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    nkey = nat["n_nationkey"].to_numpy()
+    n2name = dict(zip(nkey.tolist(), nat["n_name"].to_pylist()))
+
+    def cust_cols(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        bal_s = np.where(
+            bal >= 0,
+            np.floor(bal * 100.0 + 0.5),
+            -np.floor(-bal * 100.0 + 0.5),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "bal_s": pa.array(bal_s, type=pa.int64()),
+            }
+        )
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(cust_cols, batch_format="pyarrow", zero_copy_batch=True)
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        k = t.filter(pc.greater_equal(dt, pa.scalar(cutoff)))["o_custkey"]
+        return pa.table(
+            {"c_custkey": pc.unique(pc.cast(k, pa.int64()))}
+        )
+
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        recent_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    cust_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_nationkey", pa.int64()),
+         ("bal_s", pa.int64())]
+    )
+    idle = anti_join(
+        cust, recent, ["c_custkey"], cust_schema,
+        nb=_fact_buckets(sf_dir, "customer"),
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {"c_nationkey": pa.array([], type=pa.int64()),
+                 "n_cust": pa.array([], type=pa.int64()),
+                 "bal": pa.array([], type=pa.int64())}
+            )
+        elig = pc.greater(
+            pc.multiply(t["bal_s"], pa.scalar(n_pos, type=pa.int64())),
+            pa.scalar(sum_pos, type=pa.int64()),
+        )
+        t = t.filter(elig)
+        g = t.group_by("c_nationkey").aggregate(
+            [("bal_s", "sum"), ("bal_s", "count")]
+        )
+        return pa.table(
+            {
+                "c_nationkey": g["c_nationkey"],
+                "n_cust": pc.cast(g["bal_s_count"], pa.int64()),
+                "bal": pc.cast(g["bal_s_sum"], pa.int64()),
+            }
+        )
+
+    partial_schema = pa.schema(
+        [("c_nationkey", pa.int64()), ("n_cust", pa.int64()),
+         ("bal", pa.int64())]
+    )
+    t = collect_table(
+        idle.map_batches(
+            nation_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema=partial_schema,
+    )
+    g = t.group_by("c_nationkey").aggregate([("n_cust", "sum"), ("bal", "sum")])
+    out = pa.table(
+        {
+            "n_name": pa.array(
+                [n2name[k] for k in g["c_nationkey"].to_pylist()],
+                type=pa.string(),
+            ),
+            "n_cust": pc.cast(g["n_cust_sum"], pa.int64()),
+            "total_acctbal_scaled": pc.cast(g["bal_sum"], pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out["n_name"]))
+
+
+def idle_customer_balance_sql() -> str:
+    from smse_backend_ray import config
+
+    return f"""
+WITH pos AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS s
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_acctbal_scaled
+FROM customer JOIN nation ON n_nationkey = c_nationkey, pos
+WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * pos.n > pos.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '{config.Q22_CUTOFF}'
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def banded_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    lines whose part matches ANY Q19_BANDS entry (brand equal, p_size in
+    [1, size_max]) with ROUNDED quantity cents inside that band's
+    [qty_lo*100, qty_hi*100]; one-row (revenue, line count).
+
+    Scale shape: the part side ships (partkey, band BITMASK) for parts
+    matching >= 1 band's part-predicate only (keys + one int64); the
+    fact side pre-combines per batch to one row per (partkey,
+    quantity-cents) carrying (rev_sum, n) — band eligibility depends
+    only on that pair, so the collapse is lossless. ONE partkey
+    exchange; each bucket evaluates the OR across bands vectorized and
+    emits a single partial. Frozen pair with banded_revenue_sql."""
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import _bucketed_join
+
+    bands = list(config.Q19_BANDS)
+
+    def li_combine(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        rev = _revenue_scaled(
+            t["l_extendedprice"].to_numpy(), t["l_discount"].to_numpy()
+        )
+        part = pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "q_s": pa.array(q, type=pa.int64()),
+                "rev": pa.array(rev, type=pa.int64()),
+            }
+        )
+        g = part.group_by(["p_partkey", "q_s"]).aggregate(
+            [("rev", "sum"), ("rev", "count")]
+        )
+        return pa.table(
+            {
+                "p_partkey": g["p_partkey"],
+                "q_s": g["q_s"],
+                "rev_sum": pc.cast(g["rev_sum"], pa.int64()),
+                "n": pc.cast(g["rev_count"], pa.int64()),
+            }
+        )
+
+    facts = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(li_combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    def part_masks(t: pa.Table) -> pa.Table:
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(t.num_rows, dtype=np.int64)
+        for i, (brand, size_max, _lo, _hi) in enumerate(bands):
+            bm = pc.equal(t["p_brand"], brand).to_numpy(zero_copy_only=False)
+            mask |= (bm & (size >= 1) & (size <= size_max)) << i
+        keep = mask != 0
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "band_mask": pa.array(mask[keep], type=pa.int64()),
+            }
+        )
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        part_masks, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    facts_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("q_s", pa.int64()),
+         ("rev_sum", pa.int64()), ("n", pa.int64())]
+    )
+    mask_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("band_mask", pa.int64())]
+    )
+
+    def join_roll(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        rt = rt.rename_columns(["__rk", "band_mask"])
+        j = lt.join(rt, keys=["p_partkey"], right_keys=["__rk"],
+                    join_type="inner")
+        if not j.num_rows:
+            return pa.table(
+                {"rev": pa.array([], type=pa.int64()),
+                 "n_lines": pa.array([], type=pa.int64())}
+            )
+        q_s = j["q_s"].to_numpy(zero_copy_only=False)
+        mask = j["band_mask"].to_numpy(zero_copy_only=False)
+        elig = np.zeros(len(q_s), dtype=bool)
+        for i, (_brand, _size_max, lo, hi) in enumerate(bands):
+            elig |= (
+                ((mask >> i) & 1).astype(bool)
+                & (q_s >= lo * 100)
+                & (q_s <= hi * 100)
+            )
+        rev = j["rev_sum"].to_numpy(zero_copy_only=False)
+        n = j["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rev": pa.array([int(rev[elig].sum())], type=pa.int64()),
+                "n_lines": pa.array([int(n[elig].sum())], type=pa.int64()),
+            }
+        )
+
+    partial_schema = pa.schema([("rev", pa.int64()), ("n_lines", pa.int64())])
+    rolled = _bucketed_join(
+        facts, parts, ["p_partkey"], facts_schema, mask_schema, join_roll,
+        nb=_fact_buckets(sf_dir, "lineitem"),
+    )
+    t = collect_table(rolled, empty_schema=partial_schema)
+    return pa.table(
+        {
+            "revenue_scaled": pa.array(
+                [int(pc.sum(t["rev"]).as_py() or 0)], type=pa.int64()
+            ),
+            "n_lines": pa.array(
+                [int(pc.sum(t["n_lines"]).as_py() or 0)], type=pa.int64()
+            ),
+        }
+    )
+
+
+def banded_revenue_sql() -> str:
+    from smse_backend_ray import config
+
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {sm} "
+        f"AND CAST(round(l_quantity * 100, 0) AS BIGINT) "
+        f"BETWEEN {lo * 100} AND {hi * 100})"
+        for b, sm, lo, hi in config.Q19_BANDS
+    )
+    return f"""
+SELECT COALESCE(CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                AS BIGINT), 0) AS revenue_scaled,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {ors}
+"""
+
+
+def market_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q8 shape (national market share): yearly share of
+    Q8_NATION-supplied revenue within Q8_REGION customers' orders of
+    Q8_TYPE parts, order window [Q8_DATE_LO, Q8_DATE_HI). Both revenue
+    sums are exact scaled ints; the share is ONE double division per
+    year, rounded 4 — identical on both sides. Frozen pair with
+    market_share_sql.
+
+    Scale shape — the classic 3-exchange plan, small sides never
+    shuffled at fact scale:
+      1. supplier ⋈ nation is a tiny dim chain -> broadcast LUT
+         (suppkey -> is-Q8_NATION flag) folded into the lineitem
+         combiner, which emits (partkey, orderkey, rev, rev_nat);
+      2. partkey exchange: semi-join against Q8_TYPE part keys (the
+         part side ships keys only), then re-combine to one row per
+         orderkey;
+      3. custkey exchange joins window-filtered orders to region
+         customers (region membership via broadcast nationkey set),
+         then the orderkey exchange meets the fact partials, fused to
+         <= #years rows per bucket. Driver merge is calendar-bounded."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import _bucketed_join, semi_join
+    from smse_backend_ray.functions.rounding import round_half_away
+
+    lo = datetime.datetime.fromisoformat(config.Q8_DATE_LO)
+    hi = datetime.datetime.fromisoformat(config.Q8_DATE_HI)
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    region_keys = {
+        k
+        for k, nm in zip(
+            reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()
+        )
+        if nm == config.Q8_REGION
+    }
+    nkey = nat["n_nationkey"].to_numpy()
+    in_region_nations = {
+        int(k)
+        for k, rk in zip(nkey.tolist(), nat["n_regionkey"].to_pylist())
+        if rk in region_keys
+    }
+    nation_keys = {
+        int(k)
+        for k, nm in zip(nkey.tolist(), nat["n_name"].to_pylist())
+        if nm == config.Q8_NATION
+    }
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    skeys = sup["s_suppkey"].to_numpy()
+    snat = sup["s_nationkey"].to_numpy()
+    sup_is_nat = np.zeros(int(skeys.max()) + 1, dtype=np.int64)
+    sup_is_nat[skeys] = np.isin(snat, np.array(sorted(nation_keys))).astype(
+        np.int64
+    )
+    ref = ray.put(sup_is_nat)
+
+    def li_combine(t: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        rev = _revenue_scaled(
+            t["l_extendedprice"].to_numpy(), t["l_discount"].to_numpy()
+        )
+        is_nat = lut[t["l_suppkey"].to_numpy()]
+        part = pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "rev": pa.array(rev, type=pa.int64()),
+                "rev_nat": pa.array(rev * is_nat, type=pa.int64()),
+            }
+        )
+        g = part.group_by(["p_partkey", "l_orderkey"]).aggregate(
+            [("rev", "sum"), ("rev_nat", "sum")]
+        )
+        return pa.table(
+            {
+                "p_partkey": g["p_partkey"],
+                "l_orderkey": g["l_orderkey"],
+                "rev": pc.cast(g["rev_sum"], pa.int64()),
+                "rev_nat": pc.cast(g["rev_nat_sum"], pa.int64()),
+            }
+        )
+
+    facts = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"],
+    ).map_batches(li_combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    def type_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["p_type"], config.Q8_TYPE)
+        return pa.table(
+            {"p_partkey": pc.cast(t.filter(m)["p_partkey"], pa.int64())}
+        )
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        type_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    facts_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("l_orderkey", pa.int64()),
+         ("rev", pa.int64()), ("rev_nat", pa.int64())]
+    )
+    kept = semi_join(
+        facts, parts, ["p_partkey"], facts_schema,
+        nb=_fact_buckets(sf_dir, "lineitem"),
+    )
+
+    def order_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate(
+            [("rev", "sum"), ("rev_nat", "sum")]
+        )
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "rev": pc.cast(g["rev_sum"], pa.int64()),
+                "rev_nat": pc.cast(g["rev_nat_sum"], pa.int64()),
+            }
+        )
+
+    kept = kept.map_batches(
+        order_combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    region_arr = np.array(sorted(in_region_nations), dtype=np.int64)
+
+    def cust_keys(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        m = np.isin(nk, region_arr)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(
+                    t["c_custkey"].filter(pa.array(m)), pa.int64()
+                )
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def ord_window(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        m = pc.and_(
+            pc.greater_equal(dt, pa.scalar(lo)), pc.less(dt, pa.scalar(hi))
+        )
+        t = t.filter(m)
+        yr = pc.year(pc.cast(t["o_orderdate"], pa.timestamp("us"))).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_year": pa.array(yr, type=pa.int32()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ord_window, batch_format="pyarrow", zero_copy_batch=True)
+
+    ord_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("l_orderkey", pa.int64()),
+         ("o_year", pa.int32())]
+    )
+    enriched = semi_join(
+        orders, cust, ["c_custkey"], ord_schema,
+        nb=_fact_buckets(sf_dir, "orders"),
+    ).map_batches(
+        lambda t: t.select(["l_orderkey", "o_year"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    kept_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("rev", pa.int64()),
+         ("rev_nat", pa.int64())]
+    )
+    enr_schema = pa.schema([("l_orderkey", pa.int64()), ("o_year", pa.int32())])
+
+    def join_roll(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        rt = rt.rename_columns(["__rk", "o_year"])
+        j = lt.join(rt, keys=["l_orderkey"], right_keys=["__rk"],
+                    join_type="inner")
+        g = j.group_by("o_year").aggregate(
+            [("rev", "sum"), ("rev_nat", "sum")]
+        )
+        return pa.table(
+            {
+                "o_year": pc.cast(g["o_year"], pa.int32()),
+                "rev": pc.cast(g["rev_sum"], pa.int64()),
+                "rev_nat": pc.cast(g["rev_nat_sum"], pa.int64()),
+            }
+        )
+
+    partial_schema = pa.schema(
+        [("o_year", pa.int32()), ("rev", pa.int64()), ("rev_nat", pa.int64())]
+    )
+    rolled = _bucketed_join(
+        kept, enriched, ["l_orderkey"], kept_schema, enr_schema, join_roll,
+        nb=_fact_buckets(sf_dir, "lineitem"),
+    )
+    t = collect_table(rolled, empty_schema=partial_schema)
+    g = t.group_by("o_year").aggregate([("rev", "sum"), ("rev_nat", "sum")])
+    tot = g["rev_sum"].to_numpy(zero_copy_only=False)
+    natv = g["rev_nat_sum"].to_numpy(zero_copy_only=False)
+    share = [
+        round_half_away(float(n) / float(d), 4) if d else 0.0
+        for n, d in zip(natv.tolist(), tot.tolist())
+    ]
+    out = pa.table(
+        {
+            "o_year": pc.cast(g["o_year"], pa.int32()),
+            "total_revenue_scaled": pa.array(tot, type=pa.int64()),
+            "nation_revenue_scaled": pa.array(natv, type=pa.int64()),
+            "mkt_share": pa.array(share, type=pa.float64()),
+        }
+    )
+    return out.take(pc.sort_indices(out["o_year"]))
+
+
+def market_share_sql() -> str:
+    from smse_backend_ray import config
+
+    return f"""
+WITH f AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev,
+         CASE WHEN n1.n_name = '{config.Q8_NATION}' THEN 1 ELSE 0 END AS is_nat
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = '{config.Q8_TYPE}'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n2.n_regionkey
+    AND r_name = '{config.Q8_REGION}'
+  WHERE o_orderdate >= TIMESTAMP '{config.Q8_DATE_LO}'
+    AND o_orderdate < TIMESTAMP '{config.Q8_DATE_HI}'
+)
+SELECT o_year,
+       CAST(SUM(rev) AS BIGINT) AS total_revenue_scaled,
+       CAST(SUM(rev * is_nat) AS BIGINT) AS nation_revenue_scaled,
+       round(CAST(SUM(rev * is_nat) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE), 4)
+         AS mkt_share
+FROM f GROUP BY 1 ORDER BY 1
+"""

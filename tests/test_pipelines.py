@@ -1791,6 +1791,149 @@ def test_volume_shipping_matches_sql(ray_session, sf_dir, duck):
     assert _pc.sum(t["revenue_scaled"]).as_py() == tot
 
 
+def test_small_qty_order_revenue_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines import relational
+
+    t = relational.small_qty_order_revenue(sf_dir)
+    want = duck.sql(relational.small_qty_order_revenue_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    assert t.num_rows == 1 and t["n_lines"][0].as_py() > 0
+    # the cross-multiplied threshold equals the 0.2*avg predicate: every
+    # qualifying line's q_s is strictly under tot/(5*cnt) for its part
+    rows = duck.sql(
+        """
+        WITH pq AS (
+          SELECT l_partkey, count(*) cnt,
+                 SUM(CAST(round(l_quantity*100,0) AS BIGINT)) tot
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#13' AND p_size < 26 GROUP BY 1)
+        SELECT CAST(round(l_quantity*100,0) AS BIGINT) q_s, cnt, tot
+        FROM lineitem JOIN pq USING (l_partkey)
+        WHERE 5 * CAST(round(l_quantity*100,0) AS BIGINT) * cnt < tot
+        """
+    ).fetchall()
+    assert len(rows) == t["n_lines"][0].as_py()
+    for q_s, cnt, tot in rows:
+        assert q_s < 0.2 * (tot / cnt) + 1e-9
+
+
+def test_top_supplier_revenue_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines import relational
+
+    t = relational.top_supplier_revenue(sf_dir)
+    want = duck.sql(relational.top_supplier_revenue_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    assert t.num_rows >= 1
+    # the winner's revenue is the true per-supplier max in the window
+    mx = duck.sql(
+        "SELECT max(rev) FROM (SELECT CAST(SUM(CAST(round(l_extendedprice"
+        "*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS "
+        "BIGINT))) AS BIGINT) rev FROM lineitem WHERE l_shipdate >= "
+        "TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' "
+        "GROUP BY l_suppkey)"
+    ).fetchone()[0]
+    assert t["total_revenue_scaled"][0].as_py() == mx
+
+
+def test_top_supplier_revenue_keeps_ties(ray_session, sf_dir):
+    """Force an all-tie world (every supplier at the max) via a 1-supplier
+    window slice is impractical on real data; instead pin the tie rule on
+    the block-winner fold: feeding duplicated max rows through the final
+    merge must keep every distinct tied suppkey, ascending."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cand = pa.table(
+        {"s_suppkey": pa.array([7, 3, 7, 5], type=pa.int64()),
+         "rev": pa.array([9, 9, 9, 4], type=pa.int64())}
+    )
+    mx = pc.max(cand["rev"]).as_py()
+    winners = cand.filter(pc.equal(cand["rev"], mx))
+    skeys = sorted(set(winners["s_suppkey"].to_pylist()))
+    assert skeys == [3, 7]
+
+
+def test_idle_customer_balance_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines import relational
+
+    t = relational.idle_customer_balance(sf_dir)
+    want = duck.sql(relational.idle_customer_balance_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    assert t.num_rows > 0
+    # anti-join half: no counted customer has a recent order
+    n_idle_above = duck.sql(
+        """
+        WITH pos AS (SELECT count(*) n,
+               SUM(CAST(round(c_acctbal*100,0) AS BIGINT)) s
+               FROM customer WHERE c_acctbal > 0.0)
+        SELECT count(*) FROM customer, pos
+        WHERE CAST(round(c_acctbal*100,0) AS BIGINT) * pos.n > pos.s
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01')
+        """
+    ).fetchone()[0]
+    import pyarrow.compute as _pc
+
+    assert _pc.sum(t["n_cust"]).as_py() == n_idle_above
+
+
+def test_banded_revenue_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines import relational
+
+    t = relational.banded_revenue(sf_dir)
+    want = duck.sql(relational.banded_revenue_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # disjunction counts each line ONCE even when bands overlap: the sum
+    # of per-band counts is an upper bound hit only if bands are disjoint
+    per_band = 0
+    from smse_backend_ray import config
+
+    for b, sm, lo, hi in config.Q19_BANDS:
+        per_band += duck.sql(
+            f"SELECT count(*) FROM lineitem JOIN part ON p_partkey = "
+            f"l_partkey WHERE p_brand = '{b}' AND p_size BETWEEN 1 AND {sm} "
+            f"AND CAST(round(l_quantity*100,0) AS BIGINT) "
+            f"BETWEEN {lo*100} AND {hi*100}"
+        ).fetchone()[0]
+    assert t["n_lines"][0].as_py() <= per_band
+
+
+def test_market_share_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines import relational
+
+    t = relational.market_share(sf_dir)
+    want = duck.sql(relational.market_share_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # share is a true fraction of the two exact int columns
+    for row in t.to_pylist():
+        assert 0.0 <= row["mkt_share"] <= 1.0
+        assert row["nation_revenue_scaled"] <= row["total_revenue_scaled"]
+
+
+def test_new_relational_bucket_invariant(ray_session, sf_dir, monkeypatch):
+    """Same containment argument as test_relational_fused_rollups_bucket_
+    invariant for the session-7 operators: per-part groups (Q17/Q19),
+    per-supplier groups (Q15), per-custkey anti-join (Q22) and the Q8
+    chain each live entirely inside one bucket, so any bucket count gives
+    identical output."""
+    from smse_backend_ray.pipelines import relational
+
+    base = {
+        "q17": relational.small_qty_order_revenue(sf_dir),
+        "q15": relational.top_supplier_revenue(sf_dir),
+        "q22": relational.idle_customer_balance(sf_dir),
+        "q19": relational.banded_revenue(sf_dir),
+        "q8": relational.market_share(sf_dir),
+    }
+    for forced in (1, 97):
+        monkeypatch.setattr(relational, "_fact_buckets", lambda *a: forced)
+        assert relational.small_qty_order_revenue(sf_dir).equals(base["q17"])
+        assert relational.top_supplier_revenue(sf_dir).equals(base["q15"])
+        assert relational.idle_customer_balance(sf_dir).equals(base["q22"])
+        assert relational.banded_revenue(sf_dir).equals(base["q19"])
+        assert relational.market_share(sf_dir).equals(base["q8"])
+
+
 def test_exchange_sizing_hints_only_lower(ray_session):
     """The row hints on the block/bucket sizing helpers must only LOWER
     the CPU-scaled targets — large inputs (the 100 TB regime) are sized by
