@@ -663,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customer_balance": relational.idle_customer_balance,
         "banded_revenue": relational.banded_revenue,
         "market_share": relational.market_share,
+        "doc_split_assign": sampling.doc_split_assign,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -857,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
         "idle_customer_balance": relational_mod.idle_customer_balance_sql(),
         "banded_revenue": relational_mod.banded_revenue_sql(),
         "market_share": relational_mod.market_share_sql(),
+        "doc_split_assign": sampling_mod.doc_split_assign_sql(),
         "doc_substring_dup": sqlgen.substring_dup_sql(
             dedup_mod.SUBSTR_DUP_K, dedup_mod.SUBSTR_DUP_MIN_DF
         ),

@@ -440,3 +440,61 @@ SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
        doc_id, shuffle_key
 FROM keyed ORDER BY rank
 """
+
+
+# train/val/test split percentages (must sum to 100); assignment is the
+# frozen sample_key partitioned at the exact integer thresholds
+# [0, T(train)) / [T(train), T(train+val)) / [T(train+val), 2^32) — the
+# same Knuth key as doc_sample, so split membership NESTS with every
+# other sampling decision (a doc_sample(5) subset is entirely inside the
+# train split when SPLIT_PCTS["train"] >= 5... for the same key ranges).
+SPLIT_PCTS = {"train": 90, "val": 5, "test": 5}
+
+
+def doc_split_assign(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test split assignment — the holdout op
+    every training-data pipeline needs. Membership depends only on
+    doc_id (frozen Knuth key), never on partitioning, run order or a
+    stored seed, so the split is reproducible across runs, resumable
+    mid-pipeline, and STABLE UNDER CORPUS GROWTH: adding documents never
+    moves an existing doc between splits (the leakage-safe property a
+    row_number()-based split lacks). Stateless map_batches, no shuffle.
+    Frozen pair with doc_split_assign_sql."""
+    assert sum(SPLIT_PCTS.values()) == 100, SPLIT_PCTS
+    t_train = _threshold(SPLIT_PCTS["train"])
+    t_val = _threshold(SPLIT_PCTS["train"] + SPLIT_PCTS["val"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        key = sample_key(t["doc_id"].to_numpy())
+        split = np.where(
+            key < t_train, "train", np.where(key < t_val, "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "split": pa.array(split, type=pa.string()),
+                "sample_key": pa.array(key.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    t = collect_table(
+        _read_docs(sf_dir).map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return t.take(pa.compute.sort_indices(t["doc_id"]))
+
+
+def doc_split_assign_sql() -> str:
+    t_train = _threshold(SPLIT_PCTS["train"])
+    t_val = _threshold(SPLIT_PCTS["train"] + SPLIT_PCTS["val"])
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {_key_sql()} < {t_train} THEN 'train'
+            WHEN {_key_sql()} < {t_val} THEN 'val'
+            ELSE 'test' END AS split,
+       {_key_sql()} AS sample_key
+FROM documents
+ORDER BY doc_id
+"""

@@ -441,6 +441,34 @@ def test_doc_sample_stratified_nests(ray_session, sf_dir, duck):
     assert lo <= hi
 
 
+def test_doc_split_assign_semantics_and_twin(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines import sampling
+
+    t = sampling.doc_split_assign(sf_dir)
+    want = duck.sql(sampling.doc_split_assign_sql()).arrow()
+    assert t.to_pylist() == want.to_pylist()
+    # exhaustive partition: every doc in exactly one split
+    n_docs = duck.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert t.num_rows == n_docs
+    splits = t["split"].to_pylist()
+    assert set(splits) <= {"train", "val", "test"}
+    # rough proportions (train dominates by construction)
+    assert splits.count("train") > splits.count("val")
+    assert splits.count("train") > splits.count("test")
+    # nesting with the Bernoulli sample: the same frozen key means any
+    # doc_sample(pct <= train_pct) is ENTIRELY inside the train split
+    sample = set(sampling.doc_sample(sf_dir, pct=10)["doc_id"].to_pylist())
+    train = {
+        d for d, s in zip(t["doc_id"].to_pylist(), splits) if s == "train"
+    }
+    assert sample <= train
+    # growth stability: assignment of a doc depends only on its id — the
+    # first half of the corpus alone assigns identically
+    half = t.slice(0, t.num_rows // 2)
+    again = sampling.doc_split_assign(sf_dir).slice(0, t.num_rows // 2)
+    assert half.equals(again)
+
+
 def test_asof_and_range_join_match_bruteforce(ray_session, sf_dir):
     """The distributed shapes (per-user groupby asof; time-bucket exchange
     range join) reproduce a driver-side brute force exactly — including the
