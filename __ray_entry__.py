@@ -664,6 +664,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "banded_revenue": relational.banded_revenue,
         "market_share": relational.market_share,
         "doc_split_assign": sampling.doc_split_assign,
+        "product_type_profit": relational.product_type_profit,
+        "doc_term_pairs": textstats.term_pair_counts,
+        "events_value_quantiles": events.event_value_quantiles,
+        "events_value_histogram": events.event_value_histogram,
+        "events_type_transitions": events.event_type_transitions,
         # --- block B: core engine + pipeline surface ----------------------
         "ingest_docs": _q_ingest_docs,
         "corpus_stats": _q_corpus_stats,
@@ -858,6 +863,11 @@ def oracle_sql() -> dict[str, str]:
         "idle_customer_balance": relational_mod.idle_customer_balance_sql(),
         "banded_revenue": relational_mod.banded_revenue_sql(),
         "market_share": relational_mod.market_share_sql(),
+        "product_type_profit": relational_mod.product_type_profit_sql(),
+        "doc_term_pairs": sqlgen.term_pairs_sql(),
+        "events_value_quantiles": events_mod.event_value_quantiles_sql(),
+        "events_value_histogram": events_mod.event_value_histogram_sql(),
+        "events_type_transitions": events_mod.event_type_transitions_sql(),
         "doc_split_assign": sampling_mod.doc_split_assign_sql(),
         "doc_substring_dup": sqlgen.substring_dup_sql(
             dedup_mod.SUBSTR_DUP_K, dedup_mod.SUBSTR_DUP_MIN_DF

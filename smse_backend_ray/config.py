@@ -373,3 +373,42 @@ FOLD_FAN_IN = 64
 # conv_rate = round4(n_users_k / n_users_1 in double), NULL when no user
 # reaches step 1. Steps are matched by exact event_type equality.
 FUNNEL_STEPS = ("signup", "click", "purchase")
+
+# Per-type event-value quantiles (events.event_value_quantiles <->
+# events.event_value_quantiles_sql, frozen pair): values are 4-decimal
+# scaled ints round(value*10000)::int64 — NULL values are excluded on
+# BOTH sides (quantile_cont skips NULLs; the engine filters them), so a
+# type with only NULL values emits no row; quantiles linear-interpolate
+# over the sorted scaled ints (pos = q*(n-1), v = v_lo + frac*(v_hi -
+# v_lo) in double — the DL_QUANTILES formula, already proven to match
+# DuckDB quantile_cont on integer inputs), then /10000.0 and round4.
+# Output columns p{100q} derive from these probabilities.
+EV_QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+# Fixed-width event-value histogram (events.event_value_histogram <->
+# events.event_value_histogram_sql, frozen pair): bin =
+# floor(v_s / EV_HIST_STEP_S) with v_s = round(value*10000)::int64 and
+# the division taken in DOUBLE on both sides (exact for |v_s| < 2^53 —
+# numpy floor-divide of float64 == DuckDB floor(CAST AS DOUBLE) /);
+# NULL values excluded; per (event_type, bin): n = count, sum_value =
+# round4(sum(v_s)/10000.0) (exact-int sum, order-free), bin_lo =
+# round4(bin * EV_HIST_STEP_S / 10000.0).
+EV_HIST_STEP_S = 250_000  # bin width = 25.0 value units
+
+# Corpus-wide adjacent kept-token pair counts (textstats.term_pair_counts
+# <-> sqlgen.term_pairs_sql, frozen pair): pairs are (term[p], term[p+1])
+# over each doc's KEPT-token stream with 0-based kept positions
+# (analyzer.term_positions <-> sqlgen.pos_tokens_cte — the phrase-mode
+# stream); n_pairs = total occurrences, n_docs = distinct docs containing
+# the pair; rank (n_pairs DESC, term_a ASC, term_b ASC) — a total order,
+# because (term_a, term_b) is unique after grouping — top PAIR_TOP_N.
+PAIR_TOP_N = 50
+
+# TPC-H Q9 shape without partsupp (relational.product_type_profit <->
+# relational.product_type_profit_sql, frozen pair): the classic Q9
+# profit rollup reduced to the tables this corpus carries (no partsupp
+# -> no ps_supplycost term): profit = revenue = sum over lines of parts
+# whose p_name contains Q9_PART_WORD of round(p*100) * (100 -
+# round(d*100)) in 1e-4-dollar units, grouped by (supplier nation,
+# order year), ordered (nation ASC, o_year DESC).
+Q9_PART_WORD = "widget"

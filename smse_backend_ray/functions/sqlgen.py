@@ -1675,3 +1675,25 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        {cols}
 FROM dl GROUP BY lang ORDER BY lang
 """
+
+def term_pairs_sql() -> str:
+    """Twin of textstats.term_pair_counts — adjacent kept-token pairs over
+    the 0-based kept-position stream (pos_tokens_cte), ranked
+    (n_pairs DESC, term_a ASC, term_b ASC) — a total order — top
+    config.PAIR_TOP_N (frozen pair)."""
+    from smse_backend_ray import config
+
+    pos = pos_tokens_cte("documents", "doc_id", "text")
+    return f"""
+WITH pos AS ({pos}),
+pr AS (
+  SELECT a.doc_id AS doc_id, a.term AS term_a, b.term AS term_b
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+)
+SELECT term_a, term_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM pr GROUP BY 1, 2
+ORDER BY n_pairs DESC, term_a, term_b
+LIMIT {int(config.PAIR_TOP_N)}
+"""

@@ -1212,3 +1212,330 @@ SELECT f.cw AS cohort_week,
 FROM a JOIN f ON a.user_id = f.user_id
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+def event_value_quantiles(sf_dir: str) -> pa.Table:
+    """Per-event-type exact value quantiles (probs = config.EV_QUANTILES)
+    — the per-metric distribution profile an event pipeline publishes
+    (reference analog: the per-modality size stats of the CRUD app's
+    stats route, over the stream table instead of documents).
+
+    Frozen pair with ``event_value_quantiles_sql``: values are 4-decimal
+    scaled ints round(v*10000)::int64, NULLs excluded on both sides;
+    quantile = linear interpolation over the sorted scaled ints
+    (pos = q*(n-1), v = v_lo + frac*(v_hi - v_lo), double — the
+    doc_length_quantiles formula), then /10000.0, rounded 4. Output
+    (event_type, n_events, p25, p50, p75, p90) ordered by event_type.
+
+    Scale shape: EXACT quantiles without a distributed sort — the scaled
+    value domain is far smaller than the event count at stream scale, so
+    per-batch (type, v_s) count partials combine through one
+    grouped_aggregate exchange into a histogram bounded by distinct
+    values, and the driver finishes on that histogram (cumsum +
+    interpolation), never on per-event data."""
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import grouped_aggregate, with_schema
+
+    probs = tuple(config.EV_QUANTILES)
+    pcols = [f"p{int(round(q * 100)):d}" for q in probs]
+    out_fields = [("event_type", pa.string()), ("n_events", pa.int64())] + [
+        (c, pa.float64()) for c in pcols
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        iv = (np.sign(v) * np.floor(np.abs(v) * 10000.0 + 0.5)).astype(np.int64)
+        g = (
+            pa.table(
+                {"event_type": t["event_type"],
+                 "v_s": pa.array(iv, type=pa.int64())}
+            )
+            .group_by(["event_type", "v_s"])
+            .aggregate([("v_s", "count")])
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "v_s": g["v_s"],
+             "cnt": pc.cast(g["v_s_count"], pa.int64())}
+        )
+
+    hist_schema = pa.schema(
+        [("event_type", pa.string()), ("v_s", pa.int64()), ("cnt", pa.int64())]
+    )
+    hist = with_schema(
+        grouped_aggregate(
+            _read_events(sf_dir).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["event_type", "v_s"],
+            [("cnt", "sum", "cnt")],
+        ),
+        hist_schema,
+    )
+    t = collect_table(hist, empty_schema=hist_schema)
+    if not t.num_rows:
+        return out_schema.empty_table()
+
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("event_type", "ascending"), ("v_s", "ascending")]
+        )
+    )
+    types = t["event_type"].to_numpy(zero_copy_only=False)
+    vals = t["v_s"].to_numpy().astype(np.float64)
+    cnts = t["cnt"].to_numpy()
+    new = np.empty(len(types), dtype=bool)
+    new[0] = True
+    new[1:] = types[1:] != types[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(types))
+
+    out_rows: dict[str, list] = {f: [] for f, _ in out_fields}
+    for s, e in zip(starts, ends):
+        v = vals[s:e]
+        w = cnts[s:e]
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        out_rows["event_type"].append(str(types[s]))
+        out_rows["n_events"].append(n)
+        for q, col in zip(probs, pcols):
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            v_lo = v[np.searchsorted(cum, lo + 1, side="left")]
+            v_hi = v[np.searchsorted(cum, hi + 1, side="left")]
+            val = (v_lo + (pos - lo) * (v_hi - v_lo)) / 10000.0
+            out_rows[col].append(
+                float(round_half_away(np.array([val]), 4)[0])
+            )
+    return pa.table(
+        {f: pa.array(out_rows[f], type=ty) for f, ty in out_fields}
+    )
+
+
+def event_value_quantiles_sql() -> str:
+    """DuckDB twin of event_value_quantiles — quantile_cont over the
+    4-decimal-scaled BIGINTs, /10000.0, round4 (frozen pair)."""
+    from smse_backend_ray import config
+
+    probs = tuple(config.EV_QUANTILES)
+    cols = ",\n       ".join(
+        f"round(quantile_cont(v_s, {q!r}) / 10000.0, 4) "
+        f"AS p{int(round(q * 100)):d}"
+        for q in probs
+    )
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 10000, 0) AS BIGINT) AS v_s
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       {cols}
+FROM v GROUP BY event_type ORDER BY event_type
+"""
+
+
+def event_value_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-width value histogram per event_type: bin =
+    floor(v_s / EV_HIST_STEP_S) over the 4-decimal-scaled values — the
+    bounded-output distribution sketch that replaces a full sort when a
+    pipeline only needs the shape of a metric (config.EV_HIST_STEP_S).
+
+    Frozen pair with ``event_value_histogram_sql``: v_s =
+    round(v*10000)::int64, NULLs excluded; the bin division runs in
+    DOUBLE on both sides (exact for |v_s| < 2^53); per (event_type, bin)
+    the row count and the exact-int value sum (then /10000.0 round4);
+    bin_lo = round4(bin * step / 10000.0). Ordered (event_type, bin).
+
+    Scale shape: per-batch (type, bin) partials -> ONE grouped_aggregate
+    exchange -> driver finish on |types| x |bins| rows. Output is bounded
+    by the bin grid, never by the event count."""
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import grouped_aggregate, with_schema
+
+    step = float(config.EV_HIST_STEP_S)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        iv = (np.sign(v) * np.floor(np.abs(v) * 10000.0 + 0.5)).astype(np.int64)
+        b = np.floor(iv.astype(np.float64) / step).astype(np.int64)
+        g = (
+            pa.table(
+                {"event_type": t["event_type"],
+                 "bin": pa.array(b, type=pa.int64()),
+                 "sum_iv": pa.array(iv, type=pa.int64())}
+            )
+            .group_by(["event_type", "bin"])
+            .aggregate([("sum_iv", "sum"), ("sum_iv", "count")])
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "bin": g["bin"],
+             "sum_iv": pc.cast(g["sum_iv_sum"], pa.int64()),
+             "n": pc.cast(g["sum_iv_count"], pa.int64())}
+        )
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("bin", pa.int64()),
+         ("sum_iv", pa.int64()), ("n", pa.int64())]
+    )
+    agg = with_schema(
+        grouped_aggregate(
+            _read_events(sf_dir).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["event_type", "bin"],
+            [("sum_iv", "sum", "sum_iv"), ("n", "sum", "n")],
+        ),
+        part_schema,
+    )
+    t = collect_table(agg, empty_schema=part_schema)
+    bins = t["bin"].to_numpy()
+    bin_lo = round_half_away(
+        bins.astype(np.float64) * step / 10000.0, 4
+    )
+    sum_value = round_half_away(
+        t["sum_iv"].to_numpy().astype(np.float64) / 10000.0, 4
+    )
+    out = pa.table(
+        {
+            "event_type": t["event_type"],
+            "bin": pc.cast(t["bin"], pa.int64()),
+            "bin_lo": pa.array(bin_lo, type=pa.float64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_value": pa.array(sum_value, type=pa.float64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("event_type", "ascending"), ("bin", "ascending")]
+        )
+    )
+
+
+def event_value_histogram_sql() -> str:
+    """DuckDB twin of event_value_histogram (frozen pair — double bin
+    division, exact-int sums)."""
+    from smse_backend_ray import config
+
+    s = int(config.EV_HIST_STEP_S)
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 10000, 0) AS BIGINT) AS v_s
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT event_type,
+         CAST(floor(CAST(v_s AS DOUBLE) / {s}.0) AS BIGINT) AS bin, v_s
+  FROM v
+)
+SELECT event_type, bin,
+       round(bin * {s} / 10000.0, 4) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n,
+       round(SUM(v_s) / 10000.0, 4) AS sum_value
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def event_type_transitions(sf_dir: str) -> pa.Table:
+    """Per-user consecutive event-type transition counts — the first-order
+    Markov matrix over each user's timeline (the sequence statistic a
+    behavioral pipeline derives before training session models).
+
+    Frozen pair with ``event_type_transitions_sql``: each user's events
+    order by (ts ASC, event_id ASC) — the user_running_totals order — and
+    every adjacent (prev_type -> event_type) pair counts once; the first
+    event of a user has no predecessor and emits nothing. Output
+    (prev_type, event_type, n) ordered by both types.
+
+    Scale shape: ONE user-hash-bucket exchange of 3-column slims; inside
+    a bucket all users resolve in a single numpy pass (lexsort + shifted
+    compare — no per-user Python), and each bucket emits at most
+    |types|^2 partial rows; the driver folds #buckets x |types|^2."""
+    nb = _n_user_buckets()
+
+    def pre(t: pa.Table) -> pa.Table:
+        return _user_bucket_rows(
+            pa.table(
+                {
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "event_id": pc.cast(t["event_id"], pa.int64()),
+                    "ts": t["ts"],
+                    "event_type": t["event_type"],
+                }
+            ),
+            nb,
+        )
+
+    empty = pa.table(
+        {"prev_type": pa.array([], type=pa.string()),
+         "event_type": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())}
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return empty
+        u = g["user_id"].to_numpy()
+        ts = _epoch_us(g["ts"])
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        et = g["event_type"].take(pa.array(order, type=pa.int64()))
+        n = len(u_s)
+        if n < 2:
+            return empty
+        same = u_s[1:] == u_s[:-1]
+        idx = np.flatnonzero(same) + 1
+        if not len(idx):
+            return empty
+        pairs = pa.table(
+            {
+                "prev_type": et.take(pa.array(idx - 1, type=pa.int64())),
+                "event_type": et.take(pa.array(idx, type=pa.int64())),
+            }
+        )
+        p = pairs.group_by(["prev_type", "event_type"]).aggregate(
+            [("event_type", "count")]
+        )
+        return pa.table(
+            {"prev_type": pc.cast(p["prev_type"], pa.string()),
+             "event_type": pc.cast(p["event_type"], pa.string()),
+             "n": pc.cast(p["event_type_count"], pa.int64())}
+        )
+
+    out = (
+        _read_events(sf_dir)
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    t = collect_table(out, empty_schema=empty.schema)
+    f = t.group_by(["prev_type", "event_type"]).aggregate([("n", "sum")])
+    f = pa.table(
+        {"prev_type": f["prev_type"], "event_type": f["event_type"],
+         "n": pc.cast(f["n_sum"], pa.int64())}
+    )
+    return f.take(
+        pc.sort_indices(
+            f, sort_keys=[("prev_type", "ascending"),
+                          ("event_type", "ascending")]
+        )
+    )
+
+
+def event_type_transitions_sql() -> str:
+    """DuckDB twin of event_type_transitions — LAG over the frozen
+    (ts, event_id) per-user order."""
+    return """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -2277,3 +2277,187 @@ SELECT o_year,
          AS mkt_share
 FROM f GROUP BY 1 ORDER BY 1
 """
+
+
+def product_type_profit(sf_dir: str) -> pa.Table:
+    """TPC-H Q9 shape reduced to this corpus's tables (no partsupp ->
+    no ps_supplycost term): profit of parts whose p_name contains
+    config.Q9_PART_WORD, grouped by (supplier nation, order year) —
+    profit = exact scaled-int revenue sum in 1e-4-dollar units, ordered
+    (nation ASC, o_year DESC) like the classic Q9.
+
+    Scale shape — the Q7 chain with a part filter in front:
+      1. supplier ⋈ nation is the tiny dim chain -> driver-joined once,
+         ray.put, map-side array lookup on the lineitem side;
+      2. the p_name-filtered part keys semi-join the per-batch-combined
+         lineitem partials in ONE partkey exchange (dimension side ships
+         keys only — the part table is corpus-scaled, NOT broadcast);
+      3. the surviving (orderkey, sidx) partials meet orders' (orderkey,
+         year) in a second bucketed exchange, rolled up per bucket to
+         <= nations x years rows. Driver merge is bounded by plan shape.
+    Frozen pair with product_type_profit_sql."""
+    import pyarrow.parquet as pq
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import _bucketed_join
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    nkey = nat["n_nationkey"].to_numpy()
+    names = nat["n_name"].to_pylist()
+    names_sorted = sorted(set(names))
+    name_idx = {n: i for i, n in enumerate(names_sorted)}
+    nat_to_idx = np.full(int(nkey.max()) + 1, -1, dtype=np.int64)
+    for k, nm in zip(nkey.tolist(), names):
+        nat_to_idx[k] = name_idx[nm]
+    skeys = sup["s_suppkey"].to_numpy()
+    snat = sup["s_nationkey"].to_numpy()
+    sup_lut = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    sup_lut[skeys] = nat_to_idx[snat]
+    ref = ray.put(sup_lut)
+
+    def li_combine(t: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        rev = _revenue_scaled(
+            t["l_extendedprice"].to_numpy(), t["l_discount"].to_numpy()
+        )
+        part = pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "sidx": pa.array(
+                    lut[t["l_suppkey"].to_numpy()], type=pa.int64()
+                ),
+                "rev": pa.array(rev, type=pa.int64()),
+            }
+        )
+        g = part.group_by(["p_partkey", "l_orderkey", "sidx"]).aggregate(
+            [("rev", "sum")]
+        )
+        return pa.table(
+            {
+                "p_partkey": g["p_partkey"],
+                "l_orderkey": g["l_orderkey"],
+                "sidx": g["sidx"],
+                "rev": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    facts = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice",
+         "l_discount"],
+    ).map_batches(li_combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    word = str(config.Q9_PART_WORD)  # captured at driver time (closures
+    # ship to workers whose own config import would win otherwise)
+
+    def part_keys(t: pa.Table) -> pa.Table:
+        m = pc.match_substring(t["p_name"], word)
+        return pa.table(
+            {"p_partkey": pc.cast(t.filter(m)["p_partkey"], pa.int64())}
+        )
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        part_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    facts_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("l_orderkey", pa.int64()),
+         ("sidx", pa.int64()), ("rev", pa.int64())]
+    )
+    keys_schema = pa.schema([("p_partkey", pa.int64())])
+
+    def join_part(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lt = lt.join(rt.rename_columns(["__rk"]), keys=["p_partkey"],
+                     right_keys=["__rk"], join_type="left semi")
+        g = lt.group_by(["l_orderkey", "sidx"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "sidx": g["sidx"],
+             "rev": pc.cast(g["rev_sum"], pa.int64())}
+        )
+
+    surv_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("sidx", pa.int64()),
+         ("rev", pa.int64())]
+    )
+    survivors = _bucketed_join(
+        facts, parts, ["p_partkey"], facts_schema, keys_schema, join_part,
+        nb=_fact_buckets(sf_dir, "lineitem"),
+    )
+
+    def ord_year(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        yr = pc.year(dt).to_numpy(zero_copy_only=False).astype(np.int32)
+        return pa.table(
+            {"l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+             "o_year": pa.array(yr, type=pa.int32())}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        ord_year, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ord_schema = pa.schema([("l_orderkey", pa.int64()), ("o_year", pa.int32())])
+
+    def join_roll(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        rt = rt.rename_columns(
+            ["__rk" if nm == "l_orderkey" else nm for nm in rt.column_names]
+        )
+        j = lt.join(rt, keys=["l_orderkey"], right_keys=["__rk"],
+                    join_type="inner")
+        g = j.group_by(["sidx", "o_year"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {"sidx": g["sidx"], "o_year": pc.cast(g["o_year"], pa.int32()),
+             "rev": pc.cast(g["rev_sum"], pa.int64())}
+        )
+
+    partial_schema = pa.schema(
+        [("sidx", pa.int64()), ("o_year", pa.int32()), ("rev", pa.int64())]
+    )
+    rolled = _bucketed_join(
+        survivors, orders, ["l_orderkey"], surv_schema, ord_schema,
+        join_roll, nb=_fact_buckets(sf_dir, "orders"),
+    )
+    t = collect_table(rolled, empty_schema=partial_schema)
+    g = t.group_by(["sidx", "o_year"]).aggregate([("rev", "sum")])
+    out = pa.table(
+        {
+            "nation": pa.array(
+                [names_sorted[i] for i in g["sidx"].to_pylist()],
+                type=pa.string(),
+            ),
+            "o_year": pc.cast(g["o_year"], pa.int32()),
+            "profit_scaled": pc.cast(g["rev_sum"], pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("nation", "ascending"), ("o_year", "descending")],
+        )
+    )
+
+
+def product_type_profit_sql() -> str:
+    from smse_backend_ray import config
+
+    return f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS profit_scaled
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%{config.Q9_PART_WORD}%'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""

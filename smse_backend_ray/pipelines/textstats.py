@@ -1557,3 +1557,118 @@ def doc_length_quantiles(sf_dir: str) -> pa.Table:
     return pa.table(
         {f: pa.array(out_rows[f], type=ty) for f, ty in out_fields}
     )
+
+
+# ---------------------------------------------------------------------------
+# Adjacent-pair (bigram) counts over the kept-token stream
+# ---------------------------------------------------------------------------
+
+
+def term_pair_counts(sf_dir: str) -> pa.Table:
+    """Top corpus-wide adjacent kept-token pairs — the bigram statistic a
+    BPE-style tokenizer-training pass computes each merge round (Sennrich
+    et al. 2016), and the collocation counterpart of term_cooc_pmi's
+    document-level pairs (reference analog: the tag-frequency rollup the
+    CRUD app exposes, smse/routes/stats.py, taken to token sequences).
+
+    Frozen pair with sqlgen.term_pairs_sql (top config.PAIR_TOP_N): pairs
+    are (term[p], term[p+1]) over each doc's KEPT-token stream — the
+    phrase-mode position stream (analyzer.term_positions <->
+    sqlgen.pos_tokens_cte); n_pairs counts every occurrence, n_docs the
+    distinct docs containing the pair; rank (n_pairs DESC, term_a ASC,
+    term_b ASC) — a TOTAL order because (term_a, term_b) is unique after
+    grouping, so the top-N cut is deterministic.
+
+    Scale shape: pairs never leave the batch raw — each batch emits
+    (a, b, n_pairs, n_docs) partials (docs are whole within a batch, so
+    per-batch distinct-doc counts sum exactly); ONE pair-hash
+    grouped_aggregate exchange completes every pair's totals inside a
+    single bucket; a per-block top-N prune (the frozen total order) then
+    bounds the driver merge at O(blocks x N) — the global top-N of
+    per-block top-Ns is exact because each block holds complete pairs."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.analyzer import kept_tokens_batch
+    from smse_backend_ray.functions.joins import grouped_aggregate, with_schema
+
+    top_n = int(config.PAIR_TOP_N)
+    part_schema = pa.schema(
+        [("term_a", pa.string()), ("term_b", pa.string()),
+         ("n_pairs", pa.int64()), ("n_docs", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = kept_tokens_batch(batch["text"])
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        dl = np.diff(offs)
+        total = int(offs[-1])
+        if total < 2:
+            return part_schema.empty_table()
+        # left index i is valid iff i+1 is still inside the same doc:
+        # drop each doc's LAST token position (and empty docs contribute
+        # nothing — their start==end)
+        keep = np.ones(total, dtype=bool)
+        ends = offs[1:][dl > 0] - 1
+        keep[ends] = False
+        idx = np.flatnonzero(keep)
+        if not len(idx):
+            return part_schema.empty_table()
+        doc_of = np.repeat(np.arange(len(dl), dtype=np.int64), dl)[idx]
+        flat = toks.values
+        pairs = pa.table(
+            {
+                "term_a": flat.take(pa.array(idx, type=pa.int64())),
+                "term_b": flat.take(pa.array(idx + 1, type=pa.int64())),
+                "doc": pa.array(doc_of, type=pa.int64()),
+            }
+        )
+        # two C++ group_bys: (a, b, doc) occurrence counts, then (a, b)
+        # with n_docs = rows (docs are whole within a batch)
+        g1 = pairs.group_by(["term_a", "term_b", "doc"]).aggregate(
+            [("doc", "count")]
+        )
+        g2 = (
+            pa.table(
+                {"term_a": g1["term_a"], "term_b": g1["term_b"],
+                 "n_pairs": pc.cast(g1["doc_count"], pa.int64())}
+            )
+            .group_by(["term_a", "term_b"])
+            .aggregate([("n_pairs", "sum"), ("n_pairs", "count")])
+        )
+        return pa.table(
+            {
+                "term_a": g2["term_a"],
+                "term_b": g2["term_b"],
+                "n_pairs": pc.cast(g2["n_pairs_sum"], pa.int64()),
+                "n_docs": pc.cast(g2["n_pairs_count"], pa.int64()),
+            }
+        )
+
+    def block_topn(t: pa.Table) -> pa.Table:
+        if t.num_rows <= top_n:
+            return t
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("n_pairs", "descending"), ("term_a", "ascending"),
+                       ("term_b", "ascending")],
+        )
+        return t.take(order.slice(0, top_n))
+
+    agg = with_schema(
+        grouped_aggregate(
+            _read_documents(sf_dir).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["term_a", "term_b"],
+            [("n_pairs", "sum", "n_pairs"), ("n_docs", "sum", "n_docs")],
+        ),
+        part_schema,
+    ).map_batches(block_topn, batch_format="pyarrow", zero_copy_batch=True)
+    t = collect_table(agg, empty_schema=part_schema)
+    order = pc.sort_indices(
+        t,
+        sort_keys=[("n_pairs", "descending"), ("term_a", "ascending"),
+                   ("term_b", "ascending")],
+    )
+    return t.take(order.slice(0, min(top_n, t.num_rows)))
