@@ -612,6 +612,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #      last, so they are the ones dropped if the budget truncates.
     return {
         # --- block A: driver-uncovered through r4 -------------------------
+        "lang_confusion": textstats.lang_confusion,
+        "quality_by_source": textstats.quality_by_source,
+        "events_activity_histogram": events.user_activity_histogram,
         "dedup_survivors": dedup.dedup_survivors,
         "doc_chunks": textstats.doc_chunks,
         "doc_pack_bins": packing.pack_bins,
@@ -868,6 +871,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": events_mod.event_value_quantiles_sql(),
         "events_value_histogram": events_mod.event_value_histogram_sql(),
         "events_type_transitions": events_mod.event_type_transitions_sql(),
+        "events_activity_histogram": events_mod.user_activity_histogram_sql(),
+        "lang_confusion": sqlgen.lang_confusion_sql(),
+        "quality_by_source": sqlgen.quality_by_source_sql(),
         "doc_split_assign": sampling_mod.doc_split_assign_sql(),
         "doc_substring_dup": sqlgen.substring_dup_sql(
             dedup_mod.SUBSTR_DUP_K, dedup_mod.SUBSTR_DUP_MIN_DF

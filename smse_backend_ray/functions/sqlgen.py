@@ -372,18 +372,31 @@ ORDER BY d.doc_id
 """
 
 
-def quality_sql() -> str:
-    return f"""
-WITH raw AS ({_doc_raw_tokens()}),
+def _stop_ratio_cte() -> str:
+    """THE one copy of the per-doc (n raw subtokens, stop ratio) CTE body
+    — shared by quality_sql and quality_by_source_sql."""
+    return f"""raw AS ({_doc_raw_tokens()}),
 r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
         CAST(SUM(CASE WHEN term IN ({stoplist_sql()}) THEN 1 ELSE 0 END) AS DOUBLE)
           / count(*) AS sr
-      FROM raw GROUP BY doc_id)
+      FROM raw GROUP BY doc_id)"""
+
+
+# THE one copy of the frozen quality formula (twin of
+# textstats.quality_batch) — references the r CTE from _stop_ratio_cte().
+_QUALITY_EXPR = (
+    "round(CAST(0.3 AS DOUBLE) * COALESCE(r.sr, 0.0) "
+    "+ CAST(0.7 AS DOUBLE) * least(COALESCE(r.n, 0), 100) / 100, 4)"
+)
+
+
+def quality_sql() -> str:
+    return f"""
+WITH {_stop_ratio_cte()}
 SELECT d.doc_id,
   COALESCE(r.n, 0) AS n_subtokens,
   round(COALESCE(r.sr, 0.0), 4) AS stop_ratio,
-  round(CAST(0.3 AS DOUBLE) * COALESCE(r.sr, 0.0)
-        + CAST(0.7 AS DOUBLE) * least(COALESCE(r.n, 0), 100) / 100, 4) AS quality
+  {_QUALITY_EXPR} AS quality
 FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
@@ -413,7 +426,10 @@ ORDER BY d.doc_id
 """
 
 
-def lang_id_sql() -> str:
+def _lang_pred_body() -> str:
+    """THE one copy of the lang-ID prediction SQL (per-doc (doc_id,
+    pred_lang)) — shared by lang_id_sql and lang_confusion_sql so the
+    classifier twin can never fork."""
     from smse_backend_ray.config import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -436,7 +452,47 @@ SELECT d.doc_id,
        {argmax}
   END AS pred_lang
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
-ORDER BY d.doc_id
+"""
+
+
+def lang_id_sql() -> str:
+    return _lang_pred_body() + "ORDER BY d.doc_id\n"
+
+
+def lang_confusion_sql() -> str:
+    """Twin of textstats.lang_confusion — stored-label vs frozen lang-ID
+    prediction confusion matrix (exact counts per cell, both keys ASC).
+    The prediction body is _lang_pred_body(), the SAME text lang_id_sql
+    runs, so the classifier halves cannot diverge."""
+    return f"""
+WITH p AS ({_lang_pred_body()})
+SELECT d.lang AS lang, p.pred_lang AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN p ON p.doc_id = d.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def quality_by_source_sql() -> str:
+    """Twin of textstats.quality_by_source — per-source doc count, mean
+    quality and below-curation-bar count. Frozen pair: q_s =
+    round(quality*10000, 0)::BIGINT over the ROUNDED quality (the same
+    expression quality_sql emits), mean_quality = round(sum_s/10000.0/n,
+    4) with left-to-right double division, n_low counts q_s <
+    round(CURATE_MIN_QUALITY*10000) — the exact-int threshold form."""
+    from smse_backend_ray.config import CURATE_MIN_QUALITY
+
+    thr_s = int(round(CURATE_MIN_QUALITY * 10000))
+    return f"""
+WITH {_stop_ratio_cte()},
+q AS (SELECT d.source AS source,
+        CAST(round({_QUALITY_EXPR} * 10000, 0) AS BIGINT) AS q_s
+      FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(CAST(SUM(q_s) AS DOUBLE) / 10000.0 / count(*), 4) AS mean_quality,
+  CAST(SUM(CASE WHEN q_s < {thr_s} THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+FROM q GROUP BY source ORDER BY source
 """
 
 

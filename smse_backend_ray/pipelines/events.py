@@ -1539,3 +1539,100 @@ SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def user_activity_histogram(sf_dir: str) -> pa.Table:
+    """Power-of-two histogram of per-user event counts — the power-law
+    activity profile (how many one-event users vs whales) a pipeline
+    checks before choosing user-partitioned batch sizes.
+
+    Frozen pair with ``user_activity_histogram_sql``: bucket =
+    bit_length(n) - 1 (i.e. floor(log2 n) computed EXACTLY in integers —
+    engine np.frexp exponent, twin length(bin(n)) - 1; never a float
+    log), lo_events = 1 << bucket; per bucket the user count and total
+    event count. Ordered by bucket.
+
+    Scale shape: per-batch (user, n) count partials -> ONE user-hash
+    bucket exchange completes each user's total (users are disjoint
+    across buckets) -> per-bucket histogram partial of <= 64 rows ->
+    driver fold."""
+    nb = _n_user_buckets()
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"user_id": pc.cast(t["user_id"], pa.int64())})
+            .group_by("user_id")
+            .aggregate([("user_id", "count")])
+        )
+        g = pa.table(
+            {"user_id": g["user_id"],
+             "n": pc.cast(g["user_id_count"], pa.int64())}
+        )
+        return _user_bucket_rows(g, nb)
+
+    empty = pa.table(
+        {"bucket": pa.array([], type=pa.int64()),
+         "n_users": pa.array([], type=pa.int64()),
+         "n_events": pa.array([], type=pa.int64())}
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return empty
+        per_user = g.select(["user_id", "n"]).group_by("user_id").aggregate(
+            [("n", "sum")]
+        )
+        n = per_user["n_sum"].to_numpy().astype(np.int64)
+        # exact floor(log2 n) for n >= 1: frexp returns (m in [0.5, 1), e)
+        # with n = m * 2^e exactly (ints < 2^53), so e-1 is the bit length
+        # minus one — no float log anywhere
+        bucket = (np.frexp(n.astype(np.float64))[1] - 1).astype(np.int64)
+        h = (
+            pa.table(
+                {"bucket": pa.array(bucket, type=pa.int64()),
+                 "n_events": pa.array(n, type=pa.int64())}
+            )
+            .group_by("bucket")
+            .aggregate([("n_events", "sum"), ("n_events", "count")])
+        )
+        return pa.table(
+            {"bucket": h["bucket"],
+             "n_users": pc.cast(h["n_events_count"], pa.int64()),
+             "n_events": pc.cast(h["n_events_sum"], pa.int64())}
+        )
+
+    out = (
+        _read_events(sf_dir)
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    t = collect_table(out, empty_schema=empty.schema)
+    f = t.group_by("bucket").aggregate([("n_users", "sum"), ("n_events", "sum")])
+    buckets = f["bucket"].to_numpy().astype(np.int64)
+    out_t = pa.table(
+        {
+            "bucket": pa.array(buckets, type=pa.int64()),
+            "lo_events": pa.array(
+                np.left_shift(np.int64(1), buckets), type=pa.int64()
+            ),
+            "n_users": pc.cast(f["n_users_sum"], pa.int64()),
+            "n_events": pc.cast(f["n_events_sum"], pa.int64()),
+        }
+    )
+    return out_t.take(pc.sort_indices(out_t, sort_keys=[("bucket", "ascending")]))
+
+
+def user_activity_histogram_sql() -> str:
+    """DuckDB twin of user_activity_histogram — bit-length buckets via
+    length(bin(n)), integer shift for lo_events (frozen pair)."""
+    return """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+)
+SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+       CAST(CAST(1 AS BIGINT) << (length(bin(n)) - 1) AS BIGINT) AS lo_events,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM c GROUP BY 1, 2 ORDER BY 1
+"""

@@ -1672,3 +1672,136 @@ def term_pair_counts(sf_dir: str) -> pa.Table:
                    ("term_b", "ascending")],
     )
     return t.take(order.slice(0, min(top_n, t.num_rows)))
+
+
+# ---------------------------------------------------------------------------
+# Language-label confusion matrix and per-source quality rollup
+# ---------------------------------------------------------------------------
+
+
+def lang_confusion(sf_dir: str) -> pa.Table:
+    """Stored-label vs classifier confusion matrix: (lang, pred_lang,
+    n_docs) over the whole corpus — the label-agreement diagnostic a
+    curation pipeline checks before trusting either signal for language
+    filtering (reference analog: the modality-vs-extension consistency
+    check in the CRUD app's upload validation).
+
+    Frozen pair with sqlgen.lang_confusion_sql: pred_lang is the frozen
+    lang_id prediction (lang_id_batch <-> sqlgen.lang_id_sql — already a
+    lockstep pair); the matrix is a plain exact count per (stored,
+    predicted) cell, ordered by both keys.
+
+    Scale shape: per-batch (lang, pred) count partials (the classifier
+    runs ONCE per doc, map-side); the matrix is bounded by
+    (|langs|+2)^2 cells, so partials fold on the driver — no exchange."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = lang_id_batch(batch)
+        g = (
+            pa.table({"lang": batch["lang"], "pred_lang": pred["pred_lang"]})
+            .group_by(["lang", "pred_lang"])
+            .aggregate([("pred_lang", "count")])
+        )
+        return pa.table(
+            {"lang": g["lang"], "pred_lang": g["pred_lang"],
+             "n_docs": pc.cast(g["pred_lang_count"], pa.int64())}
+        )
+
+    schema = pa.schema(
+        [("lang", pa.string()), ("pred_lang", pa.string()),
+         ("n_docs", pa.int64())]
+    )
+    t = collect_table(
+        _read_documents(sf_dir).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema=schema,
+    )
+    g = t.group_by(["lang", "pred_lang"]).aggregate([("n_docs", "sum")])
+    out = pa.table(
+        {"lang": g["lang"], "pred_lang": g["pred_lang"],
+         "n_docs": pc.cast(g["n_docs_sum"], pa.int64())}
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("lang", "ascending"), ("pred_lang", "ascending")]
+        )
+    )
+
+
+def quality_by_source(sf_dir: str) -> pa.Table:
+    """Per-source quality rollup: doc count, mean quality, and the count
+    below the curation bar — the per-provider dashboard row a corpus
+    owner reads before adjusting source weights (reference analog: the
+    per-repo size rollup, over the quality signal instead of bytes).
+
+    Frozen pair with sqlgen.quality_by_source_sql: quality is the frozen
+    ROUNDED score (quality_batch <-> sqlgen.quality_sql), re-scaled to
+    exact ints q_s = round(q*10000) for the sum (order-free); mean =
+    round4(sum_s / 10000.0 / n in double); n_low counts q_s <
+    round(CURATE_MIN_QUALITY*10000) — the exact-int form of the
+    curation threshold (no double comparison anywhere).
+
+    Scale shape: per-batch (source, n, sum_s, n_low) partials; the
+    rollup is bounded by |sources|, so partials fold on the driver."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from smse_backend_ray import config
+
+    thr_s = int(round(config.CURATE_MIN_QUALITY * 10000))
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
+    ds = ds.repartition(_n_doc_blocks(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)["quality"].to_numpy()
+        q_s = np.floor(q * 10000.0 + 0.5).astype(np.int64)  # quality >= 0
+        g = (
+            pa.table(
+                {
+                    "source": batch["source"],
+                    "q_s": pa.array(q_s, type=pa.int64()),
+                    "low": pa.array(
+                        (q_s < thr_s).astype(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+            .group_by("source")
+            .aggregate([("q_s", "sum"), ("q_s", "count"), ("low", "sum")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "sum_s": pc.cast(g["q_s_sum"], pa.int64()),
+                "n": pc.cast(g["q_s_count"], pa.int64()),
+                "n_low": pc.cast(g["low_sum"], pa.int64()),
+            }
+        )
+
+    schema = pa.schema(
+        [("source", pa.string()), ("sum_s", pa.int64()), ("n", pa.int64()),
+         ("n_low", pa.int64())]
+    )
+    t = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=schema,
+    )
+    g = t.group_by("source").aggregate(
+        [("sum_s", "sum"), ("n", "sum"), ("n_low", "sum")]
+    )
+    sum_s = g["sum_s_sum"].to_numpy().astype(np.float64)
+    n = g["n_sum"].to_numpy().astype(np.float64)
+    mean_q = round_half_away(sum_s / 10000.0 / n, 4)
+    out = pa.table(
+        {
+            "source": g["source"],
+            "n_docs": pc.cast(g["n_sum"], pa.int64()),
+            "mean_quality": pa.array(mean_q, type=pa.float64()),
+            "n_low": pc.cast(g["n_low_sum"], pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("source", "ascending")]))

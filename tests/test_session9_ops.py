@@ -1,0 +1,237 @@
+"""Session-9 operators: stored-label vs classifier language confusion
+matrix, per-source quality rollup, and the power-of-two user-activity
+histogram — twin parity at sf0.001 plus hand-built fixtures pinning the
+edge semantics each frozen pair relies on (exact bit-length buckets at
+power-of-two boundaries, the strict-< curation threshold in exact-int
+form, empty-doc 'zh' prediction cells)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, rows):
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+            ]
+        ),
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def _duck_docs(sf):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{sf}/documents.parquet')"
+    )
+    return con
+
+
+def _write_events(tmp_path, rows):
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        ),
+    )
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# lang_confusion
+# ---------------------------------------------------------------------------
+
+
+def test_lang_confusion_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines.textstats import lang_confusion
+
+    got = lang_confusion(sf_dir)
+    want = duck.sql(sqlgen.lang_confusion_sql()).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    rows = got.to_pylist()
+    assert rows  # non-degenerate corpus
+    n_docs = duck.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs  # every doc in one cell
+
+
+def test_lang_confusion_cells_agree_with_lang_id(ray_session, sf_dir):
+    """The matrix marginals must equal the frozen classifier's prediction
+    counts and the stored-label counts — the confusion matrix is a pure
+    regroup of (lang, lang_id) with nothing dropped."""
+    import collections
+
+    from smse_backend_ray.pipelines.textstats import lang_confusion, lang_id
+
+    m = lang_confusion(sf_dir).to_pylist()
+    preds = lang_id(sf_dir)
+    pred_counts = collections.Counter(preds["pred_lang"].to_pylist())
+    marg = collections.Counter()
+    for r in m:
+        marg[r["pred_lang"]] += r["n_docs"]
+    assert marg == pred_counts
+
+
+def test_lang_confusion_empty_doc_predicts_zh(ray_session, tmp_path):
+    """Docs with no ASCII subtokens land in the (stored, 'zh') cell on
+    BOTH sides (raw-CTE absence <-> n_raw == 0)."""
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines.textstats import lang_confusion
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": 0, "text": "", "lang": "en", "source": "s"},
+            {"doc_id": 1, "text": "你好世界", "lang": "zh", "source": "s"},
+            {"doc_id": 2, "text": "the and of the", "lang": "en", "source": "s"},
+            {"doc_id": 3, "text": "qqq zzz xxx", "lang": "de", "source": "s"},
+        ],
+    )
+    con = _duck_docs(sf)
+    got = lang_confusion(sf)
+    want = con.sql(sqlgen.lang_confusion_sql()).fetch_arrow_table()
+    assert got.to_pylist() == want.to_pylist()
+    cells = {(r["lang"], r["pred_lang"]): r["n_docs"] for r in got.to_pylist()}
+    assert cells[("en", "zh")] == 1  # empty text
+    assert cells[("zh", "zh")] == 1  # non-ASCII text
+    assert cells[("en", "en")] == 1
+    assert cells[("de", "unknown")] == 1  # tokens, zero marker hits
+
+
+# ---------------------------------------------------------------------------
+# quality_by_source
+# ---------------------------------------------------------------------------
+
+
+def test_quality_by_source_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines.textstats import quality_by_source
+
+    got = quality_by_source(sf_dir)
+    want = duck.sql(sqlgen.quality_by_source_sql()).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    rows = got.to_pylist()
+    assert rows
+    n_docs = duck.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert 0 <= r["n_low"] <= r["n_docs"]
+
+
+def test_quality_by_source_threshold_is_strict(ray_session, tmp_path):
+    """A doc whose ROUNDED quality equals CURATE_MIN_QUALITY exactly is
+    NOT counted low (strict < in the exact-int domain): 50 raw subtokens
+    with 25 stopword hits -> quality = round(0.3*0.5 + 0.7*0.5, 4) = 0.5
+    = the bar. Empty docs (quality 0) are low."""
+    from smse_backend_ray import config
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines.textstats import quality_batch, quality_by_source
+
+    assert config.CURATE_MIN_QUALITY == 0.5  # fixture is built for this bar
+    at_bar = " ".join(["and"] * 25 + ["zz"] * 25)
+    sf = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": 0, "text": at_bar, "lang": "en", "source": "a"},
+            {"doc_id": 1, "text": "", "lang": "en", "source": "a"},
+            {"doc_id": 2, "text": " ".join(["zz"] * 100), "lang": "en", "source": "b"},
+        ],
+    )
+    q = quality_batch(
+        pa.table({"doc_id": pa.array([0], type=pa.int64()), "text": [at_bar]})
+    )
+    assert q["quality"].to_pylist() == [0.5]  # fixture really sits on the bar
+    con = _duck_docs(sf)
+    got = quality_by_source(sf)
+    want = con.sql(sqlgen.quality_by_source_sql()).fetch_arrow_table()
+    assert got.to_pylist() == want.to_pylist()
+    by_src = {r["source"]: r for r in got.to_pylist()}
+    assert by_src["a"]["n_low"] == 1  # only the empty doc; 0.5 is not < 0.5
+    assert by_src["a"]["mean_quality"] == 0.25  # (0.5 + 0.0) / 2
+    assert by_src["b"]["n_low"] == 0
+    assert by_src["b"]["mean_quality"] == 0.7  # min(100,100)/100 * 0.7
+
+
+# ---------------------------------------------------------------------------
+# user_activity_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_user_activity_histogram_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines.events import (
+        user_activity_histogram,
+        user_activity_histogram_sql,
+    )
+
+    got = user_activity_histogram(sf_dir)
+    want = duck.sql(user_activity_histogram_sql()).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    rows = got.to_pylist()
+    assert rows
+    n_events = duck.sql("SELECT count(*) FROM events").fetchone()[0]
+    n_users = duck.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert sum(r["n_users"] for r in rows) == n_users
+
+
+def test_user_activity_histogram_power_of_two_edges(ray_session, tmp_path):
+    """Exact bit-length bucketing at the boundaries: counts 1,2,3,4,7,8
+    land in buckets 0,1,1,2,2,3 on BOTH sides (no float log anywhere —
+    frexp exponent <-> length(bin(n)))."""
+    import datetime
+
+    from smse_backend_ray.pipelines.events import (
+        user_activity_histogram,
+        user_activity_histogram_sql,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid, n in enumerate([1, 2, 3, 4, 7, 8]):
+        for j in range(n):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": t0 + datetime.timedelta(minutes=eid),
+                    "user_id": uid,
+                    "event_type": "click",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{sf}/events.parquet')"
+    )
+    got = user_activity_histogram(sf)
+    want = con.sql(user_activity_histogram_sql()).fetch_arrow_table()
+    assert got.to_pylist() == want.to_pylist()
+    by_bucket = {r["bucket"]: r for r in got.to_pylist()}
+    assert by_bucket[0] == {"bucket": 0, "lo_events": 1, "n_users": 1, "n_events": 1}
+    assert by_bucket[1] == {"bucket": 1, "lo_events": 2, "n_users": 2, "n_events": 5}
+    assert by_bucket[2] == {"bucket": 2, "lo_events": 4, "n_users": 2, "n_events": 11}
+    assert by_bucket[3] == {"bucket": 3, "lo_events": 8, "n_users": 1, "n_events": 8}
