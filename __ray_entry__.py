@@ -615,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": textstats.lang_confusion,
         "quality_by_source": textstats.quality_by_source,
         "events_activity_histogram": events.user_activity_histogram,
+        "dedup_containment": dedup.containment_pairs,
         "dedup_survivors": dedup.dedup_survivors,
         "doc_chunks": textstats.doc_chunks,
         "doc_pack_bins": packing.pack_bins,
@@ -828,6 +829,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": sqlgen.exact_dedup_sql(),
         "dedup_jaccard": sqlgen.jaccard_pairs_sql(
             dedup_mod.JACCARD_THRESHOLD,
+            dedup_mod.SHINGLE_K,
+            dedup_mod.JACCARD_SHINGLE_DF_CAP,
+        ),
+        "dedup_containment": sqlgen.containment_pairs_sql(
+            dedup_mod.CONTAIN_THRESHOLD,
             dedup_mod.SHINGLE_K,
             dedup_mod.JACCARD_SHINGLE_DF_CAP,
         ),

@@ -558,12 +558,11 @@ grams AS (
 shingles AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE rn <= n - {k - 1})"""
 
 
-def jaccard_pairs_sql(
-    threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
-) -> str:
-    """Exact-Jaccard twin. ``df_cap`` mirrors the engine's
-    JACCARD_SHINGLE_DF_CAP: shingles shared by more than df_cap docs are
-    excluded from every shingle set (sizes AND intersections)."""
+def _overlap_pairs_cte(k: int, df_cap: int) -> str:
+    """THE one copy of the exact set-overlap candidate prelude (hot-capped
+    shingle sets -> sizes + pair intersections) — shared by
+    jaccard_pairs_sql and containment_pairs_sql, mirroring the engine's
+    shared dedup._shingle_inter_sizes pass."""
     return f"""
 WITH {_shingles_cte(k).lstrip()},
 hot AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) > {df_cap}),
@@ -574,11 +573,35 @@ inter AS (
   SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
   FROM kept s1 JOIN kept s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
   GROUP BY s1.doc_id, s2.doc_id
-)
+)"""
+
+
+def jaccard_pairs_sql(
+    threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
+) -> str:
+    """Exact-Jaccard twin. ``df_cap`` mirrors the engine's
+    JACCARD_SHINGLE_DF_CAP: shingles shared by more than df_cap docs are
+    excluded from every shingle set (sizes AND intersections)."""
+    return f"""{_overlap_pairs_cte(k, df_cap)}
 SELECT inter.a, inter.b,
        round(CAST(inter.i AS DOUBLE) / (za.n + zb.n - inter.i), 4) AS jaccard
 FROM inter JOIN sizes za ON za.doc_id = inter.a JOIN sizes zb ON zb.doc_id = inter.b
 WHERE CAST(inter.i AS DOUBLE) / (za.n + zb.n - inter.i) >= {threshold}
+ORDER BY inter.a, inter.b
+"""
+
+
+def containment_pairs_sql(
+    threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
+) -> str:
+    """Twin of dedup.containment_pairs — Broder max-containment
+    i / least(na, nb) over the SAME candidate prelude as the Jaccard twin
+    (_overlap_pairs_cte, one copy); round4, RAW-double threshold."""
+    return f"""{_overlap_pairs_cte(k, df_cap)}
+SELECT inter.a, inter.b,
+       round(CAST(inter.i AS DOUBLE) / least(za.n, zb.n), 4) AS containment
+FROM inter JOIN sizes za ON za.doc_id = inter.a JOIN sizes zb ON zb.doc_id = inter.b
+WHERE CAST(inter.i AS DOUBLE) / least(za.n, zb.n) >= {threshold}
 ORDER BY inter.a, inter.b
 """
 

@@ -287,8 +287,15 @@ def _pairs_within_key(ds, key_col: str, nb: int | None = None):
     )
 
 
-def _score_jaccard(inter_ds, sizes_ds, threshold: float) -> pa.Table:
+def _score_jaccard(
+    inter_ds, sizes_ds, threshold: float, formula: str = "jaccard"
+) -> pa.Table:
     """(a, b, inter) dataset ⋈ (doc_id, n) sizes dataset -> verified pairs.
+
+    ``formula`` picks the set-overlap score (and output column name):
+    "jaccard" = i / (na + nb - i); "containment" = i / min(na, nb) — the
+    Broder max-containment, which flags subset/superset duplication that
+    Jaccard misses when set sizes differ widely.
 
     Fully distributed: the per-doc shingle-set sizes stay a Dataset and are
     attached with two distributed unique-key joins (on a, then on b) — no
@@ -317,17 +324,22 @@ def _score_jaccard(inter_ds, sizes_ds, threshold: float) -> pa.Table:
         pa.schema([("nb", pa.int64())]), nb=nb,
     )
 
+    col = formula
+
     def score(t: pa.Table) -> pa.Table:
         it = t["inter"].to_numpy().astype(np.float64)
         na = t["na"].to_numpy().astype(np.float64)
         nb = t["nb"].to_numpy().astype(np.float64)
-        j = it / (na + nb - it)
+        if formula == "containment":
+            j = it / np.minimum(na, nb)
+        else:
+            j = it / (na + nb - it)
         m = j >= threshold
         return pa.table(
             {
                 "a": pc.cast(t["a"].filter(pa.array(m)), pa.int64()),
                 "b": pc.cast(t["b"].filter(pa.array(m)), pa.int64()),
-                "jaccard": pa.array(round_half_away(j[m], 4), type=pa.float64()),
+                col: pa.array(round_half_away(j[m], 4), type=pa.float64()),
             }
         )
 
@@ -335,13 +347,13 @@ def _score_jaccard(inter_ds, sizes_ds, threshold: float) -> pa.Table:
     t = collect_table(
         out,
         empty_schema=pa.schema(
-            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+            [("a", pa.int64()), ("b", pa.int64()), (col, pa.float64())]
         ),
     )
     if t.num_rows == 0:
         return pa.table(
             {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
-             "jaccard": pa.array([], type=pa.float64())}
+             col: pa.array([], type=pa.float64())}
         )
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")]))
 
@@ -535,17 +547,34 @@ def jaccard_pairs(
     df_cap): dedup_clusters and dedup_survivors both start from these
     pairs, and each gate entry otherwise re-runs the full two-pass shingle
     sweep."""
-    from ray.data.aggregate import Count
-
     ckey = (_docs_stamp(sf_dir), float(threshold), int(df_cap))
     hit = _JACCARD_CACHE.get(ckey[1:])
     if hit and hit[0] == ckey[0]:
+        return hit[1]
+    inter, sizes_ds = _shingle_inter_sizes(sf_dir, df_cap, "jaccard_pairs")
+    out = _score_jaccard(inter, sizes_ds, threshold)
+    _JACCARD_CACHE[ckey[1:]] = (ckey[0], out)
+    return out
+
+
+_SHINGLE_CAND_CACHE: dict[tuple, tuple[tuple, tuple]] = {}
+
+
+def _shingle_inter_sizes(sf_dir: str, df_cap: int, op: str):
+    """The shared exact-overlap candidate pass: hot-capped shingle stream
+    -> (materialized candidate-pair intersections, materialized per-doc
+    set sizes). jaccard_pairs and containment_pairs consume the SAME
+    tables (memoized per (documents stamp, df_cap)) and differ only in
+    the score formula applied on top."""
+    stamp = _docs_stamp(sf_dir)
+    hit = _SHINGLE_CAND_CACHE.get((stamp[0], int(df_cap)))
+    if hit and hit[0] == stamp:
         return hit[1]
 
     docs = _read_documents(sf_dir)
     shingles = docs.map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
     shingles = _drop_hot_stage(
-        shingles, _global_hot_shingles(sf_dir, df_cap, "jaccard_pairs")
+        shingles, _global_hot_shingles(sf_dir, df_cap, op)
     )
 
     # doc shingle-set sizes: stays a DATASET (joined in _score_jaccard, never
@@ -556,8 +585,6 @@ def jaccard_pairs(
         shingles, ["doc_id"], [("shingle", "count", "n")], nb=nb_doc
     ).materialize())
 
-    from ray.data.aggregate import Sum
-
     # MATERIALIZE the candidate-pair table before scoring: chaining the
     # whole thing into one lazy DAG stacks 4+ sort stages into a single
     # streaming execution, which measured ~4x slower than staged runs
@@ -567,9 +594,43 @@ def jaccard_pairs(
         _pairs_within_key(shingles, "shingle", nb=nb_doc),
         ["a", "b"], [("n", "sum", "inter")], nb=nb_doc,
     ).materialize())
-    out = _score_jaccard(inter, sizes_ds, threshold)
-    _JACCARD_CACHE[ckey[1:]] = (ckey[0], out)
+    _SHINGLE_CAND_CACHE[(stamp[0], int(df_cap))] = (stamp, (inter, sizes_ds))
+    return inter, sizes_ds
+
+
+CONTAIN_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    sf_dir: str,
+    threshold: float = CONTAIN_THRESHOLD,
+    df_cap: int = JACCARD_SHINGLE_DF_CAP,
+) -> pa.Table:
+    """Exact shingle max-containment pairs (Broder): containment =
+    i / min(na, nb) over the SAME hot-capped shingle sets as
+    jaccard_pairs. The asymmetric signal Jaccard misses — a short doc
+    fully embedded in a long one scores containment 1.0 but Jaccard
+    ~na/nb, so quote/boilerplate/subset duplication needs this operator.
+
+    Frozen pair with sqlgen.containment_pairs_sql — the ONE
+    sqlgen._overlap_pairs_cte candidate prelude both twins share; score
+    = round4(i / least(na, nb) in DOUBLE), threshold compared on the RAW
+    double (like Jaccard).
+
+    Scale shape: identical to jaccard_pairs — the candidate pass is the
+    shared memoized _shingle_inter_sizes tables, so running both signals
+    costs ONE shingle sweep."""
+    ckey = (_docs_stamp(sf_dir), float(threshold), int(df_cap))
+    hit = _CONTAIN_CACHE.get(ckey[1:])
+    if hit and hit[0] == ckey[0]:
+        return hit[1]
+    inter, sizes_ds = _shingle_inter_sizes(sf_dir, df_cap, "containment_pairs")
+    out = _score_jaccard(inter, sizes_ds, threshold, formula="containment")
+    _CONTAIN_CACHE[ckey[1:]] = (ckey[0], out)
     return out
+
+
+_CONTAIN_CACHE: dict[tuple, tuple[tuple, pa.Table]] = {}
 
 
 # ---------------------------------------------------------------------------

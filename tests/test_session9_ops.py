@@ -174,6 +174,62 @@ def test_quality_by_source_threshold_is_strict(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_pairs_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import dedup
+
+    got = dedup.containment_pairs(sf_dir)
+    want = duck.sql(
+        sqlgen.containment_pairs_sql(
+            dedup.CONTAIN_THRESHOLD, dedup.SHINGLE_K,
+            dedup.JACCARD_SHINGLE_DF_CAP,
+        )
+    ).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    for r in got.to_pylist():
+        assert r["a"] < r["b"]
+        assert r["containment"] >= dedup.CONTAIN_THRESHOLD
+
+
+def test_containment_catches_subset_jaccard_misses(ray_session, tmp_path):
+    """The operator's reason to exist: a short doc fully embedded in a much
+    longer one has containment 1.0 but Jaccard << threshold — the pair
+    must appear in containment_pairs and NOT in jaccard_pairs."""
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long_doc = short + " " + filler
+    sf = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": 1, "text": short, "lang": "en", "source": "s"},
+            {"doc_id": 2, "text": long_doc, "lang": "en", "source": "s"},
+            {"doc_id": 3, "text": "totally unrelated words here now", "lang": "en", "source": "s"},
+        ],
+    )
+    cont = dedup.containment_pairs(sf)
+    jac = dedup.jaccard_pairs(sf)
+    cpairs = {(r["a"], r["b"]): r["containment"] for r in cont.to_pylist()}
+    assert cpairs.get((1, 2)) == 1.0  # every shingle of 1 is in 2
+    assert (1, 2) not in {(r["a"], r["b"]) for r in jac.to_pylist()}
+    # twin parity on the fixture too
+    con = _duck_docs(sf)
+    want = con.sql(
+        sqlgen.containment_pairs_sql(
+            dedup.CONTAIN_THRESHOLD, dedup.SHINGLE_K,
+            dedup.JACCARD_SHINGLE_DF_CAP,
+        )
+    ).fetch_arrow_table()
+    assert cont.to_pylist() == want.to_pylist()
+
+
+# ---------------------------------------------------------------------------
 # user_activity_histogram
 # ---------------------------------------------------------------------------
 
