@@ -615,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": textstats.lang_confusion,
         "quality_by_source": textstats.quality_by_source,
         "events_activity_histogram": events.user_activity_histogram,
+        "events_active_users": events.weekly_active_users,
         "dedup_containment": dedup.containment_pairs,
         "dedup_survivors": dedup.dedup_survivors,
         "doc_chunks": textstats.doc_chunks,
@@ -878,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": events_mod.event_value_histogram_sql(),
         "events_type_transitions": events_mod.event_type_transitions_sql(),
         "events_activity_histogram": events_mod.user_activity_histogram_sql(),
+        "events_active_users": events_mod.weekly_active_users_sql(),
         "lang_confusion": sqlgen.lang_confusion_sql(),
         "quality_by_source": sqlgen.quality_by_source_sql(),
         "doc_split_assign": sampling_mod.doc_split_assign_sql(),

@@ -1636,3 +1636,150 @@ SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
        CAST(SUM(n) AS BIGINT) AS n_events
 FROM c GROUP BY 1, 2 ORDER BY 1
 """
+
+
+def weekly_active_users(sf_dir: str) -> pa.Table:
+    """WAU / MAU / stickiness per ISO week: distinct weekly actives,
+    distinct actives over the trailing 4 ISO weeks [w-3, w], and the
+    wau/mau ratio — the engagement dashboard row every event pipeline
+    ships.
+
+    Frozen pair with ``weekly_active_users_sql``: week =
+    floor_temporal(ts, 'week') <-> date_trunc('week', ts)::TIMESTAMP
+    (both ISO-Monday; boundary-pinned in tests), mau window = the 4 weeks
+    ending at w (a (user, w') active row contributes to windows
+    w'..w'+21d), stickiness = round4(wau / mau in DOUBLE), output only
+    weeks with events (mau-only expansion weeks are dropped).
+
+    Scale shape: per-batch distinct (user, week) -> ONE user-hash bucket
+    exchange (users disjoint across buckets, so per-bucket distincts and
+    counts are exact partials) -> x4 window expansion + second in-bucket
+    distinct -> (week, wau, mau) partials bounded by |weeks| per bucket
+    -> driver fold."""
+    nb = _n_user_buckets()
+    week_us = 7 * 86_400_000_000
+
+    def pre(t: pa.Table) -> pa.Table:
+        week = pc.cast(
+            pc.cast(pc.floor_temporal(t["ts"], unit="week"), pa.timestamp("us")),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {"user_id": pc.cast(t["user_id"], pa.int64()), "week": week}
+            )
+            .group_by(["user_id", "week"])
+            .aggregate([])
+        )
+        return _user_bucket_rows(g, nb)
+
+    empty = pa.table(
+        {
+            "week": pa.array([], type=pa.int64()),
+            "wau": pa.array([], type=pa.int64()),
+            "mau": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return empty
+        uw = (
+            g.select(["user_id", "week"])
+            .group_by(["user_id", "week"])
+            .aggregate([])
+        )
+        wau = uw.group_by("week").aggregate([("user_id", "count")])
+        u = uw["user_id"].to_numpy().astype(np.int64)
+        w = uw["week"].to_numpy().astype(np.int64)
+        win = np.concatenate([w + np.int64(week_us * k) for k in range(4)])
+        muw = (
+            pa.table(
+                {
+                    "user_id": pa.array(np.tile(u, 4), type=pa.int64()),
+                    "week": pa.array(win, type=pa.int64()),
+                }
+            )
+            .group_by(["user_id", "week"])
+            .aggregate([])
+        )
+        mau = muw.group_by("week").aggregate([("user_id", "count")])
+        parts = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "week": wau["week"],
+                        "wau": pc.cast(wau["user_id_count"], pa.int64()),
+                        "mau": pa.array(
+                            np.zeros(wau.num_rows, dtype=np.int64),
+                            type=pa.int64(),
+                        ),
+                    }
+                ),
+                pa.table(
+                    {
+                        "week": mau["week"],
+                        "wau": pa.array(
+                            np.zeros(mau.num_rows, dtype=np.int64),
+                            type=pa.int64(),
+                        ),
+                        "mau": pc.cast(mau["user_id_count"], pa.int64()),
+                    }
+                ),
+            ]
+        )
+        f = parts.group_by("week").aggregate([("wau", "sum"), ("mau", "sum")])
+        return pa.table(
+            {
+                "week": f["week"],
+                "wau": pc.cast(f["wau_sum"], pa.int64()),
+                "mau": pc.cast(f["mau_sum"], pa.int64()),
+            }
+        )
+
+    out = (
+        _read_events(sf_dir)
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    t = collect_table(out, empty_schema=empty.schema)
+    f = t.group_by("week").aggregate([("wau", "sum"), ("mau", "sum")])
+    wau = f["wau_sum"].to_numpy().astype(np.int64)
+    mau = f["mau_sum"].to_numpy().astype(np.int64)
+    keep = wau > 0  # mau-only expansion weeks carry no events
+    weeks = f["week"].to_numpy().astype(np.int64)[keep]
+    wau, mau = wau[keep], mau[keep]
+    stick = round_half_away(wau.astype(np.float64) / mau, 4)
+    out_t = pa.table(
+        {
+            "week": pc.cast(pa.array(weeks, type=pa.int64()), pa.timestamp("us")),
+            "wau": pa.array(wau, type=pa.int64()),
+            "mau": pa.array(mau, type=pa.int64()),
+            "stickiness": pa.array(stick, type=pa.float64()),
+        }
+    )
+    return out_t.take(
+        pc.sort_indices(out_t, sort_keys=[("week", "ascending")])
+    )
+
+
+def weekly_active_users_sql() -> str:
+    """DuckDB twin of weekly_active_users — date_trunc('week') weeks,
+    trailing-4-week distinct-user window, round4 stickiness (frozen
+    pair)."""
+    return """
+WITH uw AS (SELECT DISTINCT user_id,
+       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events),
+wau AS (SELECT week, CAST(count(*) AS BIGINT) AS wau FROM uw GROUP BY week),
+mau AS (
+  SELECT w.week AS week, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM (SELECT DISTINCT week FROM uw) w
+  JOIN uw u ON u.week <= w.week AND u.week >= w.week - INTERVAL 21 DAY
+  GROUP BY w.week
+)
+SELECT wau.week AS week, wau.wau AS wau, mau.mau AS mau,
+       round(CAST(wau.wau AS DOUBLE) / mau.mau, 4) AS stickiness
+FROM wau JOIN mau ON mau.week = wau.week
+ORDER BY week
+"""

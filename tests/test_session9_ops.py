@@ -251,6 +251,74 @@ def test_user_activity_histogram_matches_sql(ray_session, sf_dir, duck):
     assert sum(r["n_users"] for r in rows) == n_users
 
 
+def test_weekly_active_users_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines.events import (
+        weekly_active_users,
+        weekly_active_users_sql,
+    )
+
+    got = weekly_active_users(sf_dir)
+    want = duck.sql(weekly_active_users_sql()).fetch_arrow_table()
+    assert got.to_pydict() == want.cast(got.schema).to_pydict()
+    for r in got.to_pylist():
+        assert 1 <= r["wau"] <= r["mau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_weekly_active_users_window_fixture(ray_session, tmp_path):
+    """Trailing-4-week MAU and the ISO-Monday week boundary: a Sunday
+    23:59 event and a Monday 00:00 event one minute later land in
+    DIFFERENT weeks; a user active in week w still counts toward mau of
+    w+3 but not w+4."""
+    import datetime
+
+    from smse_backend_ray.pipelines.events import (
+        weekly_active_users,
+        weekly_active_users_sql,
+    )
+
+    mon = datetime.datetime(2024, 1, 1)  # a Monday
+    wk = datetime.timedelta(days=7)
+    rows = [
+        # user 1: Sunday 23:59 of week0 (still week0), user 2: Monday 00:00
+        # of week1 — one minute later, different week
+        {"event_id": 0, "ts": mon + wk - datetime.timedelta(minutes=1),
+         "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 1, "ts": mon + wk,
+         "user_id": 2, "event_type": "click", "value": 1.0, "props": "{}"},
+        # user 1 again in week 3 (within 4-week window of week 0? w3 window
+        # covers w0..w3) and user 3 only in week 4
+        {"event_id": 2, "ts": mon + 3 * wk,
+         "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": mon + 4 * wk,
+         "user_id": 3, "event_type": "click", "value": 1.0, "props": "{}"},
+    ]
+    sf = _write_events(tmp_path, rows)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{sf}/events.parquet')"
+    )
+    got = weekly_active_users(sf)
+    want = con.sql(weekly_active_users_sql()).fetch_arrow_table()
+    assert got.to_pydict() == want.cast(got.schema).to_pydict()
+    by_week = {r["week"].date(): r for r in got.to_pylist()}
+    d = datetime.date
+    assert by_week[d(2024, 1, 1)] == {
+        "week": datetime.datetime(2024, 1, 1), "wau": 1, "mau": 1,
+        "stickiness": 1.0,
+    }
+    # week1: wau = {u2}; mau = {u1 (w0), u2}
+    assert by_week[d(2024, 1, 8)]["wau"] == 1
+    assert by_week[d(2024, 1, 8)]["mau"] == 2
+    # week3: wau = {u1}; mau window w0..w3 = {u1, u2}
+    assert by_week[d(2024, 1, 22)]["mau"] == 2
+    # week4: wau = {u3}; mau window w1..w4 = {u1 (w3), u2 (w1), u3} — u1's
+    # week-0 activity has aged out but week-3 hasn't
+    assert by_week[d(2024, 1, 29)]["mau"] == 3
+    assert by_week[d(2024, 1, 29)]["stickiness"] == 0.3333
+
+
 def test_user_activity_histogram_power_of_two_edges(ray_session, tmp_path):
     """Exact bit-length bucketing at the boundaries: counts 1,2,3,4,7,8
     land in buckets 0,1,1,2,2,3 on BOTH sides (no float log anywhere —
