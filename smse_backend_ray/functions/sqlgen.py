@@ -496,6 +496,33 @@ FROM q GROUP BY source ORDER BY source
 """
 
 
+def quality_zscore_sql() -> str:
+    """Twin of textstats.quality_zscore — per-source exact int64 moments
+    (n, sum q_s, sum q_s^2) of the scaled ROUNDED quality, mean = s/n,
+    var = ss/n - mean*mean (that op order), z = round4((q_s - mean) /
+    sqrt(var)); var <= 0 freezes z = 0.0. IEEE-correctly-rounded double
+    ops on both sides, so values match bitwise pre-round."""
+    return f"""
+WITH {_stop_ratio_cte()},
+q AS (SELECT d.doc_id AS doc_id, d.source AS source,
+        CAST(round({_QUALITY_EXPR} * 10000, 0) AS BIGINT) AS q_s
+      FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id),
+m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(q_s) AS BIGINT) AS s, CAST(SUM(q_s * q_s) AS BIGINT) AS ss
+      FROM q GROUP BY source),
+mm AS (SELECT source, CAST(s AS DOUBLE) / n AS mean,
+         (CAST(ss AS DOUBLE) / n)
+           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var
+       FROM m)
+SELECT q.doc_id, q.source,
+  CASE WHEN mm.var <= 0 THEN 0.0
+       ELSE round((CAST(q.q_s AS DOUBLE) - mm.mean) / sqrt(mm.var), 4)
+  END AS quality_z
+FROM q JOIN mm ON mm.source = q.source
+ORDER BY q.doc_id
+"""
+
+
 def fingerprint_sql() -> str:
     return "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id"
 

@@ -1805,3 +1805,109 @@ def quality_by_source(sf_dir: str) -> pa.Table:
         }
     )
     return out.take(pc.sort_indices(out, sort_keys=[("source", "ascending")]))
+
+
+def quality_zscore(sf_dir: str) -> pa.Table:
+    """Per-doc quality standardized within its source: z = (q_s - mean) /
+    std over the 4-decimal-scaled quality — the feature-normalization
+    stage (reference analog: the min-max/softmax normalizers M7/M8,
+    grouped per provider) a curation pipeline applies before mixing
+    sources with different quality scales.
+
+    Frozen pair with sqlgen.quality_zscore_sql: q_s =
+    round(ROUNDED-quality*10000)::int64 (the quality_by_source domain);
+    per-source moments are EXACT int64 (n, sum q_s, sum q_s^2); mean =
+    sum/n in double, var = sumsq/n - mean*mean (that op order), std =
+    sqrt(var), z = round4((q_s - mean) / std); var <= 0 (constant source
+    or n=1) freezes z = 0.0. All of +,-,*,/,sqrt are IEEE
+    correctly-rounded so the doubles match bitwise.
+
+    Scale shape: 2-pass — pass 1 folds |sources|-bounded exact moments
+    on the driver (sumsq <= 1e8 * n_docs_per_source: int64-safe to ~9e10
+    docs per source); pass 2 re-streams the corpus with the tiny
+    (source -> mean, std) dict in the closure. The corpus is scored
+    twice rather than materialized once (the jaccard_pairs 2-pass
+    rationale)."""
+    import os
+
+    import pyarrow.compute as pc
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def read():
+        ds = ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
+        return ds.repartition(_n_doc_blocks(sf_dir))
+
+    def q_scaled(batch: pa.Table) -> np.ndarray:
+        q = quality_batch(batch)["quality"].to_numpy()
+        return np.floor(q * 10000.0 + 0.5).astype(np.int64)  # quality >= 0
+
+    def moments(batch: pa.Table) -> pa.Table:
+        q_s = q_scaled(batch)
+        g = (
+            pa.table(
+                {
+                    "source": batch["source"],
+                    "s": pa.array(q_s, type=pa.int64()),
+                    "ss": pa.array(q_s * q_s, type=pa.int64()),
+                }
+            )
+            .group_by("source")
+            .aggregate([("s", "sum"), ("ss", "sum"), ("s", "count")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "s": pc.cast(g["s_sum"], pa.int64()),
+                "ss": pc.cast(g["ss_sum"], pa.int64()),
+                "n": pc.cast(g["s_count"], pa.int64()),
+            }
+        )
+
+    mschema = pa.schema(
+        [("source", pa.string()), ("s", pa.int64()), ("ss", pa.int64()),
+         ("n", pa.int64())]
+    )
+    m = collect_table(
+        read().map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=mschema,
+    )
+    mf = m.group_by("source").aggregate(
+        [("s", "sum"), ("ss", "sum"), ("n", "sum")]
+    )
+    stats: dict[str, tuple[float, float]] = {}
+    for src, s, ss, n in zip(
+        mf["source"].to_pylist(),
+        mf["s_sum"].to_numpy().astype(np.int64),
+        mf["ss_sum"].to_numpy().astype(np.int64),
+        mf["n_sum"].to_numpy().astype(np.int64),
+    ):
+        mean = float(s) / float(n)
+        var = float(ss) / float(n) - mean * mean
+        stats[src] = (mean, np.sqrt(var) if var > 0 else 0.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_s = q_scaled(batch).astype(np.float64)
+        srcs = batch["source"].to_pylist()
+        mean = np.fromiter((stats[s][0] for s in srcs), dtype=np.float64,
+                           count=len(srcs))
+        std = np.fromiter((stats[s][1] for s in srcs), dtype=np.float64,
+                          count=len(srcs))
+        z = np.where(std > 0, (q_s - mean) / np.where(std > 0, std, 1.0), 0.0)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "source": batch["source"],
+                "quality_z": pa.array(round_half_away(z, 4), type=pa.float64()),
+            }
+        )
+
+    oschema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("quality_z", pa.float64())]
+    )
+    t = collect_table(
+        read().map_batches(score, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=oschema,
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))

@@ -173,6 +173,45 @@ def test_quality_by_source_threshold_is_strict(ray_session, tmp_path):
     assert by_src["b"]["mean_quality"] == 0.7  # min(100,100)/100 * 0.7
 
 
+def test_quality_zscore_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines.textstats import quality_zscore
+
+    got = quality_zscore(sf_dir)
+    want = duck.sql(sqlgen.quality_zscore_sql()).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    assert got.num_rows == duck.sql("SELECT count(*) FROM documents").fetchone()[0]
+
+
+def test_quality_zscore_degenerate_sources(ray_session, tmp_path):
+    """Constant-quality and single-doc sources freeze z = 0.0 (var <= 0
+    rule) on BOTH sides; a two-doc source standardizes to +/-1."""
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines.textstats import quality_zscore
+
+    t100 = " ".join(["zz"] * 100)  # quality 0.7
+    sf = _write_docs(
+        tmp_path,
+        [
+            # source a: identical docs -> var 0 -> z 0.0
+            {"doc_id": 0, "text": t100, "lang": "en", "source": "a"},
+            {"doc_id": 1, "text": t100, "lang": "en", "source": "a"},
+            # source b: single doc -> var 0 -> z 0.0
+            {"doc_id": 2, "text": "", "lang": "en", "source": "b"},
+            # source c: two distinct docs -> z = -1, +1
+            {"doc_id": 3, "text": "", "lang": "en", "source": "c"},
+            {"doc_id": 4, "text": t100, "lang": "en", "source": "c"},
+        ],
+    )
+    con = _duck_docs(sf)
+    got = quality_zscore(sf)
+    want = con.sql(sqlgen.quality_zscore_sql()).fetch_arrow_table()
+    assert got.to_pylist() == want.to_pylist()
+    z = {r["doc_id"]: r["quality_z"] for r in got.to_pylist()}
+    assert z[0] == 0.0 and z[1] == 0.0 and z[2] == 0.0
+    assert z[3] == -1.0 and z[4] == 1.0
+
+
 # ---------------------------------------------------------------------------
 # containment_pairs
 # ---------------------------------------------------------------------------
