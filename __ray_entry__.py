@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_activity_histogram": events.user_activity_histogram,
         "events_active_users": events.weekly_active_users,
         "dedup_containment": dedup.containment_pairs,
+        "dup_rate_by_source": dedup.dup_rate_by_source,
         "dedup_survivors": dedup.dedup_survivors,
         "doc_chunks": textstats.doc_chunks,
         "doc_pack_bins": packing.pack_bins,
@@ -836,6 +837,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_containment": sqlgen.containment_pairs_sql(
             dedup_mod.CONTAIN_THRESHOLD,
+            dedup_mod.SHINGLE_K,
+            dedup_mod.JACCARD_SHINGLE_DF_CAP,
+        ),
+        "dup_rate_by_source": sqlgen.dup_rate_by_source_sql(
+            dedup_mod.JACCARD_THRESHOLD,
             dedup_mod.SHINGLE_K,
             dedup_mod.JACCARD_SHINGLE_DF_CAP,
         ),

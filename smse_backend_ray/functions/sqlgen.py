@@ -618,6 +618,23 @@ ORDER BY inter.a, inter.b
 """
 
 
+def dup_rate_by_source_sql(
+    threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
+) -> str:
+    """Twin of dedup.dup_rate_by_source — wraps jaccard_pairs_sql as the
+    pair CTE (so the pair set can't fork), attaches each side's source,
+    counts per unordered (least, greatest) source pair."""
+    return f"""
+WITH p AS ({jaccard_pairs_sql(threshold, k, df_cap)})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p JOIN documents da ON da.doc_id = p.a
+       JOIN documents db ON db.doc_id = p.b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def containment_pairs_sql(
     threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
 ) -> str:

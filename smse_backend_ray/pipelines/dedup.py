@@ -1684,3 +1684,79 @@ def dedup_survivors(
         surv = base
     t = collect_table(surv, empty_schema=schema)
     return t.take(pc.sort_indices(t["doc_id"]))
+
+
+def dup_rate_by_source(
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int = JACCARD_SHINGLE_DF_CAP,
+) -> pa.Table:
+    """Cross-source duplication matrix: near-dup pair counts per
+    UNORDERED source pair — the curation diagnostic showing which
+    providers duplicate each other (mirror sites, re-crawls, forks)
+    before choosing per-source sampling weights.
+
+    Frozen pair with sqlgen.dup_rate_by_source_sql: pairs are EXACTLY
+    jaccard_pairs (same threshold/df_cap — the twin wraps
+    jaccard_pairs_sql as a CTE, so the pair set can't fork); source_a =
+    min, source_b = max in string order; exact counts, ordered by both
+    keys.
+
+    Scale shape: the verified pair table is candidate-bounded (and
+    memoized) and sources attach with the same distributed unique-key
+    joins as _score_jaccard — no driver dict of O(corpus) sources; the
+    matrix itself is |sources|^2-bounded."""
+    pairs = jaccard_pairs(sf_dir, threshold, df_cap)
+    empty = pa.table(
+        {
+            "source_a": pa.array([], type=pa.string()),
+            "source_b": pa.array([], type=pa.string()),
+            "n_pairs": pa.array([], type=pa.int64()),
+        }
+    )
+    if pairs.num_rows == 0:
+        return empty
+    src_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    pairs_ds = ray.data.from_arrow(pairs.select(["a", "b"]))
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    nb = max(4, min(64, -(-pairs.num_rows // 512)))
+    ja = _attach_unique(
+        pairs_ds, src_ds.rename_columns({"source": "sa"}),
+        "a", "doc_id", pair_schema, pa.schema([("sa", pa.string())]), nb=nb,
+    )
+    jb = _attach_unique(
+        ja, src_ds.rename_columns({"source": "sb"}),
+        "b", "doc_id",
+        pa.schema(list(pair_schema) + [("sa", pa.string())]),
+        pa.schema([("sb", pa.string())]), nb=nb,
+    )
+    t = collect_table(
+        jb,
+        empty_schema=pa.schema(
+            list(pair_schema) + [("sa", pa.string()), ("sb", pa.string())]
+        ),
+    )
+    if t.num_rows == 0:
+        return empty
+    lo = pc.min_element_wise(t["sa"], t["sb"])
+    hi = pc.max_element_wise(t["sa"], t["sb"])
+    g = (
+        pa.table({"source_a": lo, "source_b": hi})
+        .group_by(["source_a", "source_b"])
+        .aggregate([("source_a", "count")])
+    )
+    out = pa.table(
+        {
+            "source_a": g["source_a"],
+            "source_b": g["source_b"],
+            "n_pairs": pc.cast(g["source_a_count"], pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("source_a", "ascending"), ("source_b", "ascending")],
+        )
+    )

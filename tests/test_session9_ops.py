@@ -269,6 +269,60 @@ def test_containment_catches_subset_jaccard_misses(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# dup_rate_by_source
+# ---------------------------------------------------------------------------
+
+
+def test_dup_rate_by_source_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import dedup
+
+    got = dedup.dup_rate_by_source(sf_dir)
+    want = duck.sql(
+        sqlgen.dup_rate_by_source_sql(
+            dedup.JACCARD_THRESHOLD, dedup.SHINGLE_K,
+            dedup.JACCARD_SHINGLE_DF_CAP,
+        )
+    ).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    n_pairs = dedup.jaccard_pairs(sf_dir).num_rows
+    assert sum(r["n_pairs"] for r in got.to_pylist()) == n_pairs
+    for r in got.to_pylist():
+        assert r["source_a"] <= r["source_b"]  # unordered-pair normal form
+
+
+def test_dup_rate_by_source_cross_source_fixture(ray_session, tmp_path):
+    """A doc duplicated across two sources lands in the (min, max) cell
+    regardless of which doc_id carries which source."""
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import dedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    sf = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": 1, "text": text, "lang": "en", "source": "zz_mirror"},
+            {"doc_id": 2, "text": text, "lang": "en", "source": "aa_origin"},
+            {"doc_id": 3, "text": text, "lang": "en", "source": "aa_origin"},
+            {"doc_id": 4, "text": "unrelated words entirely here", "lang": "en",
+             "source": "aa_origin"},
+        ],
+    )
+    con = _duck_docs(sf)
+    got = dedup.dup_rate_by_source(sf)
+    want = con.sql(
+        sqlgen.dup_rate_by_source_sql(
+            dedup.JACCARD_THRESHOLD, dedup.SHINGLE_K,
+            dedup.JACCARD_SHINGLE_DF_CAP,
+        )
+    ).fetch_arrow_table()
+    assert got.to_pylist() == want.to_pylist()
+    cells = {(r["source_a"], r["source_b"]): r["n_pairs"] for r in got.to_pylist()}
+    assert cells[("aa_origin", "zz_mirror")] == 2  # (1,2), (1,3)
+    assert cells[("aa_origin", "aa_origin")] == 1  # (2,3)
+
+
+# ---------------------------------------------------------------------------
 # user_activity_histogram
 # ---------------------------------------------------------------------------
 
