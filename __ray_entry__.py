@@ -615,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": textstats.lang_confusion,
         "quality_by_source": textstats.quality_by_source,
         "quality_zscore": textstats.quality_zscore,
+        "doc_bigram_logprob": textstats.bigram_logprob,
         "events_activity_histogram": events.user_activity_histogram,
         "events_active_users": events.weekly_active_users,
         "dedup_containment": dedup.containment_pairs,
@@ -890,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": sqlgen.lang_confusion_sql(),
         "quality_by_source": sqlgen.quality_by_source_sql(),
         "quality_zscore": sqlgen.quality_zscore_sql(),
+        "doc_bigram_logprob": sqlgen.bigram_logprob_sql(),
         "doc_split_assign": sampling_mod.doc_split_assign_sql(),
         "doc_substring_dup": sqlgen.substring_dup_sql(
             dedup_mod.SUBSTR_DUP_K, dedup_mod.SUBSTR_DUP_MIN_DF

@@ -455,6 +455,35 @@ FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
 """
 
 
+def bigram_logprob_sql() -> str:
+    """Bigram-LM twin (textstats.bigram_logprob — frozen pair: kept-token
+    adjacency pairs, p(b|a) = n_ab/n_a as DOUBLE division then ln, per-doc
+    mean rounded 4, docs with < 2 kept tokens emit (0, 0.0))."""
+    pos = pos_tokens_cte("documents", "doc_id", "text")
+    return f"""
+WITH kt AS ({pos}),
+pairs AS (
+  SELECT k1.doc_id AS doc_id, k1.term AS a, k2.term AS b
+  FROM kt k1 JOIN kt k2 ON k2.doc_id = k1.doc_id AND k2.p = k1.p + 1
+),
+dp AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tfp
+       FROM pairs GROUP BY 1, 2, 3),
+fab AS (SELECT a, b, CAST(SUM(tfp) AS BIGINT) AS n_ab FROM dp GROUP BY 1, 2),
+fa AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM fab GROUP BY 1),
+per AS (
+  SELECT dp.doc_id, CAST(SUM(dp.tfp) AS BIGINT) AS n_bigrams,
+         SUM(dp.tfp * ln(CAST(fab.n_ab AS DOUBLE) / fa.n_a)) AS lp
+  FROM dp JOIN fab USING (a, b) JOIN fa USING (a)
+  GROUP BY dp.doc_id
+)
+SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN COALESCE(per.n_bigrams, 0) = 0 THEN 0.0
+            ELSE round(per.lp / per.n_bigrams, 4) END AS avg_logprob
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def lang_id_sql() -> str:
     return _lang_pred_body() + "ORDER BY d.doc_id\n"
 

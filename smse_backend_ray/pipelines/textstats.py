@@ -1911,3 +1911,223 @@ def quality_zscore(sf_dir: str) -> pa.Table:
         empty_schema=oschema,
     )
     return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+def bigram_logprob(sf_dir: str) -> pa.Table:
+    """Per-doc average bigram conditional log-probability under the
+    corpus's own bigram LM — the order-2 sibling of unigram_logprob
+    (fluency beyond word choice: scrambled-word text scores low here
+    while passing the unigram signal):
+
+        p(b|a)    = n_ab / n_a          (n_a = bigrams starting with a)
+        avg_lp(d) = round( Σ_ab tf_d(ab)·ln p(b|a) / n_bigrams(d), 4 )
+                    (0.0 when the doc has < 2 kept tokens)
+
+    Frozen pair with sqlgen.bigram_logprob_sql: pairs are the
+    kept-position adjacency stream (the term_pair_counts pair identity),
+    p computed as double division THEN ln, per-doc mean rounded 4.
+
+    Scale shape — always the fully distributed join path (the bigram
+    vocabulary grows ~quadratically vs unigrams, so the unigram LM's
+    broadcast fast path would rarely apply and is deliberately absent):
+    per-batch (doc, pair) tf partials -> pair-bucketed corpus LM (n_ab)
+    plus a context rollup (n_a, derived FROM the n_ab table — one corpus
+    pair pass) -> two bucketed unique-key attaches -> doc-hash reduce
+    with the repo's fixed (doc_id, pair) accumulation order -> dl=0
+    attach_left. The LM never lands on the driver."""
+    import os as _os
+
+    import pyarrow.compute as pc
+
+    from smse_backend_ray.functions.analyzer import kept_tokens_batch
+    from smse_backend_ray.functions.joins import (
+        attach_left,
+        attach_unique,
+        grouped_aggregate,
+        with_schema,
+    )
+
+    nb_doc = _doc_buckets(sf_dir)
+    rows_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term_a", pa.string()),
+         ("pair", pa.string()), ("tfp", pa.int64())]
+    )
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        toks = kept_tokens_batch(batch["text"])
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        dl = np.diff(offs)
+        total = int(offs[-1])
+        if total < 2:
+            return rows_schema.empty_table()
+        keep = np.ones(total, dtype=bool)
+        ends = offs[1:][dl > 0] - 1
+        keep[ends] = False
+        idx = np.flatnonzero(keep)
+        if not len(idx):
+            return rows_schema.empty_table()
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc_of = dids[np.repeat(np.arange(len(dl), dtype=np.int64), dl)[idx]]
+        flat = toks.values
+        a = flat.take(pa.array(idx, type=pa.int64()))
+        b = flat.take(pa.array(idx + 1, type=pa.int64()))
+        g = (
+            pa.table(
+                {
+                    "doc_id": pa.array(doc_of, type=pa.int64()),
+                    "term_a": pc.cast(a, pa.string()),
+                    # kept tokens are alphanumeric runs, so ' ' can't
+                    # collide inside a term — same identity the SQL twin
+                    # groups on as (a, b)
+                    "pair": pc.binary_join_element_wise(
+                        pc.cast(a, pa.string()), pc.cast(b, pa.string()), " "
+                    ),
+                }
+            )
+            .group_by(["doc_id", "term_a", "pair"])
+            .aggregate([("pair", "count")])
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "term_a": g["term_a"],
+                "pair": g["pair"],
+                "tfp": pc.cast(g["pair_count"], pa.int64()),
+            }
+        )
+
+    def rows_ds():
+        return _read_documents(sf_dir).map_batches(
+            pair_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    fab_schema = pa.schema(
+        [("term_a", pa.string()), ("pair", pa.string()), ("n_ab", pa.int64())]
+    )
+    fab = with_schema(
+        grouped_aggregate(
+            rows_ds().map_batches(
+                lambda t: t.select(["term_a", "pair", "tfp"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            ["term_a", "pair"], [("tfp", "sum", "n_ab")], nb=nb_doc,
+        ),
+        fab_schema,
+    ).materialize()
+    fa = with_schema(
+        grouped_aggregate(
+            fab, ["term_a"], [("n_ab", "sum", "n_a")], nb=nb_doc
+        ),
+        pa.schema([("term_a", pa.string()), ("n_a", pa.int64())]),
+    ).materialize()
+
+    base = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+         ("avg_logprob", pa.float64())]
+    )
+
+    j1 = attach_unique(
+        rows_ds(), fab.map_batches(
+            lambda t: t.select(["pair", "n_ab"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        "pair", "pair", rows_schema, pa.schema([("n_ab", pa.int64())]),
+        nb=nb_doc,
+    )
+    j2 = attach_unique(
+        j1, fa, "term_a", "term_a",
+        pa.schema(list(rows_schema) + [("n_ab", pa.int64())]),
+        pa.schema([("n_a", pa.int64())]), nb=nb_doc,
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tfp = t["tfp"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = (
+            t["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+            / t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )  # frozen: divide THEN ln
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pair": t["pair"],
+                "lp": pa.array(tfp * np.log(p), type=pa.float64()),
+                "tfp": t["tfp"],
+            }
+        )
+
+    per_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lp_sum", pa.float64()),
+         ("n_bigrams", pa.int64())]
+    )
+
+    def reduce_fixed(g: pa.Table) -> pa.Table:
+        # fixed (doc_id, pair)-ascending accumulation — the repo's frozen
+        # float-sum convention (unigram_logprob.reduce_fixed)
+        if g.num_rows == 0:
+            return per_schema.empty_table()
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        pr = np.asarray(g["pair"].to_numpy(zero_copy_only=False), dtype=object)
+        order = np.lexsort((pr, d))
+        d_s = d[order]
+        lp_s = g["lp"].to_numpy(zero_copy_only=False)[order]
+        tf_s = g["tfp"].to_numpy(zero_copy_only=False)[order]
+        newseg = np.empty(len(d_s), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = d_s[1:] != d_s[:-1]
+        seg_id = np.cumsum(newseg) - 1
+        nseg = int(seg_id[-1]) + 1
+        lp_sum = np.zeros(nseg, dtype=np.float64)
+        np.add.at(lp_sum, seg_id, lp_s)
+        nb_ = np.zeros(nseg, dtype=np.int64)
+        np.add.at(nb_, seg_id, tf_s)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[newseg], type=pa.int64()),
+                "lp_sum": pa.array(lp_sum, type=pa.float64()),
+                "n_bigrams": pa.array(nb_, type=pa.int64()),
+            }
+        )
+
+    nbk = nb_doc
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((ids * np.uint64(2654435761)) % np.uint64(nbk)).astype(np.int64)
+        return t.append_column("__b", pa.array(b, type=pa.int64()))
+
+    per_doc = with_schema(
+        j2.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tag_doc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_fixed, batch_format="pyarrow"),
+        per_schema,
+    )
+    final = attach_left(
+        base, per_doc, "doc_id", "doc_id",
+        pa.schema([("doc_id", pa.int64())]),
+        pa.schema([("lp_sum", pa.float64()), ("n_bigrams", pa.int64())]),
+        nb=nb_doc,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nb_ = pc.fill_null(t["n_bigrams"], 0).to_numpy(zero_copy_only=False)
+        lp = pc.fill_null(t["lp_sum"], 0.0).to_numpy(zero_copy_only=False)
+        avg = np.zeros(len(nb_), dtype=np.float64)
+        nz = nb_ > 0
+        avg[nz] = round_half_away(lp[nz] / nb_[nz], 4)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(nb_, type=pa.int64()),
+                "avg_logprob": pa.array(avg, type=pa.float64()),
+            }
+        )
+
+    out = collect_table(
+        final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=out_schema,
+    )
+    return out.take(pc.sort_indices(out["doc_id"]))

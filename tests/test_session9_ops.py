@@ -269,6 +269,60 @@ def test_containment_catches_subset_jaccard_misses(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines.textstats import bigram_logprob
+
+    got = bigram_logprob(sf_dir)
+    want = duck.sql(sqlgen.bigram_logprob_sql()).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    assert got.num_rows == duck.sql("SELECT count(*) FROM documents").fetchone()[0]
+    for r in got.to_pylist():
+        assert r["avg_logprob"] <= 0.0  # ln p <= 0 always
+
+
+def test_bigram_logprob_hand_fixture(ray_session, tmp_path):
+    """Known tiny LM: corpus bigram counts (xx,yy)=2 (yy,xx)=2 (xx,zz)=1,
+    contexts xx->3 yy->2; short docs (< 2 kept tokens) freeze (0, 0.0)."""
+    import math
+
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.functions.rounding import round_half_away
+    from smse_backend_ray.pipelines.textstats import bigram_logprob
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": 0, "text": "", "lang": "en", "source": "s"},
+            {"doc_id": 1, "text": "foo", "lang": "en", "source": "s"},
+            {"doc_id": 2, "text": "xx yy xx yy xx", "lang": "en", "source": "s"},
+            {"doc_id": 3, "text": "xx zz", "lang": "en", "source": "s"},
+        ],
+    )
+    con = _duck_docs(sf)
+    got = bigram_logprob(sf)
+    want = con.sql(sqlgen.bigram_logprob_sql()).fetch_arrow_table()
+    assert got.to_pylist() == want.to_pylist()
+    rows = {r["doc_id"]: r for r in got.to_pylist()}
+    assert rows[0] == {"doc_id": 0, "n_bigrams": 0, "avg_logprob": 0.0}
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["avg_logprob"] == 0.0
+    # d2: 2*ln(2/3) + 2*ln(2/2) over 4 bigrams
+    assert rows[2]["n_bigrams"] == 4
+    assert rows[2]["avg_logprob"] == round_half_away(
+        (2 * math.log(2.0 / 3.0)) / 4.0, 4
+    )
+    # d3: ln(1/3) over 1 bigram
+    assert rows[3]["avg_logprob"] == round_half_away(math.log(1.0 / 3.0), 4)
+    # diagnostic property: the repetitive doc is more "fluent" under the
+    # corpus LM than the rare-bigram doc
+    assert rows[2]["avg_logprob"] > rows[3]["avg_logprob"]
+
+
+# ---------------------------------------------------------------------------
 # dup_rate_by_source
 # ---------------------------------------------------------------------------
 
