@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_logprob": textstats.bigram_logprob,
         "events_activity_histogram": events.user_activity_histogram,
         "events_active_users": events.weekly_active_users,
+        "events_gap_quantiles": events.event_gap_quantiles,
         "dedup_containment": dedup.containment_pairs,
         "dup_rate_by_source": dedup.dup_rate_by_source,
         "dedup_survivors": dedup.dedup_survivors,
@@ -888,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_transitions": events_mod.event_type_transitions_sql(),
         "events_activity_histogram": events_mod.user_activity_histogram_sql(),
         "events_active_users": events_mod.weekly_active_users_sql(),
+        "events_gap_quantiles": events_mod.event_gap_quantiles_sql(),
         "lang_confusion": sqlgen.lang_confusion_sql(),
         "quality_by_source": sqlgen.quality_by_source_sql(),
         "quality_zscore": sqlgen.quality_zscore_sql(),

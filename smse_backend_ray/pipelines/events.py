@@ -1783,3 +1783,172 @@ SELECT wau.week AS week, wau.wau AS wau, mau.mau AS mau,
 FROM wau JOIN mau ON mau.week = wau.week
 ORDER BY week
 """
+
+
+def event_gap_quantiles(sf_dir: str) -> pa.Table:
+    """Per-event-type inter-arrival time quantiles: the distribution of
+    whole-second gaps between a user's consecutive events of the same
+    type — the cadence profile read before choosing session timeouts and
+    window sizes (probs = config.EV_QUANTILES, in seconds).
+
+    Frozen pair with ``event_gap_quantiles_sql``: gaps are over the
+    frozen (ts ASC, event_id ASC) order within (user_id, event_type)
+    (each stream's first event emits nothing); gap_sec = (ts_us -
+    prev_us) // 1_000_000 — gaps are NON-NEGATIVE so DuckDB's truncating
+    // equals numpy's floor here (the signed-epoch trap doesn't apply);
+    quantiles = the DL_QUANTILES linear interpolation over the sorted
+    int seconds, rounded 4.
+
+    Scale shape: one user-hash exchange (users disjoint, so per-bucket
+    gap extraction is exact); whole-second quantization bounds the
+    histogram by the time RANGE, not the event count, so the
+    (type, gap_sec) partials fold on the driver like
+    event_value_quantiles."""
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import grouped_aggregate, with_schema
+
+    probs = tuple(config.EV_QUANTILES)
+    pcols = [f"p{int(round(q * 100)):d}" for q in probs]
+    out_fields = [("event_type", pa.string()), ("n_gaps", pa.int64())] + [
+        (c, pa.float64()) for c in pcols
+    ]
+    out_schema = pa.schema(out_fields)
+    nb = _n_user_buckets()
+
+    def pre(t: pa.Table) -> pa.Table:
+        return _user_bucket_rows(
+            pa.table(
+                {
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "ts": t["ts"],
+                    "event_id": pc.cast(t["event_id"], pa.int64()),
+                    "event_type": t["event_type"],
+                }
+            ),
+            nb,
+        )
+
+    hist_schema = pa.schema(
+        [("event_type", pa.string()), ("gap_sec", pa.int64()),
+         ("cnt", pa.int64())]
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return hist_schema.empty_table()
+        u = g["user_id"].to_numpy()
+        ts = _epoch_us(g["ts"])
+        eid = g["event_id"].to_numpy()
+        et_obj = np.asarray(
+            g["event_type"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        _, codes = np.unique(et_obj, return_inverse=True)
+        order = np.lexsort((eid, ts, codes, u))
+        u_s, c_s, ts_s = u[order], codes[order], ts[order]
+        n = len(u_s)
+        if n < 2:
+            return hist_schema.empty_table()
+        same = (u_s[1:] == u_s[:-1]) & (c_s[1:] == c_s[:-1])
+        idx = np.flatnonzero(same) + 1
+        if not len(idx):
+            return hist_schema.empty_table()
+        gap_sec = (ts_s[idx] - ts_s[idx - 1]) // 1_000_000  # non-negative
+        h = (
+            pa.table(
+                {
+                    "event_type": pa.array(
+                        et_obj[order][idx].tolist(), type=pa.string()
+                    ),
+                    "gap_sec": pa.array(gap_sec, type=pa.int64()),
+                }
+            )
+            .group_by(["event_type", "gap_sec"])
+            .aggregate([("gap_sec", "count")])
+        )
+        return pa.table(
+            {"event_type": h["event_type"], "gap_sec": h["gap_sec"],
+             "cnt": pc.cast(h["gap_sec_count"], pa.int64())}
+        )
+
+    hist = with_schema(
+        _read_events(sf_dir)
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        hist_schema,
+    )
+    t = collect_table(hist, empty_schema=hist_schema)
+    if not t.num_rows:
+        return out_schema.empty_table()
+    t = (
+        t.group_by(["event_type", "gap_sec"]).aggregate([("cnt", "sum")])
+    )
+    t = pa.table(
+        {"event_type": t["event_type"], "gap_sec": t["gap_sec"],
+         "cnt": pc.cast(t["cnt_sum"], pa.int64())}
+    )
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("event_type", "ascending"), ("gap_sec", "ascending")]
+        )
+    )
+    types = t["event_type"].to_numpy(zero_copy_only=False)
+    vals = t["gap_sec"].to_numpy().astype(np.float64)
+    cnts = t["cnt"].to_numpy()
+    new = np.empty(len(types), dtype=bool)
+    new[0] = True
+    new[1:] = types[1:] != types[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(types))
+    out_rows: dict[str, list] = {f: [] for f, _ in out_fields}
+    for s, e in zip(starts, ends):
+        v = vals[s:e]
+        w = cnts[s:e]
+        cum = np.cumsum(w)
+        nn = int(cum[-1])
+        out_rows["event_type"].append(str(types[s]))
+        out_rows["n_gaps"].append(nn)
+        for q, col in zip(probs, pcols):
+            pos = q * (nn - 1)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            v_lo = v[np.searchsorted(cum, lo + 1, side="left")]
+            v_hi = v[np.searchsorted(cum, hi + 1, side="left")]
+            val = v_lo + (pos - lo) * (v_hi - v_lo)
+            out_rows[col].append(
+                float(round_half_away(np.array([val]), 4)[0])
+            )
+    return pa.table(
+        {f: pa.array(out_rows[f], type=ty) for f, ty in out_fields}
+    )
+
+
+def event_gap_quantiles_sql() -> str:
+    """DuckDB twin of event_gap_quantiles — LAG over the frozen
+    (ts, event_id) per-(user, type) order, truncating // on the
+    non-negative µs gap, quantile_cont over int seconds, round4."""
+    from smse_backend_ray import config
+
+    probs = tuple(config.EV_QUANTILES)
+    cols = ",\n       ".join(
+        f"round(quantile_cont(gap_sec, {q!r}), 4) "
+        f"AS p{int(round(q * 100)):d}"
+        for q in probs
+    )
+    return f"""
+WITH s AS (
+  SELECT event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT) - CAST(epoch_us(prev) AS BIGINT))
+           // 1000000 AS gap_sec
+  FROM s WHERE prev IS NOT NULL
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       {cols}
+FROM g GROUP BY event_type ORDER BY event_type
+"""

@@ -466,6 +466,67 @@ def test_weekly_active_users_window_fixture(ray_session, tmp_path):
     assert by_week[d(2024, 1, 29)]["stickiness"] == 0.3333
 
 
+def test_event_gap_quantiles_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.pipelines.events import (
+        event_gap_quantiles,
+        event_gap_quantiles_sql,
+    )
+
+    got = event_gap_quantiles(sf_dir)
+    want = duck.sql(event_gap_quantiles_sql()).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    for r in got.to_pylist():
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p90"]
+        assert r["p25"] >= 0.0
+
+
+def test_event_gap_quantiles_stream_isolation(ray_session, tmp_path):
+    """Gaps never cross user or type boundaries: interleaved streams with
+    known gaps — user 1 'a' events 10s apart, user 1 'b' events 100s
+    apart, user 2 'a' events 7s apart — yield exactly those per-type gap
+    populations (tied timestamps break by event_id)."""
+    import datetime
+
+    from smse_backend_ray.pipelines.events import (
+        event_gap_quantiles,
+        event_gap_quantiles_sql,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+
+    def add(uid, typ, offsets):
+        nonlocal eid
+        for o in offsets:
+            rows.append(
+                {"event_id": eid, "ts": t0 + datetime.timedelta(seconds=o),
+                 "user_id": uid, "event_type": typ, "value": 1.0,
+                 "props": "{}"}
+            )
+            eid += 1
+
+    add(1, "a", [0, 10, 20, 30])      # gaps 10, 10, 10
+    add(1, "b", [0, 100, 200])        # gaps 100, 100
+    add(2, "a", [5, 12, 19])          # gaps 7, 7
+    sf = _write_events(tmp_path, rows)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{sf}/events.parquet')"
+    )
+    got = event_gap_quantiles(sf)
+    want = con.sql(event_gap_quantiles_sql()).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    by_type = {r["event_type"]: r for r in got.to_pylist()}
+    # type a gaps: [7, 7, 10, 10, 10] -> p50 = 10.0, p25 = 7.0
+    assert by_type["a"]["n_gaps"] == 5
+    assert by_type["a"]["p50"] == 10.0
+    assert by_type["a"]["p25"] == 7.0
+    # type b gaps: [100, 100]
+    assert by_type["b"]["n_gaps"] == 2
+    assert by_type["b"]["p50"] == 100.0
+
+
 def test_user_activity_histogram_power_of_two_edges(ray_session, tmp_path):
     """Exact bit-length bucketing at the boundaries: counts 1,2,3,4,7,8
     land in buckets 0,1,1,2,2,3 on BOTH sides (no float log anywhere —
