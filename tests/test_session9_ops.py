@@ -527,6 +527,28 @@ def test_event_gap_quantiles_stream_isolation(ray_session, tmp_path):
     assert by_type["b"]["p50"] == 100.0
 
 
+def test_session9_ops_bucket_invariant(ray_session, sf_dir, monkeypatch):
+    """Partition invariance for the session-9 distributed operators:
+    every per-user / per-doc group lives entirely inside one hash
+    bucket, so forcing the exchange to 1 or 97 buckets must reproduce
+    identical tables (the repo's standard containment pin)."""
+    from smse_backend_ray.pipelines import events, textstats
+
+    base = {
+        "hist": events.user_activity_histogram(sf_dir),
+        "wau": events.weekly_active_users(sf_dir),
+        "gaps": events.event_gap_quantiles(sf_dir),
+        "bigram": textstats.bigram_logprob(sf_dir),
+    }
+    for forced in (1, 97):
+        monkeypatch.setattr(events, "_n_user_buckets", lambda: forced)
+        monkeypatch.setattr(textstats, "_doc_buckets", lambda *a, **k: forced)
+        assert events.user_activity_histogram(sf_dir).equals(base["hist"])
+        assert events.weekly_active_users(sf_dir).equals(base["wau"])
+        assert events.event_gap_quantiles(sf_dir).equals(base["gaps"])
+        assert textstats.bigram_logprob(sf_dir).equals(base["bigram"])
+
+
 def test_user_activity_histogram_power_of_two_edges(ray_session, tmp_path):
     """Exact bit-length bucketing at the boundaries: counts 1,2,3,4,7,8
     land in buckets 0,1,1,2,2,3 on BOTH sides (no float log anywhere —
