@@ -433,3 +433,118 @@ def test_running_totals_twin_random_events(ray_session, tmp_path_factory, rows):
     want = con.sql(events.user_running_totals_sql()).arrow()
     assert got.to_pylist() == want.to_pylist()
     con.close()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),           # user
+            st.integers(min_value=0, max_value=40 * 86400),  # ts seconds
+            st.sampled_from(["a", "b", "c"]),                # event_type
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_session9_event_twins_random_logs(ray_session, tmp_path_factory, rows):
+    """user_activity_histogram / weekly_active_users / event_gap_quantiles
+    stay twin-exact on random event logs with clustered ts ties, week
+    boundaries, and multi-type interleaving."""
+    import datetime
+
+    from smse_backend_ray.pipelines import events
+
+    t0 = datetime.datetime(2024, 1, 1)
+    d = tmp_path_factory.mktemp("rand_events9")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array(
+                [t0 + datetime.timedelta(seconds=r[1]) for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows), type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'events.parquet')}')"
+    )
+    for fn, sql in [
+        (events.user_activity_histogram, events.user_activity_histogram_sql()),
+        (events.event_gap_quantiles, events.event_gap_quantiles_sql()),
+    ]:
+        got = fn(str(d))
+        want = con.sql(sql).arrow()
+        assert got.to_pylist() == want.to_pylist(), fn.__name__
+    got = events.weekly_active_users(str(d))
+    want = con.sql(events.weekly_active_users_sql()).arrow().cast(got.schema)
+    assert got.to_pylist() == want.to_pylist(), "weekly_active_users"
+    con.close()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab corn the and 0123 \n\t.",
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_session9_doc_twins_random_corpora(
+    ray_session, tmp_path_factory, texts, seed
+):
+    """lang_confusion / quality_by_source / quality_zscore /
+    bigram_logprob stay twin-exact on adversarial short texts (digits,
+    stopwords, whitespace runs, empty docs, sparse doc_ids)."""
+    import numpy as np
+
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import textstats as ts
+
+    rng = np.random.RandomState(seed % (2**31))
+    n = len(texts)
+    ids = sorted(rng.choice(10**7, size=n, replace=False).tolist())
+    d = tmp_path_factory.mktemp("rand_docs9")
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array([["en", "de", "zh"][i % 3] for i in range(n)]),
+            "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}')"
+    )
+    for fn, sql in [
+        (ts.lang_confusion, sqlgen.lang_confusion_sql()),
+        (ts.quality_by_source, sqlgen.quality_by_source_sql()),
+        (ts.quality_zscore, sqlgen.quality_zscore_sql()),
+        (ts.bigram_logprob, sqlgen.bigram_logprob_sql()),
+    ]:
+        got = fn(str(d))
+        want = con.sql(sql).arrow()
+        assert got.to_pylist() == want.to_pylist(), fn.__name__
+    con.close()
