@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_quantiles": events.event_gap_quantiles,
         "dedup_containment": dedup.containment_pairs,
         "dup_rate_by_source": dedup.dup_rate_by_source,
+        "dedup_impact": dedup.dedup_impact,
         "dedup_survivors": dedup.dedup_survivors,
         "doc_chunks": textstats.doc_chunks,
         "doc_pack_bins": packing.pack_bins,
@@ -843,6 +844,11 @@ def oracle_sql() -> dict[str, str]:
             dedup_mod.JACCARD_SHINGLE_DF_CAP,
         ),
         "dup_rate_by_source": sqlgen.dup_rate_by_source_sql(
+            dedup_mod.JACCARD_THRESHOLD,
+            dedup_mod.SHINGLE_K,
+            dedup_mod.JACCARD_SHINGLE_DF_CAP,
+        ),
+        "dedup_impact": sqlgen.dedup_impact_sql(
             dedup_mod.JACCARD_THRESHOLD,
             dedup_mod.SHINGLE_K,
             dedup_mod.JACCARD_SHINGLE_DF_CAP,

@@ -647,6 +647,38 @@ ORDER BY inter.a, inter.b
 """
 
 
+def dedup_impact_sql(
+    threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
+) -> str:
+    """Twin of dedup.dedup_impact — keep-list from dedup_clusters_sql (the
+    ONE cluster definition), RAW non-empty subtoken counts, round4 exact-
+    int keep rates, 0.0 on empty denominators."""
+    inner = dedup_clusters_sql(threshold, k, df_cap)
+    return f"""
+WITH cl AS ({inner}),
+losers AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+raw AS ({_doc_raw_tokens()}),
+rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM raw GROUP BY doc_id),
+dd AS (
+  SELECT d.doc_id, COALESCE(rc.n, 0) AS n,
+         d.doc_id NOT IN (SELECT doc_id FROM losers) AS keep
+  FROM documents d LEFT JOIN rc ON rc.doc_id = d.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_survivors,
+  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_subtokens,
+  CAST(COALESCE(SUM(CASE WHEN keep THEN n ELSE 0 END), 0) AS BIGINT)
+    AS n_subtokens_surviving,
+  CASE WHEN count(*) = 0 THEN 0.0
+       ELSE round(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 4) END AS doc_keep_rate,
+  CASE WHEN COALESCE(SUM(n), 0) = 0 THEN 0.0
+       ELSE round(CAST(SUM(CASE WHEN keep THEN n ELSE 0 END) AS DOUBLE)
+                  / SUM(n), 4) END AS token_keep_rate
+FROM dd
+"""
+
+
 def dup_rate_by_source_sql(
     threshold: float, k: int, df_cap: int = JACCARD_SHINGLE_DF_CAP
 ) -> str:

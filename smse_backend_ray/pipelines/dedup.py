@@ -1760,3 +1760,79 @@ def dup_rate_by_source(
             sort_keys=[("source_a", "ascending"), ("source_b", "ascending")],
         )
     )
+
+
+def dedup_impact(
+    sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> pa.Table:
+    """One-row dedup impact report: corpus size before/after the near-dup
+    keep-list, in docs AND raw subtokens — the "how much data did dedup
+    cost us" number a pipeline owner reads before signing off on a
+    training corpus.
+
+    Frozen pair with sqlgen.dedup_impact_sql: the keep-list is EXACTLY
+    dedup_survivors' rule (losers = non-representative members of
+    dedup_clusters; the twin composes dedup_clusters_sql so the cluster
+    set can't fork); n_subtokens = RAW non-empty subtoken count (the
+    token_stats n_subtokens stream); keep rates = round4 of exact-int
+    double divisions, 0.0 on an empty denominator.
+
+    Scale shape: losers are candidate-bounded (rows of dedup_clusters —
+    the same bound dedup_survivors ships into its anti-join), broadcast
+    once via ray.put; the corpus streams ONE pass of per-batch
+    (docs, survivors, subtokens, surviving subtokens) int partials that
+    fold to a single driver row."""
+    from smse_backend_ray.functions.analyzer import _flat_subtokens
+
+    clusters = dedup_clusters(sf_dir, threshold)
+    losers = clusters.filter(
+        pc.not_equal(clusters["doc_id"], clusters["cluster_id"])
+    )["doc_id"].combine_chunks()
+    losers_ref = ray.put(losers)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, doc_idx, n = _flat_subtokens(t["text"])
+        ne = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        n_raw = np.bincount(doc_idx[ne], minlength=n).astype(np.int64)
+        keep = pc.invert(
+            pc.is_in(pc.cast(t["doc_id"], pa.int64()), value_set=ray.get(losers_ref))
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_docs": pa.array([n], type=pa.int64()),
+                "n_survivors": pa.array([int(keep.sum())], type=pa.int64()),
+                "n_subtokens": pa.array([int(n_raw.sum())], type=pa.int64()),
+                "n_subtokens_surviving": pa.array(
+                    [int(n_raw[keep].sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    pschema = pa.schema(
+        [("n_docs", pa.int64()), ("n_survivors", pa.int64()),
+         ("n_subtokens", pa.int64()), ("n_subtokens_surviving", pa.int64())]
+    )
+    t = collect_table(
+        _read_documents(sf_dir).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema=pschema,
+    )
+    nd = int(pc.sum(t["n_docs"]).as_py() or 0)
+    ns = int(pc.sum(t["n_survivors"]).as_py() or 0)
+    nt = int(pc.sum(t["n_subtokens"]).as_py() or 0)
+    nts = int(pc.sum(t["n_subtokens_surviving"]).as_py() or 0)
+    from smse_backend_ray.functions.rounding import round_half_away
+
+    dkr = float(round_half_away(np.array([ns / nd]), 4)[0]) if nd else 0.0
+    tkr = float(round_half_away(np.array([nts / nt]), 4)[0]) if nt else 0.0
+    return pa.table(
+        {
+            "n_docs": pa.array([nd], type=pa.int64()),
+            "n_survivors": pa.array([ns], type=pa.int64()),
+            "n_subtokens": pa.array([nt], type=pa.int64()),
+            "n_subtokens_surviving": pa.array([nts], type=pa.int64()),
+            "doc_keep_rate": pa.array([dkr], type=pa.float64()),
+            "token_keep_rate": pa.array([tkr], type=pa.float64()),
+        }
+    )

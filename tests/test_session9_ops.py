@@ -377,6 +377,64 @@ def test_dup_rate_by_source_cross_source_fixture(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# dedup_impact
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_impact_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import dedup
+
+    got = dedup.dedup_impact(sf_dir)
+    want = duck.sql(
+        sqlgen.dedup_impact_sql(
+            dedup.JACCARD_THRESHOLD, dedup.SHINGLE_K,
+            dedup.JACCARD_SHINGLE_DF_CAP,
+        )
+    ).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    r = got.to_pylist()[0]
+    # consistency with the keep-list entry itself
+    assert r["n_survivors"] == dedup.dedup_survivors(sf_dir).num_rows
+    assert 0 < r["n_survivors"] <= r["n_docs"]
+    assert 0 < r["n_subtokens_surviving"] <= r["n_subtokens"]
+
+
+def test_dedup_impact_fixture(ray_session, tmp_path):
+    """Three identical docs + one unique: keep-list keeps the min doc_id
+    of the cluster, so docs 2/3 (and exactly their subtokens) drop."""
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines import dedup
+
+    text = "alpha beta gamma delta epsilon zeta"
+    sf = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": 1, "text": text, "lang": "en", "source": "s"},
+            {"doc_id": 2, "text": text, "lang": "en", "source": "s"},
+            {"doc_id": 3, "text": text, "lang": "en", "source": "s"},
+            {"doc_id": 4, "text": "unrelated words here", "lang": "en",
+             "source": "s"},
+        ],
+    )
+    con = _duck_docs(sf)
+    got = dedup.dedup_impact(sf)
+    want = con.sql(
+        sqlgen.dedup_impact_sql(
+            dedup.JACCARD_THRESHOLD, dedup.SHINGLE_K,
+            dedup.JACCARD_SHINGLE_DF_CAP,
+        )
+    ).fetch_arrow_table()
+    assert got.to_pylist() == want.to_pylist()
+    r = got.to_pylist()[0]
+    assert r["n_docs"] == 4 and r["n_survivors"] == 2
+    assert r["n_subtokens"] == 6 + 6 + 6 + 3
+    assert r["n_subtokens_surviving"] == 6 + 3
+    assert r["doc_keep_rate"] == 0.5
+    assert r["token_keep_rate"] == 0.4286  # 9/21 round4
+
+
+# ---------------------------------------------------------------------------
 # user_activity_histogram
 # ---------------------------------------------------------------------------
 
