@@ -412,3 +412,12 @@ PAIR_TOP_N = 50
 # round(d*100)) in 1e-4-dollar units, grouped by (supplier nation,
 # order year), ordered (nation ASC, o_year DESC).
 Q9_PART_WORD = "widget"
+
+# vocab_growth (textstats.vocab_growth <-> sqlgen.vocab_growth_sql): the
+# Heaps-law vocabulary growth curve is measured over the FROZEN shuffle
+# order (sampling.doc_shuffle's rank — random order is the standard way
+# to plot vocab growth, and the shuffle rank is already a frozen,
+# partition-invariant quantity). Grid points are INTEGER percents of the
+# corpus, prefix size k = (pct*N + 99) // 100 — exact integer ceil, never
+# a float multiply (0.1*500 = 50.000000000000007 would ceil to 51).
+VOCAB_GRID_PCT = (10, 25, 50, 75, 100)

@@ -552,6 +552,36 @@ ORDER BY q.doc_id
 """
 
 
+def vocab_growth_sql() -> str:
+    """Twin of textstats.vocab_growth — the Heaps-law curve over the frozen
+    shuffle order (sampling._key_sql rank), k = (pct*N + 99) // 100 in
+    exact INTEGER arithmetic on both sides (DuckDB's truncating // equals
+    floor here because every operand is non-negative; never a float
+    ceil)."""
+    from smse_backend_ray.config import VOCAB_GRID_PCT
+    from smse_backend_ray.pipelines.sampling import _key_sql
+
+    rows = ", ".join(f"({int(p)})" for p in VOCAB_GRID_PCT)
+    return f"""
+WITH keyed AS (SELECT doc_id, {_key_sql()} AS sk FROM documents),
+rk AS (SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY sk, doc_id) - 1 AS BIGINT) AS rank
+       FROM keyed),
+kept AS ({_doc_kept_tokens()}),
+dt AS (SELECT DISTINCT doc_id, term FROM kept),
+tm AS (SELECT dt.term, MIN(rk.rank) AS r
+       FROM dt JOIN rk ON rk.doc_id = dt.doc_id GROUP BY dt.term),
+g AS (SELECT v.pct AS pct,
+        (v.pct * (SELECT count(*) FROM documents) + 99) // 100 AS k
+      FROM (VALUES {rows}) v(pct))
+SELECT CAST(g.pct AS BIGINT) AS pct,
+       CAST(g.k AS BIGINT) AS n_prefix_docs,
+       CAST((SELECT count(*) FROM tm WHERE tm.r < g.k) AS BIGINT) AS vocab
+FROM g
+ORDER BY pct
+"""
+
+
 def fingerprint_sql() -> str:
     return "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id"
 

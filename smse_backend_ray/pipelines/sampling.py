@@ -338,23 +338,18 @@ ORDER BY d.doc_id
 """
 
 
-def doc_shuffle(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
-    """Deterministic corpus shuffle: assign every doc a global training-order
-    rank — the epoch-ordering step a training pipeline runs before packing.
-    Membership in a rank depends only on doc_id (same frozen Knuth key as
-    doc_sample), never on run order, partitioning or a driver seed.
+_SHUFFLE_SCHEMA = pa.schema(
+    [("rank", pa.int64()), ("doc_id", pa.int64()), ("shuffle_key", pa.int64())]
+)
 
-    Frozen pair with ``doc_shuffle_sql``: shuffle_key = sample_key(doc_id)
-    (exact mod-2^32 Knuth multiplicative hash); rank = 0-based position in
-    (shuffle_key ASC, doc_id ASC) order. Output (rank, doc_id, shuffle_key)
-    ordered by rank.
 
-    Scale shape: the classic two-level scan (same machinery as
-    packing.pack_bins) but over KEY ranges: keys are uniform on [0, 2^32)
-    by construction, so R equal-width key ranges are balanced for ANY
-    doc_id distribution; per-range counts (R scalars) give the driver the
-    exclusive rank offsets; each fat range then sorts (key, doc_id) and
-    adds its base — O(ranges) driver state, one exchange, no global sort."""
+def shuffle_ranks_ds(sf_dir: str, n_ranges: int | None = None):
+    """The distributed rank-assignment core of doc_shuffle, exposed as a
+    DATASET (rank, doc_id, shuffle_key) so downstream operators
+    (textstats.vocab_growth) can consume ranks without a driver
+    materialization. Returns None when the corpus is empty. Semantics
+    frozen with doc_shuffle/doc_shuffle_sql — this IS doc_shuffle minus
+    the final collect."""
     import pyarrow.compute as pc
 
     from smse_backend_ray.functions.joins import cpu_scaled_buckets
@@ -363,10 +358,6 @@ def doc_shuffle(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
         mult=4, floor=8,
         rows=_parquet_rows(os.path.join(sf_dir, "documents.parquet")),
     )  # rows hint only lowers R; rank output is R-invariant by test
-    out_schema = pa.schema(
-        [("rank", pa.int64()), ("doc_id", pa.int64()),
-         ("shuffle_key", pa.int64())]
-    )
 
     def keyed(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -401,7 +392,7 @@ def doc_shuffle(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
         empty_schema=pa.schema([("rid", pa.int64()), ("n", pa.int64())]),
     )
     if not part.num_rows:
-        return out_schema.empty_table()
+        return None
     counts = np.zeros(R, dtype=np.int64)
     np.add.at(counts, part["rid"].to_numpy(), part["n"].to_numpy())
     base = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -424,10 +415,33 @@ def doc_shuffle(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
             }
         )
 
-    out = collect_table(
-        keyed_ds.groupby("rid").map_groups(per_range, batch_format="pyarrow"),
-        empty_schema=out_schema,
-    )
+    return keyed_ds.groupby("rid").map_groups(per_range, batch_format="pyarrow")
+
+
+def doc_shuffle(sf_dir: str, n_ranges: int | None = None) -> pa.Table:
+    """Deterministic corpus shuffle: assign every doc a global training-order
+    rank — the epoch-ordering step a training pipeline runs before packing.
+    Membership in a rank depends only on doc_id (same frozen Knuth key as
+    doc_sample), never on run order, partitioning or a driver seed.
+
+    Frozen pair with ``doc_shuffle_sql``: shuffle_key = sample_key(doc_id)
+    (exact mod-2^32 Knuth multiplicative hash); rank = 0-based position in
+    (shuffle_key ASC, doc_id ASC) order. Output (rank, doc_id, shuffle_key)
+    ordered by rank.
+
+    Scale shape: the classic two-level scan (same machinery as
+    packing.pack_bins) but over KEY ranges: keys are uniform on [0, 2^32)
+    by construction, so R equal-width key ranges are balanced for ANY
+    doc_id distribution; per-range counts (R scalars) give the driver the
+    exclusive rank offsets; each fat range then sorts (key, doc_id) and
+    adds its base — O(ranges) driver state, one exchange, no global sort
+    (the ranked stream itself is shuffle_ranks_ds)."""
+    import pyarrow.compute as pc
+
+    ds = shuffle_ranks_ds(sf_dir, n_ranges)
+    if ds is None:
+        return _SHUFFLE_SCHEMA.empty_table()
+    out = collect_table(ds, empty_schema=_SHUFFLE_SCHEMA)
     return out.take(pc.sort_indices(out["rank"]))
 
 

@@ -2131,3 +2131,109 @@ def bigram_logprob(sf_dir: str) -> pa.Table:
         empty_schema=out_schema,
     )
     return out.take(pc.sort_indices(out["doc_id"]))
+
+
+def vocab_growth(sf_dir: str) -> pa.Table:
+    """Heaps-law vocabulary growth curve: distinct kept terms seen within
+    the first k docs of the FROZEN shuffle order, for k at integer-percent
+    grid points of the corpus (config.VOCAB_GRID_PCT) — the sub-linear
+    curve a tokenizer-budget / OOV analysis reads before sizing a vocab.
+
+    Frozen pair with sqlgen.vocab_growth_sql: order = doc_shuffle's rank
+    (the frozen Knuth-key shuffle — random order is how Heaps' law is
+    measured, and the rank is already a frozen partition-invariant
+    quantity); k = (pct*N + 99) // 100 (exact integer ceil, never a
+    float multiply); vocab(k) = count of kept terms whose MIN rank < k.
+
+    Scale shape: the two-level shuffle rank stays a DATASET
+    (sampling.shuffle_ranks_ds), attaches to the distinct (doc, term)
+    stream with one bucketed unique-key join, min-rank per term is one
+    grouped exchange, and the curve itself is a |grid|-bounded histogram
+    fold (searchsorted bucket per term, partial counts per block) — the
+    vocabulary never lands on the driver."""
+    import os as _os
+
+    import pyarrow.compute as pc
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.joins import (
+        attach_unique,
+        grouped_aggregate,
+        with_schema,
+    )
+    from smse_backend_ray.pipelines import sampling
+
+    grid = tuple(int(p) for p in config.VOCAB_GRID_PCT)
+    n_docs = _parquet_rows(_os.path.join(sf_dir, "documents.parquet"))
+    ks = [(p * n_docs + 99) // 100 for p in grid]
+    out_schema = pa.schema(
+        [("pct", pa.int64()), ("n_prefix_docs", pa.int64()),
+         ("vocab", pa.int64())]
+    )
+
+    def curve(vocab_at: list[int]) -> pa.Table:
+        return pa.table(
+            {
+                "pct": pa.array(list(grid), type=pa.int64()),
+                "n_prefix_docs": pa.array(ks, type=pa.int64()),
+                "vocab": pa.array(vocab_at, type=pa.int64()),
+            }
+        )
+
+    ranks = sampling.shuffle_ranks_ds(sf_dir)
+    if ranks is None:
+        return curve([0] * len(grid))
+
+    nb_doc = _doc_buckets(sf_dir)
+    rows_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+    joined = attach_unique(
+        _read_documents(sf_dir).map_batches(
+            _term_rows_batch, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ranks.map_batches(
+            lambda t: t.select(["doc_id", "rank"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        "doc_id", "doc_id", rows_schema, pa.schema([("rank", pa.int64())]),
+        nb=nb_doc,
+    )
+    tm = with_schema(
+        grouped_aggregate(
+            joined.map_batches(
+                lambda t: t.select(["term", "rank"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            ["term"], [("rank", "min", "r")], nb=nb_doc,
+        ),
+        pa.schema([("term", pa.string()), ("r", pa.int64())]),
+    )
+    ks_arr = np.asarray(ks, dtype=np.int64)
+
+    hist_schema = pa.schema([("b", pa.int64()), ("cnt", pa.int64())])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return hist_schema.empty_table()
+        r = t["r"].to_numpy()
+        # bucket = index of the FIRST grid point with r < k
+        b = np.searchsorted(ks_arr, r, side="right")
+        g = (
+            pa.table({"b": pa.array(b, type=pa.int64())})
+            .group_by("b")
+            .aggregate([("b", "count")])
+        )
+        return pa.table(
+            {"b": g["b"], "cnt": pc.cast(g["b_count"], pa.int64())}
+        )
+
+    h = collect_table(
+        tm.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
+        empty_schema=hist_schema,
+    )
+    counts = np.zeros(len(grid) + 1, dtype=np.int64)
+    if h.num_rows:
+        np.add.at(counts, h["b"].to_numpy(), h["cnt"].to_numpy())
+    vocab_at = np.cumsum(counts[: len(grid)]).tolist()
+    return curve(vocab_at)

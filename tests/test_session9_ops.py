@@ -377,6 +377,63 @@ def test_dup_rate_by_source_cross_source_fixture(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# vocab_growth
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines.textstats import vocab_growth
+
+    got = vocab_growth(sf_dir)
+    want = duck.sql(sqlgen.vocab_growth_sql()).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    rows = got.to_pylist()
+    # monotone non-decreasing curve; pct=100 is the full vocabulary
+    for a, b in zip(rows, rows[1:]):
+        assert a["vocab"] <= b["vocab"]
+        assert a["n_prefix_docs"] <= b["n_prefix_docs"]
+    full_vocab = duck.sql(
+        "SELECT count(DISTINCT term) FROM ("
+        + sqlgen._doc_kept_tokens() + ")"
+    ).fetchone()[0]
+    assert rows[-1]["pct"] == 100
+    assert rows[-1]["vocab"] == full_vocab
+
+
+def test_vocab_growth_integer_ceil_boundary(ray_session, tmp_path):
+    """k = (pct*N + 99) // 100 exact-int ceil: N=3 with pct=10 gives k=1
+    (a float 0.1*3 ceil could flap); the shuffle-order prefix decides
+    which doc's terms count at each grid point — twin-exact on a corpus
+    where every doc has disjoint vocab."""
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines.sampling import doc_shuffle
+    from smse_backend_ray.pipelines.textstats import vocab_growth
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": 1, "text": "aa bb cc", "lang": "en", "source": "s"},
+            {"doc_id": 2, "text": "dd ee", "lang": "en", "source": "s"},
+            {"doc_id": 3, "text": "ff", "lang": "en", "source": "s"},
+        ],
+    )
+    con = _duck_docs(sf)
+    got = vocab_growth(sf)
+    want = con.sql(sqlgen.vocab_growth_sql()).fetch_arrow_table()
+    assert got.to_pylist() == want.to_pylist()
+    rows = {r["pct"]: r for r in got.to_pylist()}
+    assert rows[10]["n_prefix_docs"] == 1   # ceil(0.3) = 1
+    assert rows[50]["n_prefix_docs"] == 2   # ceil(1.5) = 2
+    assert rows[100]["n_prefix_docs"] == 3
+    assert rows[100]["vocab"] == 6
+    # the pct=10 vocab is exactly the first shuffled doc's term count
+    first = doc_shuffle(sf).to_pylist()[0]["doc_id"]
+    sizes = {1: 3, 2: 2, 3: 1}
+    assert rows[10]["vocab"] == sizes[first]
+
+
+# ---------------------------------------------------------------------------
 # dedup_impact
 # ---------------------------------------------------------------------------
 
