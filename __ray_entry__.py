@@ -605,13 +605,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ENTRY ORDER IS LOAD-BEARING: the driver's correctness sweep covers
     # roughly the FIRST 50 entries of this dict (budget truncation), so the
     # dict is ordered in three blocks:
-    #   A. entries that had no driver row through round 4 (added late) —
+    #   A. entries with no driver row yet (newest first: the session-9
+    #      operators, then everything that had no row through round 4) —
     #      first, so the sweep budget lands on them;
     #   B. the core engine + pipeline surface;
     #   C. cheap, long-green entries (all value-exact in CORRECTNESS_r04) —
     #      last, so they are the ones dropped if the budget truncates.
     return {
-        # --- block A: driver-uncovered through r4 -------------------------
+        # --- block A: no driver row yet (newest additions first) ----------
         "lang_confusion": textstats.lang_confusion,
         "quality_by_source": textstats.quality_by_source,
         "quality_zscore": textstats.quality_zscore,
