@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_zscore": textstats.quality_zscore,
         "doc_bigram_logprob": textstats.bigram_logprob,
         "doc_vocab_growth": textstats.vocab_growth,
+        "top_terms_per_lang": textstats.top_terms_per_lang,
         "events_activity_histogram": events.user_activity_histogram,
         "events_active_users": events.weekly_active_users,
         "events_gap_quantiles": events.event_gap_quantiles,
@@ -903,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_zscore": sqlgen.quality_zscore_sql(),
         "doc_bigram_logprob": sqlgen.bigram_logprob_sql(),
         "doc_vocab_growth": sqlgen.vocab_growth_sql(),
+        "top_terms_per_lang": sqlgen.top_terms_per_lang_sql(),
         "doc_split_assign": sampling_mod.doc_split_assign_sql(),
         "doc_substring_dup": sqlgen.substring_dup_sql(
             dedup_mod.SUBSTR_DUP_K, dedup_mod.SUBSTR_DUP_MIN_DF

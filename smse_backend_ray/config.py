@@ -421,3 +421,8 @@ Q9_PART_WORD = "widget"
 # corpus, prefix size k = (pct*N + 99) // 100 — exact integer ceil, never
 # a float multiply (0.1*500 = 50.000000000000007 would ceil to 51).
 VOCAB_GRID_PCT = (10, 25, 50, 75, 100)
+
+# top_terms_per_lang (textstats.top_terms_per_lang <->
+# sqlgen.top_terms_per_lang_sql): per-language vocabulary head, rank =
+# (tf DESC, term ASC) row_number (total order: term unique per lang).
+TOP_TERMS_PER_LANG_K = 10

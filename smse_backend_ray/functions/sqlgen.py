@@ -552,6 +552,26 @@ ORDER BY q.doc_id
 """
 
 
+def top_terms_per_lang_sql() -> str:
+    """Twin of textstats.top_terms_per_lang — per-lang kept-token tf,
+    row_number over (tf DESC, term ASC), top TOP_TERMS_PER_LANG_K."""
+    from smse_backend_ray.config import TOP_TERMS_PER_LANG_K
+
+    return f"""
+WITH kept AS ({_doc_kept_tokens()}),
+lt AS (SELECT d.lang AS lang, k.term AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+       GROUP BY 1, 2)
+SELECT lang, term, tf, rank FROM (
+  SELECT lang, term, tf,
+    CAST(row_number() OVER (PARTITION BY lang
+                            ORDER BY tf DESC, term ASC) AS BIGINT) AS rank
+  FROM lt)
+WHERE rank <= {int(TOP_TERMS_PER_LANG_K)}
+ORDER BY lang, rank
+"""
+
+
 def vocab_growth_sql() -> str:
     """Twin of textstats.vocab_growth — the Heaps-law curve over the frozen
     shuffle order (sampling._key_sql rank), k = (pct*N + 99) // 100 in

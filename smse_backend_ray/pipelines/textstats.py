@@ -2237,3 +2237,75 @@ def vocab_growth(sf_dir: str) -> pa.Table:
         np.add.at(counts, h["b"].to_numpy(), h["cnt"].to_numpy())
     vocab_at = np.cumsum(counts[: len(grid)]).tolist()
     return curve(vocab_at)
+
+
+def top_terms_per_lang(sf_dir: str) -> pa.Table:
+    """Per-language vocabulary head: the TOP_TERMS_PER_LANG_K most
+    frequent kept terms per stored language (tf = kept-token
+    occurrences) — the per-language dashboard a multilingual curation
+    pass eyeballs for tokenizer fit and contamination.
+
+    Frozen pair with sqlgen.top_terms_per_lang_sql: rank = row_number
+    over (tf DESC, term ASC) per lang — a total order because term is
+    unique within a lang after grouping; top config.TOP_TERMS_PER_LANG_K,
+    output ordered (lang, rank).
+
+    Scale shape: per-batch (lang, term) count partials -> ONE
+    grouped_aggregate exchange completes each (lang, term) tf -> the
+    grouped_topk combiner bounds every block at k rows per lang before
+    the |langs|-keyed finalize (pipelines/grouped_topk.py — hot
+    languages cost k rows per block, never their vocabulary)."""
+    import pyarrow.compute as pc
+
+    from smse_backend_ray import config
+    from smse_backend_ray.functions.analyzer import kept_tokens_batch
+    from smse_backend_ray.functions.joins import grouped_aggregate, with_schema
+    from smse_backend_ray.pipelines.grouped_topk import grouped_topk
+
+    k = int(config.TOP_TERMS_PER_LANG_K)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = kept_tokens_batch(batch["text"])
+        counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        langs = np.asarray(
+            batch["lang"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        g = (
+            pa.table(
+                {
+                    "lang": pa.array(
+                        np.repeat(langs, counts).tolist(), type=pa.string()
+                    ),
+                    "term": pc.cast(toks.values, pa.string()),
+                }
+            )
+            .group_by(["lang", "term"])
+            .aggregate([("term", "count")])
+        )
+        return pa.table(
+            {"lang": g["lang"], "term": g["term"],
+             "tf": pc.cast(g["term_count"], pa.int64())}
+        )
+
+    schema = pa.schema(
+        [("lang", pa.string()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+    lt = with_schema(
+        grouped_aggregate(
+            _read_documents(sf_dir).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["lang", "term"], [("tf", "sum", "tf")], nb=_doc_buckets(sf_dir),
+        ),
+        schema,
+    )
+    out_schema = pa.schema(list(schema) + [("rank", pa.int64())])
+    t = collect_table(
+        grouped_topk(lt, "lang", "tf", k, tiebreak="term"),
+        empty_schema=out_schema,
+    )
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("lang", "ascending"), ("rank", "ascending")]
+        )
+    )

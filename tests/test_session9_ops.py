@@ -377,6 +377,57 @@ def test_dup_rate_by_source_cross_source_fixture(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# top_terms_per_lang
+# ---------------------------------------------------------------------------
+
+
+def test_top_terms_per_lang_matches_sql(ray_session, sf_dir, duck):
+    from smse_backend_ray import config
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines.textstats import top_terms_per_lang
+
+    got = top_terms_per_lang(sf_dir)
+    want = duck.sql(sqlgen.top_terms_per_lang_sql()).fetch_arrow_table()
+    assert got.to_pydict() == want.to_pydict()
+    per_lang: dict[str, list] = {}
+    for r in got.to_pylist():
+        per_lang.setdefault(r["lang"], []).append(r)
+    for rows in per_lang.values():
+        assert len(rows) <= config.TOP_TERMS_PER_LANG_K
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # frozen total order within a lang: tf DESC, term ASC
+        keys = [(-r["tf"], r["term"]) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_top_terms_per_lang_tie_and_cap(ray_session, tmp_path):
+    """tf ties break term-ASC; a lang with fewer distinct terms than K
+    emits them all; counts are occurrences (not doc counts)."""
+    from smse_backend_ray.functions import sqlgen
+    from smse_backend_ray.pipelines.textstats import top_terms_per_lang
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": 1, "text": "bb aa bb cc", "lang": "en", "source": "s"},
+            {"doc_id": 2, "text": "aa cc", "lang": "en", "source": "s"},
+            {"doc_id": 3, "text": "zz", "lang": "de", "source": "s"},
+        ],
+    )
+    con = _duck_docs(sf)
+    got = top_terms_per_lang(sf)
+    want = con.sql(sqlgen.top_terms_per_lang_sql()).fetch_arrow_table()
+    assert got.to_pylist() == want.to_pylist()
+    en = [r for r in got.to_pylist() if r["lang"] == "en"]
+    # tf: aa=2, bb=2, cc=2 -> tie broken term-ASC
+    assert [(r["term"], r["tf"], r["rank"]) for r in en] == [
+        ("aa", 2, 1), ("bb", 2, 2), ("cc", 2, 3)
+    ]
+    de = [r for r in got.to_pylist() if r["lang"] == "de"]
+    assert de == [{"lang": "de", "term": "zz", "tf": 1, "rank": 1}]
+
+
+# ---------------------------------------------------------------------------
 # vocab_growth
 # ---------------------------------------------------------------------------
 
